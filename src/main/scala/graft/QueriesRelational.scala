@@ -1,0 +1,333 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Relational query catalog (SURVEY.md §2.2/§2.5/§2.6 inventory mapped
+  * onto the driver's TPC-H-ish testdata).
+  *
+  * Oracle-parity rules used throughout the catalog:
+  *   - money math in integer cents (`round(x*100)::bigint`), summed
+  *     exactly, single final `cast(double)` + division — order-independent
+  *     and bit-identical across engines;
+  *   - every output integer is cast to long, every ratio is a single
+  *     division of exact integers;
+  *   - deterministic ORDER BY on both sides.
+  */
+object QueriesRelational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** dollars → exact integer cents */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  /** fraction (2-decimal) → exact integer percent */
+  private def pct(c: Column): Column = round(c * 100, 0).cast("long")
+
+  // ---------------------------------------------------------------- q1
+  // TPC-H Q1-shaped pricing summary: scan + filter (pushed to parquet) +
+  // hash agg with partial aggregation. Ref analog: A1-A6 metric-style
+  // full-table aggregation (eval_clusters.py:196-219).
+  val q1Pricing: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qc"),
+        cents(col("l_extendedprice")).as("ec"),
+        pct(col("l_discount")).as("dp"),
+        pct(col("l_tax")).as("tp"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        (sum("qc").cast("double") / 100.0).as("sum_qty"),
+        (sum("ec").cast("double") / 100.0).as("sum_base_price"),
+        (sum(col("ec") * (lit(100L) - col("dp"))).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(col("ec") * (lit(100L) - col("dp")) * (lit(100L) + col("tp"))).cast("double") / 1000000.0).as("sum_charge"),
+        (sum("qc").cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
+        (sum("ec").cast("double") / 100.0 / count(lit(1))).as("avg_price"),
+        (sum("dp").cast("double") / 100.0 / count(lit(1))).as("avg_disc"),
+        count(lit(1)).cast("long").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1PricingSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         cast(round(l_quantity*100, 0) as bigint) AS qc,
+      |         cast(round(l_extendedprice*100, 0) as bigint) AS ec,
+      |         cast(round(l_discount*100, 0) as bigint) AS dp,
+      |         cast(round(l_tax*100, 0) as bigint) AS tp
+      |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+      |SELECT l_returnflag, l_linestatus,
+      |       cast(sum(qc) as double)/100.0 AS sum_qty,
+      |       cast(sum(ec) as double)/100.0 AS sum_base_price,
+      |       cast(sum(ec*(100-dp)) as double)/10000.0 AS sum_disc_price,
+      |       cast(sum(ec*(100-dp)*(100+tp)) as double)/1000000.0 AS sum_charge,
+      |       cast(sum(qc) as double)/100.0/count(*) AS avg_qty,
+      |       cast(sum(ec) as double)/100.0/count(*) AS avg_price,
+      |       cast(sum(dp) as double)/100.0/count(*) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM li GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- j2
+  // Multi-way equi-join with broadcast dims (SURVEY §2.6 equi-joins):
+  // customer ⋈ orders with nation/region broadcast.
+  val j2MarketRevenue: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    val nat = broadcast(t(s, dir, "nation"))
+    val reg = broadcast(t(s, dir, "region"))
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).cast("long").as("n_orders"),
+        (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("revenue"))
+      .orderBy("r_name", "c_mktsegment")
+  }
+
+  val j2MarketRevenueSql: String =
+    """SELECT r_name, c_mktsegment, count(*) AS n_orders,
+      |       cast(sum(cast(round(o_totalprice*100, 0) as bigint)) as double)/100.0 AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, c_mktsegment
+      |ORDER BY r_name, c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- j3
+  // Fact-to-dim join + top-style agg (part is broadcast-sized).
+  val j3BrandRevenue: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val part = broadcast(t(s, dir, "part"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).cast("long").as("n_items"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+          .cast("double") / 10000.0).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  val j3BrandRevenueSql: String =
+    """SELECT p_brand, count(*) AS n_items,
+      |       cast(sum(cast(round(l_extendedprice*100, 0) as bigint)
+      |                 * (100 - cast(round(l_discount*100, 0) as bigint))) as double)/10000.0 AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- a7
+  // Seen/unseen semi/anti joins (eval_clusters.py:10-25, split_unseen.py).
+  val a7SeenCustomers: Q = (s, dir) => {
+    val bigSpenders = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    Relational.seen(t(s, dir, "customer"), bigSpenders.select(col("o_custkey").as("c_custkey")), "c_custkey")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  val a7SeenCustomersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  val a7UnseenCustomers: Q = (s, dir) => {
+    val bigSpenders = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    Relational.unseen(t(s, dir, "customer"), bigSpenders.select(col("o_custkey").as("c_custkey")), "c_custkey")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  val a7UnseenCustomersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- p7
+  // First-occurrence dictionary encoding (baseline.py:76-83 and friends).
+  val p7DictEncode: Q = (s, dir) => {
+    Relational.dictEncode(t(s, dir, "events"), col("user_id"), col("event_id"), "code")
+      .select(col("event_id"), col("user_id"), col("code").cast("long").as("code"))
+      .orderBy("event_id")
+  }
+
+  val p7DictEncodeSql: String =
+    """SELECT event_id, user_id, dense_rank() OVER (ORDER BY first_seen) - 1 AS code
+      |FROM (SELECT event_id, user_id,
+      |             min(event_id) OVER (PARTITION BY user_id) AS first_seen
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- c9
+  // Exact string-match clustering (string_match.py:20-28).
+  val c9StringMatch: Q = (s, dir) => {
+    Relational.stringMatchCluster(t(s, dir, "events"), col("event_type"), col("event_id"))
+      .select(col("event_id"), col("event_type"), col("pred_cluster").cast("long").as("pred_cluster"))
+      .orderBy("event_id")
+  }
+
+  val c9StringMatchSql: String =
+    """SELECT event_id, event_type, dense_rank() OVER (ORDER BY first_seen) - 1 AS pred_cluster
+      |FROM (SELECT event_id, event_type,
+      |             min(event_id) OVER (PARTITION BY event_type) AS first_seen
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- c10
+  // Oracle within-document clustering (oracle_wd.py:26-36): composite key
+  // + first-occurrence encoding.
+  val c10OracleWd: Q = (s, dir) => {
+    Relational.oracleWithinDoc(t(s, dir, "documents"), col("lang"), col("source"), col("doc_id"))
+      .select(
+        col("doc_id"),
+        Relational.compositeKey(col("lang"), col("source")).as("wd_key"),
+        col("pred_cluster").cast("long").as("pred_cluster"))
+      .orderBy("doc_id")
+  }
+
+  val c10OracleWdSql: String =
+    """SELECT doc_id, lang || '::' || source AS wd_key,
+      |       dense_rank() OVER (ORDER BY first_seen) - 1 AS pred_cluster
+      |FROM (SELECT doc_id, lang, source,
+      |             min(doc_id) OVER (PARTITION BY lang, source) AS first_seen
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- a8
+  // Max concurrently-active entities (max_active.py:6-29) — the
+  // reference's one true window-function query.
+  val a8MaxActive: Q = (s, dir) =>
+    Relational.maxActive(t(s, dir, "events"), col("user_id"), col("event_id"))
+
+  val a8MaxActiveSql: String =
+    """WITH spans AS (
+      |  SELECT user_id, min(event_id) AS s, max(event_id) AS e
+      |  FROM events GROUP BY user_id),
+      |ev AS (
+      |  SELECT s AS pos, cast(1 as bigint) AS delta FROM spans
+      |  UNION ALL
+      |  SELECT e + 1 AS pos, cast(-1 as bigint) AS delta FROM spans),
+      |run AS (
+      |  SELECT sum(delta) OVER (ORDER BY pos, delta
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active FROM ev)
+      |SELECT cast(max(active) as bigint) AS max_active FROM run""".stripMargin
+
+  // ---------------------------------------------------------------- a9
+  // Frequency vocabulary (preprocess_medmentions.py:69-75).
+  val a9UserFreq: Q = (s, dir) =>
+    Relational.frequencyVocab(t(s, dir, "events"), col("user_id"))
+      .select(col("entity"), col("cnt").cast("long").as("cnt"))
+
+  val a9UserFreqSql: String =
+    """SELECT user_id AS entity, count(*) AS cnt FROM events
+      |GROUP BY user_id ORDER BY cnt DESC, entity""".stripMargin
+
+  // ---------------------------------------------------------------- a6
+  // Cluster census (eval_clusters.py:196-219, unique_entities.py).
+  val a6Census: Q = (s, dir) =>
+    Relational.clusterCensus(t(s, dir, "documents"), col("lang"))
+
+  val a6CensusSql: String =
+    """SELECT count(*) AS n_clusters,
+      |       cast(median(sz) as double) AS median_size,
+      |       sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS n_singletons
+      |FROM (SELECT lang, count(*) AS sz FROM documents GROUP BY lang)""".stripMargin
+
+  // ---------------------------------------------------------------- a5
+  // Conflated/divided error counts (eval_clusters.py:147-169).
+  val a5ConflatedDivided: Q = (s, dir) =>
+    Relational.conflatedDivided(t(s, dir, "documents"), col("lang"), col("source"))
+
+  val a5ConflatedDividedSql: String =
+    """SELECT
+      |  (SELECT sum(x) FROM (SELECT count(DISTINCT lang) - 1 AS x FROM documents GROUP BY source)) AS conflated,
+      |  (SELECT sum(x) FROM (SELECT count(DISTINCT source) - 1 AS x FROM documents GROUP BY lang)) AS divided""".stripMargin
+
+  // ---------------------------------------------------------------- a11
+  // Positional split routing (preprocess_medmentions.py:100-114).
+  val a11SplitRouting: Q = (s, dir) => {
+    Relational.splitRouting(t(s, dir, "orders"), Seq(col("o_orderdate"), col("o_orderkey")))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("total"))
+      .orderBy("split")
+  }
+
+  val a11SplitRoutingSql: String =
+    """SELECT split, count(*) AS n,
+      |       cast(sum(cast(round(o_totalprice*100, 0) as bigint)) as double)/100.0 AS total
+      |FROM (
+      |  SELECT o_totalprice,
+      |         CASE WHEN rn <= 0.6*n THEN 'train'
+      |              WHEN rn <= 0.8*n THEN 'dev'
+      |              ELSE 'test' END AS split
+      |  FROM (SELECT o_totalprice,
+      |               row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
+      |               count(*) OVER () AS n
+      |        FROM orders))
+      |GROUP BY split ORDER BY split""".stripMargin
+
+  // ---------------------------------------------------------------- a12
+  // Per-entity ordered analytics: running sum + rank within user — the
+  // event-stream analog of the reference's per-stream sequential pass,
+  // expressed as partitioned (scale-out) window functions.
+  val a12UserRunning: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    t(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        cents(col("value")).as("vc"))
+      .withColumn("running_value",
+        sum(col("vc")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double") / 100.0)
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col("event_id"), col("user_id"), col("running_value"), col("seq"))
+      .orderBy("event_id")
+  }
+
+  val a12UserRunningSql: String =
+    """SELECT event_id, user_id,
+      |       cast(sum(cast(round(value*100, 0) as bigint)) OVER (
+      |         PARTITION BY user_id ORDER BY event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)/100.0 AS running_value,
+      |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing" -> q1Pricing,
+    "j2_market_revenue" -> j2MarketRevenue,
+    "j3_brand_revenue" -> j3BrandRevenue,
+    "a7_seen_customers" -> a7SeenCustomers,
+    "a7_unseen_customers" -> a7UnseenCustomers,
+    "p7_dict_encode" -> p7DictEncode,
+    "c9_string_match" -> c9StringMatch,
+    "c10_oracle_wd" -> c10OracleWd,
+    "a8_max_active" -> a8MaxActive,
+    "a9_user_freq" -> a9UserFreq,
+    "a6_census" -> a6Census,
+    "a5_conflated_divided" -> a5ConflatedDivided,
+    "a11_split_routing" -> a11SplitRouting,
+    "a12_user_running" -> a12UserRunning)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" -> q1PricingSql,
+    "j2_market_revenue" -> j2MarketRevenueSql,
+    "j3_brand_revenue" -> j3BrandRevenueSql,
+    "a7_seen_customers" -> a7SeenCustomersSql,
+    "a7_unseen_customers" -> a7UnseenCustomersSql,
+    "p7_dict_encode" -> p7DictEncodeSql,
+    "c9_string_match" -> c9StringMatchSql,
+    "c10_oracle_wd" -> c10OracleWdSql,
+    "a8_max_active" -> a8MaxActiveSql,
+    "a9_user_freq" -> a9UserFreqSql,
+    "a6_census" -> a6CensusSql,
+    "a5_conflated_divided" -> a5ConflatedDividedSql,
+    "a11_split_routing" -> a11SplitRoutingSql,
+    "a12_user_running" -> a12UserRunningSql)
+}

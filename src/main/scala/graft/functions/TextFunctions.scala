@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline column functions: tokenization, shingling, deterministic
+  * integer hashing, fingerprints, language-ID and quality heuristics.
+  *
+  * Everything here is integer-exact (mod-p polynomial hashes) or a single
+  * final division, so results hash-match a SQL oracle bit-for-bit. All of
+  * it is Catalyst higher-order functions — no UDFs — so it stays inside
+  * whole-stage codegen and distributes embarrassingly (per-row, no
+  * shuffle) at any scale.
+  *
+  * Shingle/fingerprint design follows the reference's char-bigram TF
+  * vectorizer idea (`/root/reference/meercat/fit_vectorizer.py:20-23`)
+  * re-expressed as hashing (HashingTF-style) rather than a fitted vocab.
+  */
+object TextFunctions {
+  /** Mod-p base for all polynomial hashes (fits in long with headroom). */
+  val P: Long = 1000000007L
+
+  /** Whitespace tokenization (single-space convention of the testdata). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Polynomial rolling hash of a string: fold over chars of
+    * h = (h*31 + ascii(c)) mod P. Deterministic, engine-portable.
+    */
+  def stringHash(s: Column): Column =
+    aggregate(
+      sequence(lit(1), length(s)),
+      lit(0L),
+      (acc, i) => (acc * 31 + ascii(call_function("substring", s, i, lit(1)))) % P)
+
+  /** Hash each token of a token array. */
+  def tokenHashes(toks: Column): Column = transform(toks, stringHash(_))
+
+  /** Document fingerprint: polynomial fold over token hashes
+    * (order-sensitive — detects exact-sequence duplicates).
+    */
+  def fingerprint(toks: Column): Column =
+    aggregate(tokenHashes(toks), lit(0L), (acc, h) => (acc * 131 + h) % P)
+
+  /** n-token shingles as space-joined strings (distinct not applied). */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Hashed distinct shingles — the unit set for Jaccard / MinHash. */
+  def shingleHashes(toks: Column, n: Int): Column =
+    array_distinct(transform(shingles(toks, n), stringHash(_)))
+
+  /** MinHash signature: for each of `k` hash functions
+    * h_j(x) = (a_j·x + b_j) mod P take the min over the shingle set.
+    * a_j, b_j are fixed odd/even affine constants so the oracle can
+    * reproduce them.
+    */
+  def minHashSignature(shingleH: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j =>
+        aggregate(
+          shingleH,
+          lit(P),
+          (acc, x) => least(acc, ((j * 2 + 1) * x + j * 7919 + 1) % P)))
+
+  /** SimHash over `bits` low bits of the token hashes: bit k of the
+    * result is 1 iff Σ_tokens (±1 by bit k of tokenHash) > 0.
+    * Returns a long. 30 bits max (hash domain is mod P ≈ 2³⁰).
+    */
+  def simHash(toks: Column, bits: Int): Column = {
+    val th = tokenHashes(toks)
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, k) => {
+        val bitSum = aggregate(
+          th,
+          lit(0L),
+          (a, h) => a + when(call_function("shiftright", h, k.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        acc + when(bitSum > 0, call_function("shiftleft", lit(1L), k.cast("int"))).otherwise(0L)
+      })
+  }
+
+  /** Stopword list used by quality scoring and language-ID. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(stopwords)))
+
+  /** Quality heuristics: token count, mean token length, stopword ratio,
+    * alphabetic ratio — the length/punct/stopword trio of standard
+    * training-data quality filters.
+    */
+  def tokenCount(toks: Column): Column = size(toks)
+
+  def meanTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks).cast("double")
+
+  /** Language marker vocabularies for the n-gram-heuristic language-ID.
+    * Deterministic token-vote: language with the most marker hits wins,
+    * ties broken lexicographically; 'und' when no marker hits.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def markerHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(langMarkers(lang))))
+
+  def langId(toks: Column): Column = {
+    val scored = langMarkers.keys.toSeq.sorted.map(l => struct(markerHits(toks, l).as("hits"), lit(l).as("lang")))
+    // max over (hits, reversed-lang) then tie-break: array_max picks the
+    // lexicographically greatest struct = highest hits, then greatest
+    // lang; to break ties toward the *smallest* lang we compare on
+    // (hits, negated rank) — simpler: fold keeping first strict max.
+    val best = scored.reduceLeft((a, b) => when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

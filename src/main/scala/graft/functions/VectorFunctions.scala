@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level dense-vector math over `ArrayType(FloatType)` embeddings.
+  *
+  * Mirrors the reference's NumPy kernels (dot / L2-norm / cosine / blend:
+  * `/root/reference/meercat/nn_thresh.py:112-115,172-173`,
+  * `/root/reference/meercat/baseline.py:34-40`) as Catalyst higher-order
+  * functions — codegen'd, no UDFs, so similarity joins stay inside
+  * whole-stage codegen.
+  *
+  * All folds are strict left-to-right over the array after a cast to
+  * double, which makes results bit-reproducible across engines that fold
+  * the same way (the DuckDB oracle SQL is written to match).
+  */
+object VectorFunctions {
+
+  /** Σ a_i·b_i as double; left fold in element order. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Σ a_i² as double. */
+  def sqNorm(a: Column): Column =
+    aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column = sqrt(sqNorm(a))
+
+  /** cos(a,b) = a·b / (‖a‖‖b‖) */
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** a / ‖a‖₂ (float-typed result), cf. nn_thresh.py:172-173. */
+  def l2Normalize(a: Column): Column =
+    transform(a, x => (x.cast("double") / l2Norm(a)).cast("float"))
+
+  /** w·simA + (1−w)·simB — the reference's score blend
+    * (baseline.py:40 with weights 0.8/0.2, combo.py:39 with α).
+    */
+  def blend(simA: Column, simB: Column, w: Double): Column =
+    lit(w) * simA + lit(1.0 - w) * simB
+
+  /** Squared Euclidean distance. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Random-hyperplane LSH bucket id: sign-bit signature of the vector
+    * against `nBits` deterministic pseudo-random hyperplanes derived from
+    * `seed`. Hyperplane k component i = sin(seed + k·dim + i) — fully
+    * deterministic, no state, codegen-friendly; used to block ANN /
+    * near-dup searches so the cross join never materializes n².
+    */
+  def rhpSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column =
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, k) => {
+        val proj = aggregate(
+          zip_with(
+            vec,
+            transform(sequence(lit(0), lit(dim - 1)), i => sin(lit(seed.toDouble) + k.cast("double") * lit(dim.toDouble) + i.cast("double"))),
+            (x, h) => x.cast("double") * h),
+          lit(0.0),
+          (a, v) => a + v)
+        acc * 2 + when(proj > 0, 1L).otherwise(0L)
+      })
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational analytics pack (SURVEY.md §7.1 layer 2): generic
+  * DataFrame operators re-expressing the reference's projection /
+  * dictionary / split / census / window logic. Everything here is pure
+  * declarative DataFrame code — Catalyst handles pushdown, partial aggs
+  * and join selection; nothing is mention-specific.
+  */
+object Relational {
+
+  /** P7 — dictionary encoding in first-occurrence order
+    * (`/root/reference/meercat/baseline.py:76-83`,
+    * `meercat/nn_thresh.py:160-174`): each distinct `key` gets a dense
+    * 0-based code in order of its first appearance by `orderCol`.
+    *
+    * Scale note: the two windows are (a) partitioned by key — shuffles
+    * once on key, no global bottleneck — and (b) a global rank over the
+    * *distinct first-seen values*, whose cardinality is #keys, not #rows.
+    */
+  def dictEncode(df: DataFrame, key: Column, orderCol: Column, out: String): DataFrame = {
+    val firstSeen = min(orderCol).over(Window.partitionBy(key))
+    df.withColumn("_first_seen", firstSeen)
+      .withColumn(out, dense_rank().over(Window.orderBy(col("_first_seen"))) - 1)
+      .drop("_first_seen")
+  }
+
+  /** P6 — composite key (`meercat/oracle_wd.py:31`). */
+  def compositeKey(a: Column, b: Column): Column = concat_ws("::", a, b)
+
+  /** C10 — oracle within-document clustering: predicted cluster =
+    * dict-code of the (entity, document) pair (`meercat/oracle_wd.py:26-36`).
+    */
+  def oracleWithinDoc(df: DataFrame, entity: Column, doc: Column, orderCol: Column): DataFrame =
+    dictEncode(df.withColumn("_wd", compositeKey(entity, doc)), col("_wd"), orderCol, "pred_cluster")
+      .drop("_wd")
+
+  /** C9 — exact string-match clustering (`meercat/string_match.py:20-28`):
+    * cluster id = dict-code of the raw string in first-occurrence order.
+    */
+  def stringMatchCluster(df: DataFrame, mention: Column, orderCol: Column): DataFrame =
+    dictEncode(df, mention, orderCol, "pred_cluster")
+
+  /** A7 — seen/unseen split (`meercat/eval_clusters.py:10-25`,
+    * `scripts/split_unseen.py`): semi-join keeps rows whose key appears
+    * in `allowed`; anti-join keeps the rest. Broadcast when small.
+    */
+  def seen(df: DataFrame, allowed: DataFrame, key: String): DataFrame =
+    df.join(allowed.select(key).distinct(), Seq(key), "left_semi")
+
+  def unseen(df: DataFrame, allowed: DataFrame, key: String): DataFrame =
+    df.join(allowed.select(key).distinct(), Seq(key), "left_anti")
+
+  /** A11 — positional split routing (60/20/20 by a global sort —
+    * `scripts/preprocess_medmentions.py:100-114`). Emits a `split`
+    * column. The global sort is a range-partitioned exchange; at scale
+    * prefer routing by a date predicate, which this degenerates to when
+    * the sort key is the date.
+    */
+  def splitRouting(df: DataFrame, orderCols: Seq[Column],
+                   bounds: (Double, Double) = (0.6, 0.8)): DataFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn(
+        "split",
+        when(col("_rn") <= lit(bounds._1) * col("_n"), "train")
+          .when(col("_rn") <= lit(bounds._2) * col("_n"), "dev")
+          .otherwise("test"))
+      .drop("_rn", "_n")
+  }
+
+  /** A8 — max concurrently-active entities
+    * (`/root/reference/meercat/max_active.py:6-29`): per entity take the
+    * [min,max] index interval, sweep +1/-1 events in index order, report
+    * the running-sum maximum. One hash agg + one global ordered window
+    * over 2·#entities rows (tiny relative to the input).
+    */
+  def maxActive(df: DataFrame, entity: Column, idx: Column): DataFrame = {
+    val spans = df.groupBy(entity.as("e"))
+      .agg(min(idx).as("s"), max(idx).as("en"))
+    val events = spans.select(col("s").as("pos"), lit(1L).as("delta"))
+      .unionAll(spans.select((col("en") + 1).as("pos"), lit(-1L).as("delta")))
+    val run = events.withColumn(
+      "active",
+      sum(col("delta")).over(
+        Window.orderBy(col("pos"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    run.agg(max(col("active")).cast("long").as("max_active"))
+  }
+
+  /** A5 — conflated/divided error counts
+    * (`meercat/eval_clusters.py:147-169`): Σ over pred clusters of
+    * (distinct true − 1) and vice versa.
+    */
+  def conflatedDivided(df: DataFrame, trueCol: Column, predCol: Column): DataFrame = {
+    val conflated = df.groupBy(predCol.as("p"))
+      .agg((countDistinct(trueCol) - 1).as("extra"))
+      .agg(sum("extra").cast("long").as("conflated"))
+    val divided = df.groupBy(trueCol.as("t"))
+      .agg((countDistinct(predCol) - 1).as("extra"))
+      .agg(sum("extra").cast("long").as("divided"))
+    conflated.crossJoin(divided)
+  }
+
+  /** A6/A10 — cluster census: #clusters, median cluster size, #singletons
+    * (`meercat/eval_clusters.py:196-219`, `scripts/unique_entities.py:6-14`).
+    */
+  def clusterCensus(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("k")).agg(count(lit(1)).as("sz"))
+      .agg(
+        count(lit(1)).cast("long").as("n_clusters"),
+        median(col("sz")).cast("double").as("median_size"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).cast("long").as("n_singletons"))
+
+  /** A9 — frequency vocabulary (`scripts/preprocess_medmentions.py:69-75`):
+    * counts per key, descending. The [PAD] row prepend is a writer concern
+    * (see sources.VocabCsv).
+    */
+  def frequencyVocab(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("entity")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("entity"))
+}
