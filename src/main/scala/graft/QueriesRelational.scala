@@ -45,8 +45,11 @@ object QueriesRelational {
       .agg(
         (sum("qc").cast("double") / 100.0).as("sum_qty"),
         (sum("ec").cast("double") / 100.0).as("sum_base_price"),
-        (sum(col("ec") * (lit(100L) - col("dp"))).cast("double") / 10000.0).as("sum_disc_price"),
-        (sum(col("ec") * (lit(100L) - col("dp")) * (lit(100L) + col("tp"))).cast("double") / 1000000.0).as("sum_charge"),
+        // products reach ~2e11/row; sum as decimal(38,0) so the total is
+        // exact at any scale (Spark's non-ANSI long sum would silently
+        // wrap past ~sf40) — DuckDB's hugeint sum is exact the same way.
+        (sum((col("ec") * (lit(100L) - col("dp"))).cast("decimal(38,0)")).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum((col("ec") * (lit(100L) - col("dp")) * (lit(100L) + col("tp"))).cast("decimal(38,0)")).cast("double") / 1000000.0).as("sum_charge"),
         (sum("qc").cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
         (sum("ec").cast("double") / 100.0 / count(lit(1))).as("avg_price"),
         (sum("dp").cast("double") / 100.0 / count(lit(1))).as("avg_disc"),
@@ -236,7 +239,7 @@ object QueriesRelational {
   val a6CensusSql: String =
     """SELECT count(*) AS n_clusters,
       |       cast(median(sz) as double) AS median_size,
-      |       sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS n_singletons
+      |       cast(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) as bigint) AS n_singletons
       |FROM (SELECT lang, count(*) AS sz FROM documents GROUP BY lang)""".stripMargin
 
   // ---------------------------------------------------------------- a5
@@ -246,8 +249,8 @@ object QueriesRelational {
 
   val a5ConflatedDividedSql: String =
     """SELECT
-      |  (SELECT sum(x) FROM (SELECT count(DISTINCT lang) - 1 AS x FROM documents GROUP BY source)) AS conflated,
-      |  (SELECT sum(x) FROM (SELECT count(DISTINCT source) - 1 AS x FROM documents GROUP BY lang)) AS divided""".stripMargin
+      |  (SELECT cast(sum(x) as bigint) FROM (SELECT count(DISTINCT lang) - 1 AS x FROM documents GROUP BY source)) AS conflated,
+      |  (SELECT cast(sum(x) as bigint) FROM (SELECT count(DISTINCT source) - 1 AS x FROM documents GROUP BY lang)) AS divided""".stripMargin
 
   // ---------------------------------------------------------------- a11
   // Positional split routing (preprocess_medmentions.py:100-114).

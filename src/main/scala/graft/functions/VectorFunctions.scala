@@ -38,9 +38,19 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** a / ‖a‖₂ (float-typed result), cf. nn_thresh.py:172-173. */
+  /** a / ‖a‖₂ (float-typed result), cf. nn_thresh.py:172-173.
+    *
+    * The norm is hoisted: computed once into a 1-element struct wrapper
+    * and referenced inside the per-element lambda, so normalization is
+    * O(d) per row, not O(d²) (recomputing ‖a‖ per element would be ~590k
+    * multiplies for a 768-dim embedding).
+    */
   def l2Normalize(a: Column): Column =
-    transform(a, x => (x.cast("double") / l2Norm(a)).cast("float"))
+    aggregate(
+      array(a),                            // single-element fold = a "let" binding
+      struct(l2Norm(a).as("n")),           // zero: the hoisted norm
+      (acc, v) => acc,                     // no-op fold keeps the norm as-is
+      acc => transform(a, x => (x.cast("double") / acc.getField("n")).cast("float")))
 
   /** w·simA + (1−w)·simB — the reference's score blend
     * (baseline.py:40 with weights 0.8/0.2, combo.py:39 with α).
@@ -63,18 +73,15 @@ object VectorFunctions {
     * deterministic, no state, codegen-friendly; used to block ANN /
     * near-dup searches so the cross join never materializes n².
     */
-  def rhpSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column =
-    aggregate(
-      sequence(lit(0), lit(nBits - 1)),
-      lit(0L),
-      (acc, k) => {
-        val proj = aggregate(
-          zip_with(
-            vec,
-            transform(sequence(lit(0), lit(dim - 1)), i => sin(lit(seed.toDouble) + k.cast("double") * lit(dim.toDouble) + i.cast("double"))),
-            (x, h) => x.cast("double") * h),
-          lit(0.0),
-          (a, v) => a + v)
-        acc * 2 + when(proj > 0, 1L).otherwise(0L)
-      })
+  def rhpSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    // Hyperplanes depend only on (seed, k, i): precompute on the driver
+    // and embed as literal arrays, so each row pays nBits·dim fused
+    // multiply-adds instead of re-deriving sin(...) per element per row.
+    val planes: Seq[Column] = (0 until nBits).map { k =>
+      typedLit((0 until dim).map(i => math.sin(seed.toDouble + k.toDouble * dim + i)))
+    }
+    planes.foldLeft(lit(0L)) { (acc, p) =>
+      acc * 2 + when(dotProduct(vec, p) > 0, 1L).otherwise(0L)
+    }
+  }
 }

@@ -17,19 +17,28 @@ object Relational {
     * `meercat/nn_thresh.py:160-174`): each distinct `key` gets a dense
     * 0-based code in order of its first appearance by `orderCol`.
     *
-    * Scale note: the two windows are (a) partitioned by key — shuffles
-    * once on key, no global bottleneck — and (b) a global rank over the
-    * *distinct first-seen values*, whose cardinality is #keys, not #rows.
+    * Scale design: the input is touched only by a key-partitioned hash
+    * aggregation (one shuffle on key, map-side partials); the global
+    * dense_rank runs on the *aggregated dictionary* — one row per
+    * distinct key — so the single-partition window holds #keys rows, not
+    * #input rows. The codes relation is then broadcast back onto the
+    * fact table (vocabularies are dimension-sized).
     */
   def dictEncode(df: DataFrame, key: Column, orderCol: Column, out: String): DataFrame = {
-    val firstSeen = min(orderCol).over(Window.partitionBy(key))
-    df.withColumn("_first_seen", firstSeen)
+    val codes = df
+      .groupBy(key.as("_k"))
+      .agg(min(orderCol).as("_first_seen"))
       .withColumn(out, dense_rank().over(Window.orderBy(col("_first_seen"))) - 1)
-      .drop("_first_seen")
+      .select(col("_k"), col(out))
+    df.join(broadcast(codes), key === col("_k")).drop("_k")
   }
 
-  /** P6 — composite key (`meercat/oracle_wd.py:31`). */
-  def compositeKey(a: Column, b: Column): Column = concat_ws("::", a, b)
+  /** P6 — composite key (`meercat/oracle_wd.py:31`). Null-propagating
+    * like SQL `a || '::' || b` (a null input nulls the key), unlike
+    * concat_ws which silently skips nulls and can conflate ("x", null)
+    * with ("x"). The '::' separator assumes it never occurs in values.
+    */
+  def compositeKey(a: Column, b: Column): Column = concat(a, lit("::"), b)
 
   /** C10 — oracle within-document clustering: predicted cluster =
     * dict-code of the (entity, document) pair (`meercat/oracle_wd.py:26-36`).
