@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions.P
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication query catalog (the LLM-training-data
+  * pipeline pack) over the `documents` table. Every hash is integer
+  * mod-p and every ratio a single division of exact integers, so each
+  * query hash-matches its DuckDB oracle bit-for-bit.
+  */
+object QueriesText {
+  import QueriesRelational.Q
+
+  private val dedupK = 16
+  private val dedupR = 2
+  private def nBands = dedupK / dedupR
+
+  /** Shared DuckDB SQL fragments (kept textually in one place so every
+    * oracle reproduces the exact same mod-p hash pipeline).
+    */
+  private val sqlToks = "string_split(text, ' ')"
+  /** DuckDB mod-p polynomial string hash of `expr`.
+    *
+    * The char-index lambda variable is `ci`: if `expr` itself contains a
+    * lambda variable (e.g. the shingle index `i` of an enclosing
+    * list_transform), an inner `i` would SHADOW it and silently hash the
+    * wrong substring — always hash a bound variable (two-stage
+    * transform), never an expression containing an outer lambda var.
+    */
+  private def sqlStrHash(expr: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, length($expr)), " +
+      s"ci -> ascii(substring($expr, ci, 1))::BIGINT)), (acc, x) -> (acc*31 + x) % $P)"
+  // ---------------------------------------------------------------- t1
+  // Token counting + quality scoring (whitespace tokens, BPE-ish regex
+  // subtokens, exact-integer ratios).
+  val t1TokenQuality: Q = (s, dir) => {
+    val toks = TextFunctions.tokens(col("text"))
+    val nToks = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val stopCnt = TextFunctions.stopwordCount(toks).cast("long")
+    val alphaChars = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        nToks.as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_subtokens"),
+        (sumLen.cast("double") / nToks.cast("double")).as("mean_token_len"),
+        stopCnt.as("n_stopwords"),
+        (stopCnt.cast("double") / nToks.cast("double")).as("stopword_ratio"),
+        (alphaChars.cast("double") / col("n_chars").cast("double")).as("alpha_ratio"),
+        (nToks.between(5, 1000) && stopCnt * 20 >= nToks).as("quality_pass"))
+      .orderBy("doc_id")
+  }
+
+  val t1TokenQualitySql: String =
+    s"""SELECT doc_id,
+       |       len($sqlToks) AS n_tokens,
+       |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
+       |       cast(list_reduce(list_prepend(0::BIGINT, list_transform($sqlToks, t -> length(t)::BIGINT)), (acc, x) -> acc + x) as double)
+       |         / cast(len($sqlToks) as double) AS mean_token_len,
+       |       len(list_filter($sqlToks, t -> list_contains(['the','a','of','and','to','in','is','on'], t))) AS n_stopwords,
+       |       cast(len(list_filter($sqlToks, t -> list_contains(['the','a','of','and','to','in','is','on'], t))) as double)
+       |         / cast(len($sqlToks) as double) AS stopword_ratio,
+       |       cast(length(regexp_replace(text, '[^a-z]', '', 'g')) as double) / cast(n_chars as double) AS alpha_ratio,
+       |       (len($sqlToks) BETWEEN 5 AND 1000)
+       |         AND len(list_filter($sqlToks, t -> list_contains(['the','a','of','and','to','in','is','on'], t))) * 20 >= len($sqlToks) AS quality_pass
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t2
+  // Language-ID by marker-token vote (n-gram heuristic), first-max-wins
+  // over lexicographically sorted languages, 'und' on zero hits.
+  val t2LangId: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val t2LangIdSql: String = {
+    def hits(l: String): String = {
+      val markers = TextFunctions.langMarkers(l).map(m => s"'$m'").mkString(", ")
+      s"len(list_filter($sqlToks, t -> list_contains([$markers], t)))"
+    }
+    val langs = TextFunctions.langMarkers.keys.toSeq.sorted
+    val hitCols = langs.map(l => s"${hits(l)} AS h_$l").mkString(", ")
+    val m = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+    val cases = langs.init.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+    s"""SELECT doc_id,
+       |       CASE WHEN m = 0 THEN 'und' $cases ELSE '${langs.last}' END AS lang_pred
+       |FROM (SELECT doc_id, $m AS m, * FROM (SELECT doc_id, $hitCols FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t3
+  // Order-sensitive document fingerprint (rolling hash over token hashes).
+  val t3Fingerprint: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fingerprint(TextFunctions.tokens(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  val t3FingerprintSql: String =
+    s"""SELECT doc_id,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform($sqlToks, t -> ${sqlStrHash("t")})),
+       |                   (acc, h) -> (acc*131 + h) % $P) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d1
+  // Exact deduplication: canonical = min doc_id per identical text.
+  val d1ExactDedup: Q = (s, dir) =>
+    Dedup.exactDedup(Tables.load(s, dir, "documents"), col("text"), col("doc_id"))
+      .select(col("doc_id"), col("canonical_id"), col("is_dup"))
+      .orderBy("doc_id")
+
+  val d1ExactDedupSql: String =
+    """SELECT doc_id,
+      |       min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+      |       doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Shared Spark-side shingle set (3-token shingles, hashed, distinct). */
+  private def shingleSet = TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3)
+
+  /** Shared DuckDB-side shingle-set fragment matching [[shingleSet]]:
+    * stage 1 builds the shingle strings (index var `i`), stage 2 hashes
+    * each bound string `sstr` — see the shadowing note on sqlStrHash.
+    */
+  private val sqlHs: String =
+    s"list_distinct(list_transform(" +
+      s"list_transform(generate_series(1, greatest(len($sqlToks)-2, 0)), i -> array_to_string(list_slice($sqlToks, i, i+2), ' ')), " +
+      s"sstr -> ${sqlStrHash("sstr")}))"
+
+  /** Shared DuckDB CTEs: per-doc shingle sets + minhash band hashes. */
+  private val sqlBandCtes: String =
+    s"""sh AS (SELECT doc_id, $sqlHs AS hs FROM documents),
+       |sig AS (SELECT doc_id, list_transform(generate_series(0, ${dedupK - 1}),
+       |  j -> list_reduce(list_prepend($P::BIGINT, hs), (acc, x) -> least(acc, ((j*2+1)*x + j*7919 + 1) % $P))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, b AS band, (sig[${dedupR}*b+1] * 31 + sig[${dedupR}*b+2]) % $P AS band_hash
+       |  FROM sig, generate_series(0, ${nBands - 1}) AS t(b))""".stripMargin
+
+  // ---------------------------------------------------------------- d2
+  // MinHash LSH banding: k=16 hashes, 8 bands of 2 rows.
+  val d2MinhashBands: Q = (s, dir) =>
+    Dedup.minHashBands(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet, dedupK, dedupR)
+      .select(col("doc").as("doc_id"), col("band").cast("long").as("band"), col("band_hash"))
+      .orderBy("doc_id", "band")
+
+  val d2MinhashBandsSql: String =
+    s"""WITH $sqlBandCtes
+       |SELECT doc_id, band, band_hash FROM bands ORDER BY doc_id, band""".stripMargin
+
+  // ---------------------------------------------------------------- d3
+  // Near-duplicate detection: LSH candidates verified by exact Jaccard
+  // >= 1/2 over the shingle sets (the n-gram Jaccard + MinHash+LSH pair).
+  val d3MinhashNeardup: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val bands = Dedup.minHashBands(docs, col("doc_id"), shingleSet, dedupK, dedupR)
+    Dedup.nearDupPairs(docs, col("doc_id"), shingleSet, bands, 1, 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d3MinhashNeardupSql: String =
+    s"""WITH $sqlBandCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       len(list_intersect(x.hs, y.hs))::BIGINT AS j_num,
+       |       (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))::BIGINT AS j_den,
+       |       cast(len(list_intersect(x.hs, y.hs)) as double)
+       |         / cast(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) as double) AS jaccard
+       |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+       |WHERE len(list_intersect(x.hs, y.hs)) * 2 >= (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- d4
+  // SimHash (16-bit) per document over token hashes.
+  val d4Simhash: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.simHash(TextFunctions.tokens(col("text")), 16).as("simhash"))
+      .orderBy("doc_id")
+
+  val d4SimhashSql: String =
+    s"""WITH th AS (SELECT doc_id, list_transform($sqlToks, t -> ${sqlStrHash("t")}) AS th FROM documents)
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, 15), k -> k::BIGINT)),
+       |    (acc, k) -> acc + CASE WHEN
+       |        list_reduce(list_prepend(0::BIGINT, th),
+       |          (a, h) -> a + CASE WHEN (h >> k::INT) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |      THEN (1::BIGINT << k::INT) ELSE 0 END) AS simhash
+       |FROM th ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d5
+  // Character-trigram Jaccard over the LSH candidate pairs (char-shingle
+  // near-dup lens; the blocker is shared with d3).
+  val d5NgramJaccard: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val bands = Dedup.minHashBands(docs, col("doc_id"), shingleSet, dedupK, dedupR)
+    val tri = docs.select(col("doc_id").as("doc"), TextFunctions.charNgramHashes(col("text"), 3).as("tri"))
+    Dedup.lshCandidatePairs(bands)
+      .join(tri.select(col("doc").as("doc_a"), col("tri").as("tri_a")), "doc_a")
+      .join(tri.select(col("doc").as("doc_b"), col("tri").as("tri_b")), "doc_b")
+      .withColumn("t_num", size(array_intersect(col("tri_a"), col("tri_b"))).cast("long"))
+      .withColumn("t_den", (size(col("tri_a")) + size(col("tri_b"))).cast("long") - col("t_num"))
+      .select(
+        col("doc_a"), col("doc_b"), col("t_num"), col("t_den"),
+        (col("t_num").cast("double") / col("t_den").cast("double")).as("tri_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d5NgramJaccardSql: String = {
+    val triOf = s"list_distinct(list_transform(" +
+      s"list_transform(generate_series(1, greatest(length(text)-2, 0)), i -> substring(text, i, 3)), " +
+      s"sstr -> ${sqlStrHash("sstr")}))"
+    s"""WITH $sqlBandCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |tri AS (SELECT doc_id, $triOf AS tri FROM documents)
+       |SELECT doc_a, doc_b,
+       |       len(list_intersect(x.tri, y.tri))::BIGINT AS t_num,
+       |       (len(x.tri) + len(y.tri) - len(list_intersect(x.tri, y.tri)))::BIGINT AS t_den,
+       |       cast(len(list_intersect(x.tri, y.tri)) as double)
+       |         / cast(len(x.tri) + len(y.tri) - len(list_intersect(x.tri, y.tri)) as double) AS tri_jaccard
+       |FROM cand JOIN tri x ON x.doc_id = doc_a JOIN tri y ON y.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t1_token_quality" -> t1TokenQuality,
+    "t2_langid" -> t2LangId,
+    "t3_fingerprint" -> t3Fingerprint,
+    "d1_exact_dedup" -> d1ExactDedup,
+    "d2_minhash_bands" -> d2MinhashBands,
+    "d3_minhash_neardup" -> d3MinhashNeardup,
+    "d4_simhash" -> d4Simhash,
+    "d5_ngram_jaccard" -> d5NgramJaccard)
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_quality" -> t1TokenQualitySql,
+    "t2_langid" -> t2LangIdSql,
+    "t3_fingerprint" -> t3FingerprintSql,
+    "d1_exact_dedup" -> d1ExactDedupSql,
+    "d2_minhash_bands" -> d2MinhashBandsSql,
+    "d3_minhash_neardup" -> d3MinhashNeardupSql,
+    "d4_simhash" -> d4SimhashSql,
+    "d5_ngram_jaccard" -> d5NgramJaccardSql)
+}

@@ -27,10 +27,13 @@ object TextFunctions {
     * h = (h*31 + ascii(c)) mod P. Deterministic, engine-portable.
     */
   def stringHash(s: Column): Column =
-    aggregate(
-      sequence(lit(1), length(s)),
-      lit(0L),
-      (acc, i) => (acc * 31 + ascii(call_function("substring", s, i, lit(1)))) % P)
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(
+        // NB: Spark sequence(1, 0) is DESCENDING [1,0], not empty — the
+        // empty-string case must short-circuit above.
+        sequence(lit(1), length(s)),
+        lit(0L),
+        (acc, i) => (acc * 31 + ascii(call_function("substring", s, i, lit(1)))) % P))
 
   /** Hash each token of a token array. */
   def tokenHashes(toks: Column): Column = transform(toks, stringHash(_))
@@ -41,15 +44,28 @@ object TextFunctions {
   def fingerprint(toks: Column): Column =
     aggregate(tokenHashes(toks), lit(0L), (acc, h) => (acc * 131 + h) % P)
 
-  /** n-token shingles as space-joined strings (distinct not applied). */
+  /** n-token shingles as space-joined strings (distinct not applied).
+    * Shorter-than-n docs yield an empty shingle list (the sequence
+    * guard avoids Spark's descending sequence(1,0)).
+    */
   def shingles(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
 
   /** Hashed distinct shingles — the unit set for Jaccard / MinHash. */
   def shingleHashes(toks: Column, n: Int): Column =
     array_distinct(transform(shingles(toks, n), stringHash(_)))
+
+  /** Distinct character-n-gram hash set (char-shingle analog of the
+    * reference's char-bigram vectorizer, `fit_vectorizer.py:20-21`).
+    */
+  def charNgramHashes(s: Column, n: Int): Column =
+    when(length(s) < n, array().cast("array<long>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), length(s) - (n - 1)),
+        i => stringHash(call_function("substring", s, i, lit(n))))))
 
   /** MinHash signature: for each of `k` hash functions
     * h_j(x) = (a_j·x + b_j) mod P take the min over the shingle set.

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stringHash: pinned cross-engine constant and empty-string guard") {
+    val df = Seq("hello world", "").toDF("s")
+      .select(TextFunctions.stringHash(col("s")).as("h"))
+    // 204910434 = fold of (h*31 + ascii) mod 1e9+7 — pinned so the DuckDB
+    // oracle and any reimplementation can be checked against it
+    df.collect().map(_.getLong(0)).toSeq shouldBe Seq(204910434L, 0L)
+  }
+
+  test("shingles: shorter-than-n docs yield empty, not descending-sequence garbage") {
+    val df = Seq("a b", "a b c d").toDF("t")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("t")), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    rows(0) shouldBe Seq.empty
+    rows(1) shouldBe Seq("a b c", "b c d")
+  }
+
+  test("minHashSignature has k entries, all < P") {
+    val df = Seq("x y z w v u t s").toDF("t")
+      .select(TextFunctions.minHashSignature(
+        TextFunctions.shingleHashes(TextFunctions.tokens(col("t")), 3), 16).as("sig"))
+    val sig = df.collect().head.getSeq[Long](0)
+    sig should have size 16
+    all(sig) should be < TextFunctions.P
+    all(sig) should be >= 0L
+  }
+
+  test("exactDedup: canonical id is the min id per identical text") {
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, col("text"), col("id"))
+      .select("id", "canonical_id", "is_dup").orderBy("id")
+      .as[(Long, Long, Boolean)].collect()
+    out shouldBe Array((1L, 1L, false), (2L, 2L, false), (3L, 1L, true), (4L, 1L, true))
+  }
+
+  test("near-dup pipeline: LSH bands + exact Jaccard find a planted near-duplicate") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val nearDup = base.replace("tonight", "today") // high token-shingle overlap
+    val noise = Seq(
+      "completely different words about spark catalyst optimizer plans and shuffles here",
+      "another unrelated document mentioning parquet columnar storage formats entirely")
+    val df = (Seq(base, nearDup) ++ noise).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val shingleSet = TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3)
+    val bands = Dedup.minHashBands(df, col("doc_id"), shingleSet)
+    val pairs = Dedup.nearDupPairs(df, col("doc_id"), shingleSet, bands, 1, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs shouldBe Array((0L, 1L))
+  }
+
+  test("simHash of identical docs matches; of disjoint docs differs") {
+    val df = Seq("alpha beta gamma", "alpha beta gamma", "delta epsilon zeta eta").toDF("t")
+      .select(TextFunctions.simHash(TextFunctions.tokens(col("t")), 16).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    hs(0) shouldBe hs(1)
+    hs(0) should not be hs(2)
+  }
+
+  test("langId votes markers, first-max-wins, und on none") {
+    val df = Seq(
+      "the cat and the hat is on the mat",
+      "der hund und die katze ist das",
+      "xyzzy plugh quux").toDF("t")
+      .select(TextFunctions.langId(TextFunctions.tokens(col("t"))).as("l"))
+    df.collect().map(_.getString(0)).toSeq shouldBe Seq("en", "de", "und")
+  }
+}
