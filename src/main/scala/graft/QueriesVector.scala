@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+/** Vector / similarity-search query catalog over the `embeddings` table
+  * (vec_id: long, embedding: array<float> dim 64, label: int).
+  *
+  * Oracle-exactness: every similarity is a strict left fold of
+  * float→double products in element order, matching the DuckDB SQL's
+  * list_reduce over generate_series — bit-identical doubles on both
+  * sides. LSH hyperplane weights are integer mod-p (VectorFunctions
+  * .rhpWeight), never transcendental.
+  */
+object QueriesVector {
+  import QueriesRelational.Q
+
+  private val Dim = 64
+  private val Seed = 42L
+  private val AnnBits = 8
+
+  /** DuckDB fragment: dot(a,b) as left fold over element order. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+
+  private def sqlNorm(a: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
+      s"i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (acc, x) -> acc + x))"
+
+  /** DuckDB fragment: integer mod-p hyperplane weight (k 0-based plane,
+    * i 1-based element) — must mirror VectorFunctions.rhpWeight.
+    */
+  private def sqlRhpW(k: String, i: String): String =
+    s"((($Seed + ($k)*$Dim + (($i)-1)) * 2654435761) % 1000000007 - 500000003)"
+
+  /** DuckDB fragment: the nBits-bit RHP bucket of embedding column `a`. */
+  private def sqlBucket(a: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, ${AnnBits - 1}), k -> k::BIGINT)), " +
+      s"(acc, k) -> acc*2 + CASE WHEN " +
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
+      s"i -> $a[i]::DOUBLE * ${sqlRhpW("k", "i")}::DOUBLE)), (a2, x) -> a2 + x) > 0 THEN 1 ELSE 0 END)"
+
+  // ---------------------------------------------------------------- v1
+  // Brute-force exact cosine top-5 for a 2% query subset vs the corpus —
+  // the ANN baseline. Queries broadcast; corpus streams.
+  val v1CosineTopk: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    Similarity.cosineTopK(emb, queries, col("vec_id"), col("embedding"), 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val v1CosineTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM e WHERE vec_id % 50 = 0),
+       |sims AS (
+       |  SELECT qid, e.vec_id AS cid,
+       |         ${sqlDot("qv", "embedding")} / (qn * nrm) AS sim
+       |  FROM q JOIN e ON e.vec_id <> qid),
+       |ranked AS (
+       |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM sims)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank, sim
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- v2
+  // RHP-LSH-bucketed ANN top-3: the scale path — candidates only within
+  // matching 8-bit signature buckets.
+  val v2RhpAnn: Q = (s, dir) =>
+    Similarity.rhpAnnTopK(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), AnnBits, Dim, 3, Seed)
+      .orderBy("query_id", "rank")
+
+  val v2RhpAnnSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm,
+       |                  ${sqlBucket("embedding")} AS bucket FROM embeddings),
+       |cand AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |         ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM cand)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank, sim
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- v3
+  // C1 all-pairs Gram similarity on a bounded subset (vec_id < 100) —
+  // the reference's S = E·E^T materialized as a θ-join.
+  val v3GramPairs: Q = (s, dir) =>
+    Similarity.gramPairs(
+      Tables.load(s, dir, "embeddings").where(col("vec_id") < 100),
+      col("vec_id"), col("embedding"))
+      .orderBy("vec_id_a", "vec_id_b")
+
+  val v3GramPairsSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm
+       |           FROM embeddings WHERE vec_id < 100)
+       |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       |       ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |ORDER BY vec_id_a, vec_id_b""".stripMargin
+
+  // ---------------------------------------------------------------- v4
+  // C2 score blend: 0.8·cosine + 0.2·(1/(1+L2 distance)) on the v3
+  // subset (baseline.py:40's mention/context weighting).
+  val v4BlendScores: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings").where(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("vec_id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"),
+        VectorFunctions.blend(
+          VectorFunctions.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")),
+          lit(1.0) / (lit(1.0) + sqrt(VectorFunctions.sqDist(col("va"), col("vb")))),
+          0.8).as("score"))
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+
+  val v4BlendScoresSql: String = {
+    val sqd = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
+      s"i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))), (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm
+       |           FROM embeddings WHERE vec_id < 100)
+       |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       |       0.8 * (${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm))
+       |         + (1.0::DOUBLE - 0.8::DOUBLE) * (1.0 / (1.0 + sqrt($sqd))) AS score
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |ORDER BY vec_id_a, vec_id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- v5
+  // F8 L2 row normalization (nn_thresh.py:172-173), exploded to scalar
+  // rows for exact engine-to-engine comparison.
+  val v5L2Normalize: Q = (s, dir) =>
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(VectorFunctions.l2Normalize(col("embedding"))).as(Seq("idx", "val")))
+      .select(col("vec_id"), col("idx").cast("long").as("idx"), col("val"))
+      .orderBy("vec_id", "idx")
+
+  val v5L2NormalizeSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings)
+       |SELECT vec_id, i - 1 AS idx, (embedding[i]::DOUBLE / nrm)::FLOAT AS val
+       |FROM e, generate_series(1, $Dim) AS t(i)
+       |ORDER BY vec_id, idx""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "v1_cosine_topk" -> v1CosineTopk,
+    "v2_rhp_ann" -> v2RhpAnn,
+    "v3_gram_pairs" -> v3GramPairs,
+    "v4_blend_scores" -> v4BlendScores,
+    "v5_l2_normalize" -> v5L2Normalize)
+
+  val oracles: Map[String, String] = Map(
+    "v1_cosine_topk" -> v1CosineTopkSql,
+    "v2_rhp_ann" -> v2RhpAnnSql,
+    "v3_gram_pairs" -> v3GramPairsSql,
+    "v4_blend_scores" -> v4BlendScoresSql,
+    "v5_l2_normalize" -> v5L2NormalizeSql)
+}

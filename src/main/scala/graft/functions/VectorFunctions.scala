@@ -67,18 +67,29 @@ object VectorFunctions {
       lit(0.0),
       (acc, v) => acc + v)
 
+  /** Deterministic pseudo-random hyperplane component: integer-exact
+    * (Knuth multiplicative hash mod p, shifted to be sign-balanced), so
+    * any engine reproduces the same plane bit-for-bit — unlike
+    * transcendental-function generation, whose last-ulp platform
+    * differences can flip a projection's sign.
+    */
+  def rhpWeight(seed: Long, k: Int, dim: Int, i: Int): Long = {
+    val p = 1000000007L
+    ((seed + k.toLong * dim + i) * 2654435761L) % p - p / 2
+  }
+
   /** Random-hyperplane LSH bucket id: sign-bit signature of the vector
     * against `nBits` deterministic pseudo-random hyperplanes derived from
-    * `seed`. Hyperplane k component i = sin(seed + k·dim + i) — fully
-    * deterministic, no state, codegen-friendly; used to block ANN /
-    * near-dup searches so the cross join never materializes n².
+    * `seed` via [[rhpWeight]]. Used to block ANN / near-dup searches so
+    * the cross join never materializes n².
+    *
+    * Hyperplanes depend only on (seed, k, i): precomputed on the driver
+    * and embedded as literal arrays, so each row pays nBits·dim fused
+    * multiply-adds instead of re-deriving weights per element per row.
     */
   def rhpSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
-    // Hyperplanes depend only on (seed, k, i): precompute on the driver
-    // and embed as literal arrays, so each row pays nBits·dim fused
-    // multiply-adds instead of re-deriving sin(...) per element per row.
     val planes: Seq[Column] = (0 until nBits).map { k =>
-      typedLit((0 until dim).map(i => math.sin(seed.toDouble + k.toDouble * dim + i)))
+      typedLit((0 until dim).map(i => rhpWeight(seed, k, dim, i).toDouble))
     }
     planes.foldLeft(lit(0L)) { (acc, p) =>
       acc * 2 + when(dotProduct(vec, p) > 0, 1L).otherwise(0L)

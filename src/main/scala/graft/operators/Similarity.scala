@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor / similarity-search operators over an
+  * embedding column (`ArrayType(FloatType)`), the vector lens of the
+  * reference's all-pairs scoring (C1, `meercat/nn_thresh.py:112-115`)
+  * re-expressed as joins.
+  *
+  * Scale design: norms are precomputed once per row (never per pair);
+  * the brute-force path broadcasts only the *query* subset against the
+  * partitioned corpus (no n² shuffle); the LSH path shuffles on bucket
+  * signatures so candidate generation is linear in bucket occupancy.
+  * Top-k is a per-query window over candidate rows only.
+  */
+object Similarity {
+
+  /** Pair similarity columns given precomputed norms. */
+  private def cosOf(va: Column, vb: Column, na: Column, nb: Column): Column =
+    VectorFunctions.dotProduct(va, vb) / (na * nb)
+
+  /** Brute-force exact top-k cosine neighbors of each query row against
+    * the whole corpus (self-pairs excluded). `queries` should be a small
+    * subset of the corpus — it is broadcast; the corpus side streams.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+    val c = corpus.select(id.as("cid"), vec.as("cvec"))
+      .withColumn("cnrm", VectorFunctions.l2Norm(col("cvec")))
+    val q = queries.select(id.as("qid"), vec.as("qvec"))
+      .withColumn("qnrm", VectorFunctions.l2Norm(col("qvec")))
+    val sims = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("sim", cosOf(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** LSH-bucketed ANN: random-hyperplane signature buckets the corpus;
+    * exact cosine ranks candidates within each bucket. Misses neighbors
+    * landing in other buckets — the standard recall/cost trade; both
+    * sides of the oracle compute identical buckets, deterministically.
+    */
+  def rhpAnnTopK(df: DataFrame, id: Column, vec: Column, nBits: Int, dim: Int, k: Int,
+                 seed: Long = 42L): DataFrame = {
+    val sig = df.select(id.as("vid"), vec.as("v"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+      .withColumn("bucket", VectorFunctions.rhpSignature(col("v"), nBits, dim, seed))
+    val a = sig.select(col("bucket"), col("vid").as("qid"), col("v").as("qvec"), col("nrm").as("qnrm"))
+    val b = sig.select(col("bucket"), col("vid").as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
+    val cand = a.join(b, Seq("bucket")).where(col("qid") =!= col("cid"))
+      .withColumn("sim", cosOf(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** C1 — all-pairs Gram similarities (i < j) over a bounded subset:
+    * the reference's S = E·Eᵀ as a θ-join. Cap the input — this IS n².
+    */
+  def gramPairs(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val s = df.select(id.as("vid"), vec.as("v"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+    val a = s.select(col("vid").as("vec_id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = s.select(col("vid").as("vec_id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"),
+        cosOf(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+  }
+}
