@@ -1,0 +1,213 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C3-C8 — greedy nearest-neighbor threshold clustering with bounded-
+  * memory linking strategies (`/root/reference/meercat/nn_thresh.py`).
+  *
+  * Semantics (derived from the reference's two-pass backfill + transposed
+  * forward propagation, `nn_thresh.py:138-152`): processing rows in
+  * stream order, each row links to the *stored* prior rows whose
+  * similarity is strictly above the threshold; its cluster becomes the
+  * cluster of the HIGHEST-index linked prior row (or itself if none).
+  * The two formulations are equivalent because a row's cluster can only
+  * be rewritten by columns ≤ its own index.
+  *
+  * Strategies (state kept between rows, evictions affect future rows
+  * only — the current row's links are computed against the pre-eviction
+  * store, exactly as the reference masks before evicting):
+  *  - Backwards (`nn_thresh.py:27-41`): sliding window of the last
+  *    `limit` rows (unlimited when limit < 0).
+  *  - Diversity (`:44-58`): unlimited lookback, store capped at `limit`;
+  *    on overflow evict the stored row most similar to the current one.
+  *  - Cache (`:61-78`): LRU — evict the stored row least recently
+  *    *linked* (never-linked rows evict first, smallest index on ties).
+  *  - DiversityCache (`:81-101`): most-similar eviction if the current
+  *    row linked to anything, else LRU.
+  *
+  * Scale: the fold is inherently sequential (results depend on arrival
+  * order — pinned by `tests/nn_thresh_test.py`), so one stream = one
+  * sorted partition; scale-out comes from clustering many independent
+  * keys in parallel ([[clusterByKey]]), mirroring the reference's own
+  * single-threaded execution per stream.
+  */
+object GreedyClustering {
+
+  /** limit < 0 ⇒ unlimited. `cosine=true` scores dot/(‖a‖‖b‖) (the
+    * reference's normalize-on-load default, `nn_thresh.py:172-173`);
+    * false ⇒ raw dot (its --dot_prod mode).
+    */
+  final case class Params(
+      strategy: String = "backwards",
+      limit: Int = -1,
+      threshold: Double = 0.5,
+      cosine: Boolean = true)
+
+  private final class Entry(
+      val pos: Long,
+      val id: Long,
+      val vec: Array[Float],
+      val nrm: Double,
+      val clusterId: Long,
+      var lastSeen: Long)
+
+  /** Mutable per-stream clustering state; one instance per key/stream.
+    * Also reused verbatim by the Structured Streaming operator.
+    */
+  final class State(p: Params) {
+    private val stored = mutable.ArrayDeque.empty[Entry] // ascending pos
+    private var i = 0L
+
+    private def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var k = 0
+      while (k < a.length) { s += a(k).toDouble * b(k).toDouble; k += 1 }
+      s
+    }
+
+    private def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+    private def sim(e: Entry, v: Array[Float], nv: Double): Double =
+      if (p.cosine) dot(e.vec, v) / (e.nrm * nv) else dot(e.vec, v)
+
+    /** Process one row; returns the id of its cluster root. */
+    def step(id: Long, vec: Array[Float]): Long = {
+      val nv = if (p.cosine) norm(vec) else 1.0
+      // Backwards: trim the window to [i-limit, i-1] before scoring.
+      if (p.strategy == "backwards" && p.limit >= 0)
+        while (stored.nonEmpty && stored.head.pos < i - p.limit) stored.removeHead()
+
+      val sims = stored.map(e => sim(e, vec, nv))
+      var parentIdx = -1
+      var k = 0
+      while (k < stored.length) {
+        if (sims(k) > p.threshold) parentIdx = k // ascending pos ⇒ last wins = max pos
+        k += 1
+      }
+      val clusterId = if (parentIdx >= 0) stored(parentIdx).clusterId else id
+      val selfSim = if (p.cosine) dot(vec, vec) / (nv * nv) else dot(vec, vec)
+      val self = new Entry(i, id, vec, nv, clusterId,
+        lastSeen = 0L) // reference inits last_seen to 0
+
+      p.strategy match {
+        case "backwards" =>
+          stored.append(self)
+
+        case "diversity" =>
+          stored.append(self)
+          if (stored.length == p.limit) {
+            // evict stored row (pos < i) most similar to current; first max on ties
+            var best = -1; var bestSim = Double.NegativeInfinity
+            var k2 = 0
+            while (k2 < sims.length) {
+              if (sims(k2) > bestSim) { bestSim = sims(k2); best = k2 }
+              k2 += 1
+            }
+            if (best >= 0) stored.remove(best)
+          }
+
+        case "cache" | "diversity-cache" =>
+          var anyLink = false
+          var k2 = 0
+          while (k2 < sims.length) {
+            if (sims(k2) > p.threshold) { stored(k2).lastSeen = i; anyLink = true }
+            k2 += 1
+          }
+          if (selfSim > p.threshold) self.lastSeen = i
+          stored.append(self)
+          if (stored.length == p.limit) {
+            val evictBySim = p.strategy == "diversity-cache" && anyLink
+            var best = -1
+            if (evictBySim) {
+              var bestSim = Double.NegativeInfinity
+              var k3 = 0
+              while (k3 < sims.length) {
+                if (sims(k3) > bestSim) { bestSim = sims(k3); best = k3 }
+                k3 += 1
+              }
+            } else {
+              var bestSeen = Long.MaxValue
+              var k3 = 0
+              while (k3 < stored.length - 1) { // exclude self (pos == i)
+                if (stored(k3).lastSeen < bestSeen) { bestSeen = stored(k3).lastSeen; best = k3 }
+                k3 += 1
+              }
+            }
+            if (best >= 0) stored.remove(best)
+          }
+
+        case other => throw new IllegalArgumentException(s"unknown strategy: $other")
+      }
+      i += 1
+      clusterId
+    }
+  }
+
+  /** Batch clustering of one global stream: sort by `order` into a single
+    * partition and fold. Output: (id, pred_cluster = root row's id).
+    */
+  def clusterSorted(df: DataFrame, id: Column, vec: Column, order: Column, p: Params): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("_1"), vec.cast("array<float>").as("_2"), order.cast("long").as("_3"))
+      .as[(Long, Array[Float], Long)]
+      .repartition(1).sortWithinPartitions(col("_3"))
+      .mapPartitions { it =>
+        val state = new State(p)
+        it.map { case (rid, arr, _) => (rid, state.step(rid, arr)) }
+      }
+      .toDF("id", "pred_cluster")
+  }
+
+  /** Scale-out variant: independent streams per key, clustered in
+    * parallel — repartition by key, sort each partition by (key, order),
+    * run one State per contiguous key run. Output adds the key column.
+    */
+  def clusterByKey(df: DataFrame, key: Column, id: Column, vec: Column, order: Column, p: Params): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(key.cast("long").as("_1"), id.cast("long").as("_2"), vec.cast("array<float>").as("_3"), order.cast("long").as("_4"))
+      .as[(Long, Long, Array[Float], Long)]
+      .repartition(col("_1")).sortWithinPartitions(col("_1"), col("_4"))
+      .mapPartitions { it =>
+        var curKey = Long.MinValue
+        var state: State = null
+        it.map { case (k, rid, arr, _) =>
+          if (state == null || k != curKey) { curKey = k; state = new State(p) }
+          (k, rid, state.step(rid, arr))
+        }
+      }
+      .toDF("key", "id", "pred_cluster")
+  }
+
+  /** C8 — threshold bisection (`nn_thresh.py:118-135`): binary-search
+    * θ ∈ [0,1] until the cluster count is within ε = n/1000 of `target`.
+    * Always iteration-capped (3 of the reference's 4 copies can loop
+    * forever — SURVEY §7.4). Returns (threshold, nClusters).
+    */
+  def findThreshold(df: DataFrame, id: Column, vec: Column, order: Column,
+                    base: Params, target: Long, maxIters: Int = 30): (Double, Long) = {
+    val cached = df.select(id.as("_id"), vec.as("_v"), order.as("_o")).persist()
+    try {
+      val n = cached.count()
+      val epsilon = n / 1000.0
+      var lo = 0.0
+      var hi = 1.0
+      var nClusters = -1L
+      var threshold = 0.5
+      var it = 0
+      while (math.abs(nClusters - target) > epsilon && it < maxIters) {
+        threshold = (lo + hi) / 2
+        val clusters = clusterSorted(cached, col("_id"), col("_v"), col("_o"),
+          base.copy(threshold = threshold))
+        nClusters = clusters.agg(countDistinct(col("pred_cluster"))).collect().head.getLong(0)
+        if (nClusters < target) lo = threshold else hi = threshold
+        it += 1
+      }
+      (threshold, nClusters)
+    } finally cached.unpersist()
+  }
+}
