@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Grinch, Trees}
+
+/** GRINCH hierarchical-clustering queries (C11-C19) over the embeddings
+  * table. The tree automaton is inherently sequential and stateful — no
+  * SQL form exists — so these are rows-only driver checks; the
+  * literature/structural goldens live in GrinchSpec.
+  */
+object QueriesGrinch {
+  import QueriesRelational.Q
+
+  private val P = Grinch.Params(sim = "dot", norm = "l2", activeLeafLimit = 200)
+
+  /** h1 — flat clustering at θ=0.25 with a 200-leaf memory budget. */
+  val h1GrinchFlat: Q = (s, dir) =>
+    Grinch.flatCluster(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), col("vec_id"), P, threshold = 0.25)
+      .select(col("id").as("vec_id"), col("pred_cluster"))
+      .orderBy("vec_id")
+
+  /** h2 — the dendrogram relation (S11's sink as a DataFrame). */
+  val h2GrinchDendrogram: Q = (s, dir) =>
+    Grinch.dendrogram(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), col("vec_id"), col("label"), P)
+      .orderBy(col("uid").cast("long"))
+
+  /** h3 — A4 dendrogram purity of the GRINCH tree w.r.t. the label
+    * column (driver-side fold over the collected tree).
+    */
+  val h3GrinchPurity: Q = (s, dir) => {
+    val tree = Grinch.dendrogram(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), col("vec_id"), col("label"), P)
+      .collect()
+      .map(r => Trees.TreeNode(r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+      .toSeq
+    val purity = Trees.dendrogramPurity(tree)
+    import s.implicits._
+    Seq(purity).toDF("purity")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "h1_grinch_flat" -> h1GrinchFlat,
+    "h2_grinch_dendrogram" -> h2GrinchDendrogram,
+    "h3_grinch_purity" -> h3GrinchPurity)
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -76,4 +76,85 @@ object Trees {
     val pStar = rootHist.valuesIterator.map(x => x * (x - 1) / 2.0).sum
     summand / pStar
   }
+
+  /** C18 (standalone variant) — flat clustering from a dendrogram
+    * relation + leaf embeddings (`/root/reference/meercat/cut_tree.py`):
+    * bottom-up embedding-sum propagation (`:83-90`), per-internal-node
+    * avg-linkage score = dot of the children's (optionally L2-normalized)
+    * mean embeddings (`:65-72`), then a DFS cut — descend while
+    * score < threshold, emit surviving subtrees as clusters (`:93-103`).
+    * Leaves carry an implicit score of 1.0 (the reference's dataclass
+    * default), so a threshold > 1 drops leaves — mirrored.
+    *
+    * Returns leafUid → cluster index (in the reference's DFS emission
+    * order).
+    */
+  def cutTree(nodes: Seq[TreeNode], embeddings: String => Array[Float],
+              threshold: Double, dotProd: Boolean = false): Map[String, Int] = {
+    val children = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
+    var root: Option[String] = None
+    nodes.foreach { n =>
+      n.parentUid match {
+        case Some(p) => children.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += n.uid
+        case None    => root = Some(n.uid)
+      }
+    }
+    require(root.isDefined, "dendrogram has no root row")
+
+    // pre-order via LIFO stack (reference traverse), then reversed
+    val order = mutable.ArrayBuffer.empty[String]
+    val stack = mutable.Stack(root.get)
+    while (stack.nonEmpty) {
+      val uid = stack.pop()
+      order += uid
+      children.getOrElse(uid, Nil).foreach(stack.push)
+    }
+
+    val sums = mutable.HashMap.empty[String, Array[Double]]
+    val nLeaves = mutable.HashMap.empty[String, Double]
+    val score = mutable.HashMap.empty[String, Double]
+    order.reverseIterator.foreach { uid =>
+      val kids = children.getOrElse(uid, Nil)
+      if (kids.isEmpty) {
+        sums(uid) = embeddings(uid).map(_.toDouble)
+        nLeaves(uid) = 1.0
+        score(uid) = 1.0
+      } else {
+        val acc = kids.map(sums).reduce { (a, b) => a.zip(b).map { case (x, y) => x + y } }
+        sums(uid) = acc
+        nLeaves(uid) = kids.map(nLeaves).sum
+        score(uid) = {
+          def mean(k: String): Array[Double] = {
+            val m = sums(k).map(_ / nLeaves(k))
+            if (dotProd) m
+            else {
+              val nn = math.sqrt(m.map(x => x * x).sum)
+              if (nn > 0) m.map(_ / nn) else m
+            }
+          }
+          val l = mean(kids.head); val r = mean(kids(1))
+          l.zip(r).map { case (x, y) => x * y }.sum
+        }
+      }
+    }
+
+    val out = mutable.HashMap.empty[String, Int]
+    val cut = mutable.Stack(root.get)
+    var idx = 0
+    while (cut.nonEmpty) {
+      val uid = cut.pop()
+      if (score(uid) < threshold) children.getOrElse(uid, Nil).foreach(cut.push)
+      else {
+        // all childless nodes under uid
+        val sub = mutable.Stack(uid)
+        while (sub.nonEmpty) {
+          val x = sub.pop()
+          val kids = children.getOrElse(x, Nil)
+          if (kids.isEmpty) out(x) = idx else kids.foreach(sub.push)
+        }
+        idx += 1
+      }
+    }
+    out.toMap
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.operators.{Grinch, Trees}
+
+class GrinchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two well-separated unit directions in 4D with small deterministic
+    * jitter, interleaved — rotate/graft must untangle the arrival order.
+    */
+  private def twoClusterPoints(nPer: Int): (Array[Array[Float]], Array[Int]) = {
+    val rnd = new Random(7)
+    def jitter(base: Array[Float]): Array[Float] = {
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 0f, 0f, 1f)
+    val pts = Array.tabulate(2 * nPer)(i => if (i % 2 == 0) jitter(a) else jitter(b))
+    val labels = Array.tabulate(2 * nPer)(i => i % 2)
+    (pts, labels)
+  }
+
+  test("GRINCH separates two interleaved clusters (purity 1.0, 2 flat clusters)") {
+    val (pts, labels) = twoClusterPoints(10)
+    val g = new Grinch(pts)
+    g.buildDendrogram()
+    val tree = g.treeNodes(i => Some(labels(i).toString))
+    Trees.dendrogramPurity(tree) shouldBe 1.0 +- 1e-12
+
+    val assign = g.flatClustering(0.5)
+    assign.distinct.length shouldBe 2
+    // all same-label points share a cluster
+    (0 until pts.length).groupBy(labels(_)).values.foreach { idxs =>
+      idxs.map(assign(_)).distinct.length shouldBe 1
+    }
+  }
+
+  test("active-leaf budget triggers pruning but every point stays assigned") {
+    val (pts, _) = twoClusterPoints(12)
+    val g = new Grinch(pts, activeLeafLimit = 6)
+    g.buildDendrogram()
+    val assign = g.flatClustering(0.5)
+    assign.length shouldBe pts.length
+    all(assign.toSeq) should be >= 0
+    assign.distinct.length shouldBe 2
+  }
+
+  test("similarity-based pruning strategy also keeps the tree consistent") {
+    val (pts, _) = twoClusterPoints(10)
+    val g = new Grinch(pts, activeLeafLimit = 5, pruningStrategy = "similarity")
+    g.buildDendrogram()
+    val assign = g.flatClustering(0.5)
+    all(assign.toSeq) should be >= 0
+  }
+
+  test("dendrogram relation is a well-formed binary tree") {
+    val (pts, labels) = twoClusterPoints(8)
+    val g = new Grinch(pts)
+    g.buildDendrogram()
+    val tree = g.treeNodes(i => Some(labels(i).toString))
+    tree.count(_.parentUid.isEmpty) shouldBe 1 // one root
+    val childCount = tree.flatMap(_.parentUid).groupBy(identity).view.mapValues(_.size)
+    all(childCount.values.toSeq) shouldBe 2 // strictly binary
+    tree.count(_.label.isDefined) shouldBe pts.length
+  }
+
+  test("flatCluster Spark operator matches the driver-side automaton") {
+    val (pts, _) = twoClusterPoints(8)
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val out = Grinch.flatCluster(df, col("id"), col("vec"), col("id"), Grinch.Params(), 0.5)
+      .orderBy("id").select("pred_cluster").as[Long].collect()
+    val g = new Grinch(pts)
+    g.buildDendrogram()
+    out.map(_.toInt).toSeq shouldBe g.flatClustering(0.5).toSeq
+  }
+
+  test("cutTree reproduces the flat clustering on a toy tree") {
+    import Trees.TreeNode
+    // tree: root R with children A (leaves a1,a2 similar) and b
+    val nodes = Seq(
+      TreeNode("R", None, None),
+      TreeNode("A", Some("R"), None),
+      TreeNode("a1", Some("A"), Some("x")),
+      TreeNode("a2", Some("A"), Some("x")),
+      TreeNode("b", Some("R"), Some("y")))
+    val emb = Map(
+      "a1" -> Array(1f, 0f), "a2" -> Array(0.9f, 0.1f), "b" -> Array(0f, 1f))
+    val cut = Trees.cutTree(nodes, emb, threshold = 0.5)
+    cut("a1") shouldBe cut("a2")
+    cut("a1") should not be cut("b")
+  }
+}
