@@ -17,12 +17,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesMetrics.queries ++ QueriesText.queries ++
-      QueriesVector.queries ++ QueriesGreedy.queries ++ QueriesGrinch.queries
+      QueriesVector.queries ++ QueriesGreedy.queries ++ QueriesGrinch.queries ++
+      QueriesSources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesMetrics.oracles ++ QueriesText.oracles ++
-      QueriesVector.oracles ++ QueriesGreedy.oracles ++ QueriesGrinch.oracles
+      QueriesVector.oracles ++ QueriesGreedy.oracles ++ QueriesGrinch.oracles ++
+      QueriesSources.oracles
 }
