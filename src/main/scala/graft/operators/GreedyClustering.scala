@@ -46,6 +46,14 @@ object GreedyClustering {
       threshold: Double = 0.5,
       cosine: Boolean = true)
 
+  /** Serializable snapshot of a [[State]] — the streaming operator's
+    * per-key state payload (SURVEY §2.4 streaming semantics: row-count
+    * state budgets, no watermarks).
+    */
+  final case class StoredEntry(pos: Long, id: Long, vec: Array[Float], nrm: Double,
+                               clusterId: Long, lastSeen: Long)
+  final case class Snapshot(step: Long, entries: List[StoredEntry])
+
   private final class Entry(
       val pos: Long,
       val id: Long,
@@ -60,6 +68,19 @@ object GreedyClustering {
   final class State(p: Params) {
     private val stored = mutable.ArrayDeque.empty[Entry] // ascending pos
     private var i = 0L
+
+    def snapshot: Snapshot =
+      Snapshot(i, stored.map(e => StoredEntry(e.pos, e.id, e.vec, e.nrm, e.clusterId, e.lastSeen)).toList)
+
+    def restore(s: Snapshot): this.type = {
+      stored.clear()
+      s.entries.foreach { e =>
+        val en = new Entry(e.pos, e.id, e.vec, e.nrm, e.clusterId, e.lastSeen)
+        stored.append(en)
+      }
+      i = s.step
+      this
+    }
 
     private def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.GreedyClustering
+import graft.operators.GreedyClustering.Params
+import graft.streaming.StreamingClustering
+import graft.streaming.StreamingClustering.MentionEvent
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = Params("backwards", limit = -1, threshold = 0.5, cosine = false)
+
+  private val events = Seq(
+    // key 0: the reference's one-hot golden stream
+    MentionEvent(0L, 0L, 0L, Array(1f, 0f)),
+    MentionEvent(0L, 1L, 1L, Array(0f, 1f)),
+    MentionEvent(0L, 2L, 2L, Array(1f, 0f)),
+    MentionEvent(0L, 3L, 3L, Array(1f, 0f)),
+    MentionEvent(0L, 4L, 4L, Array(0f, 1f)),
+    // key 1: independent stream
+    MentionEvent(1L, 10L, 0L, Array(1f, 0f)),
+    MentionEvent(1L, 11L, 1L, Array(1f, 0f)))
+
+  test("streaming greedy clustering matches the batch fold across multiple micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MentionEvent]
+    val query = StreamingClustering.greedyCluster(input.toDS(), params)
+      .writeStream.format("memory").queryName("assignments").outputMode("append").start()
+    try {
+      input.addData(events.take(3)) // splits key 0 mid-stream
+      query.processAllAvailable()
+      input.addData(events.drop(3))
+      query.processAllAvailable()
+
+      val streamed = spark.table("assignments")
+        .select("key", "id", "predCluster").as[(Long, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+
+      val batchDf = events.map(e => (e.key, e.id, e.order, e.vec)).toDF("key", "id", "ord", "vec")
+      val batch = GreedyClustering.clusterByKey(batchDf, col("key"), col("id"), col("vec"), col("ord"), params)
+        .select("key", "id", "pred_cluster").as[(Long, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+
+      streamed shouldBe batch
+      // and the golden assignment for key 0
+      streamed.filter(_._1 == 0L).map(_._3) shouldBe Seq(0L, 1L, 0L, 0L, 1L)
+    } finally query.stop()
+  }
+
+  test("bounded state: diversity-cache strategy works under streaming with state snapshots") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MentionEvent]
+    val p = params.copy(strategy = "diversity-cache", limit = 2)
+    val query = StreamingClustering.greedyCluster(input.toDS(), p)
+      .writeStream.format("memory").queryName("bounded").outputMode("append").start()
+    try {
+      events.take(2).foreach { e => input.addData(e); query.processAllAvailable() } // one event per batch
+      input.addData(events.slice(2, 5))
+      query.processAllAvailable()
+      val streamed = spark.table("bounded")
+        .where(col("key") === 0).select("id", "predCluster").as[(Long, Long)]
+        .collect().sortBy(_._1).map(_._2).toSeq
+
+      val batchDf = events.take(5).map(e => (e.key, e.id, e.order, e.vec)).toDF("key", "id", "ord", "vec")
+      val batch = GreedyClustering.clusterByKey(batchDf, col("key"), col("id"), col("vec"), col("ord"), p)
+        .orderBy("id").select("pred_cluster").as[Long].collect().toSeq
+      streamed shouldBe batch
+    } finally query.stop()
+  }
+}
