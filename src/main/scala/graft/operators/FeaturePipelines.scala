@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, IDF, IDFModel, Normalizer, SQLTransformer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** F1-F3 — the reference's fitted text vectorizers
+  * (`/root/reference/meercat/fit_vectorizer.py:12-31`) as spark.ml
+  * pipelines:
+  *  - F1: char-bigram term-frequency, L2-normalized
+  *    (TfidfVectorizer(analyzer='char', ngram_range=(2,2), use_idf=False))
+  *  - F2: word TF-IDF capped at 10k features
+  *    (TfidfVectorizer(max_features=10000))
+  *  - F3: persistence via Pipeline.save/load (the reference pickles).
+  *
+  * Fitting is a distributed aggregation (CountVectorizer builds the
+  * vocab with a hash agg + top-k); transform is a per-row map — both
+  * scale linearly. The bigram/token expansion is a SQLTransformer so
+  * the whole pipeline serializes.
+  */
+object FeaturePipelines {
+
+  /** Character-bigram extraction as a SQL expression (empty/1-char
+    * strings yield an empty array — avoids Spark's descending
+    * sequence(1,0)).
+    */
+  def charBigramSql(inputCol: String): String =
+    s"CASE WHEN length($inputCol) < 2 THEN array() " +
+      s"ELSE transform(sequence(1, length($inputCol) - 1), i -> substring($inputCol, i, 2)) END"
+
+  /** F1 — char-bigram TF pipeline: input string column → L2-normalized
+    * sparse TF vector in `outputCol`.
+    */
+  def charBigramTf(inputCol: String, outputCol: String, vocabSize: Int = 1 << 18): Pipeline = {
+    val bigrams = new SQLTransformer()
+      .setStatement(s"SELECT *, ${charBigramSql(inputCol)} AS __bigrams FROM __THIS__")
+    val cv = new CountVectorizer()
+      .setInputCol("__bigrams").setOutputCol("__tf").setVocabSize(vocabSize)
+    val norm = new Normalizer().setInputCol("__tf").setOutputCol(outputCol).setP(2.0)
+    new Pipeline().setStages(Array(bigrams, cv, norm))
+  }
+
+  /** F2 — word TF-IDF pipeline (whitespace tokens, 10k-feature cap). */
+  def wordTfIdf(inputCol: String, outputCol: String, vocabSize: Int = 10000): Pipeline = {
+    val toks = new SQLTransformer()
+      .setStatement(s"SELECT *, split($inputCol, ' ') AS __toks FROM __THIS__")
+    val cv = new CountVectorizer()
+      .setInputCol("__toks").setOutputCol("__tf").setVocabSize(vocabSize)
+    val idf = new IDF().setInputCol("__tf").setOutputCol("__tfidf")
+    val norm = new Normalizer().setInputCol("__tfidf").setOutputCol(outputCol).setP(2.0)
+    new Pipeline().setStages(Array(toks, cv, idf, norm))
+  }
+
+  /** Explode a fitted F1 transform back to a relation
+    * (id, term, weight) — weight = tf/‖tf‖₂ per row. Used by the
+    * oracle-checked query form.
+    */
+  def charBigramRelation(model: PipelineModel, df: DataFrame, idCol: String): DataFrame = {
+    val cvModel = model.stages.collectFirst { case m: CountVectorizerModel => m }.get
+    val vocab = cvModel.vocabulary
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocabDf = broadcast(vocab.zipWithIndex.toSeq.toDF("term", "term_idx"))
+    val exploded = model.transform(df)
+      .select(col(idCol), explode(col("__bigrams")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("long").as("tf"))
+    val norms = exploded.groupBy(col(idCol))
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+    exploded.join(norms, idCol)
+      .join(vocabDf, "term") // keeps only in-vocab terms (all, unless capped)
+      .select(col(idCol), col("term"), col("tf"),
+        (col("tf").cast("double") / col("nrm")).as("weight"))
+  }
+
+  /** Document-frequency relation from a fitted F2 model:
+    * (term, df) over the fitted corpus — exact integers for the oracle.
+    */
+  def docFreqRelation(model: PipelineModel, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val cvModel = model.stages.collectFirst { case m: CountVectorizerModel => m }.get
+    val idfModel = model.stages.collectFirst { case m: IDFModel => m }.get
+    cvModel.vocabulary.zip(idfModel.docFreq).toSeq.toDF("term", "df")
+      .select(col("term"), col("df").cast("long").as("df"))
+  }
+}
