@@ -154,9 +154,9 @@ object QueriesText {
   // Near-duplicate detection: LSH candidates verified by exact Jaccard
   // >= 1/2 over the shingle sets (the n-gram Jaccard + MinHash+LSH pair).
   val d3MinhashNeardup: Q = (s, dir) => {
-    val docs = Tables.load(s, dir, "documents")
-    val bands = Dedup.minHashBands(docs, col("doc_id"), shingleSet, dedupK, dedupR)
-    Dedup.nearDupPairs(docs, col("doc_id"), shingleSet, bands, 1, 2)
+    val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)
+    val bands = Dedup.minHashBandsFromSets(sets, dedupK, dedupR)
+    Dedup.nearDupPairsFromSets(sets, bands, 1, 2)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -196,7 +196,10 @@ object QueriesText {
   val d5NgramJaccard: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
     val bands = Dedup.minHashBands(docs, col("doc_id"), shingleSet, dedupK, dedupR)
+    // materialized behind an exchange, like shingleSets — the trigram
+    // hash expression must not be re-inlined into both join sides
     val tri = docs.select(col("doc_id").as("doc"), TextFunctions.charNgramHashes(col("text"), 3).as("tri"))
+      .repartition(col("doc")).persist()
     Dedup.lshCandidatePairs(bands)
       .join(tri.select(col("doc").as("doc_a"), col("tri").as("tri_a")), "doc_a")
       .join(tri.select(col("doc").as("doc_b"), col("tri").as("tri_b")), "doc_b")

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.{Shim => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline column functions: tokenization, shingling, deterministic
@@ -25,15 +26,12 @@ object TextFunctions {
 
   /** Polynomial rolling hash of a string: fold over chars of
     * h = (h*31 + ascii(c)) mod P. Deterministic, engine-portable.
+    * Compiled as a native codegen Expression ([[PolyHash]]) — the HOF
+    * formulation (aggregate over sequence + substring per char) is
+    * interpreted and ~100× slower in the dedup hot path.
     */
   def stringHash(s: Column): Column =
-    when(length(s) === 0, lit(0L)).otherwise(
-      aggregate(
-        // NB: Spark sequence(1, 0) is DESCENDING [1,0], not empty — the
-        // empty-string case must short-circuit above.
-        sequence(lit(1), length(s)),
-        lit(0L),
-        (acc, i) => (acc * 31 + ascii(call_function("substring", s, i, lit(1)))) % P))
+    ExpressionUtils.column(PolyHash(ExpressionUtils.expression(s)))
 
   /** Hash each token of a token array. */
   def tokenHashes(toks: Column): Column = transform(toks, stringHash(_))
@@ -54,18 +52,19 @@ object TextFunctions {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
-  /** Hashed distinct shingles — the unit set for Jaccard / MinHash. */
+  /** Hashed distinct shingles — the unit set for Jaccard / MinHash.
+    * Native one-pass expression; identical to
+    * array_distinct(transform(shingles(toks,n), stringHash)).
+    */
   def shingleHashes(toks: Column, n: Int): Column =
-    array_distinct(transform(shingles(toks, n), stringHash(_)))
+    ExpressionUtils.column(ShingleHashSet(ExpressionUtils.expression(toks), n))
 
   /** Distinct character-n-gram hash set (char-shingle analog of the
     * reference's char-bigram vectorizer, `fit_vectorizer.py:20-21`).
+    * Native one-pass expression.
     */
   def charNgramHashes(s: Column, n: Int): Column =
-    when(length(s) < n, array().cast("array<long>")).otherwise(
-      array_distinct(transform(
-        sequence(lit(1), length(s) - (n - 1)),
-        i => stringHash(call_function("substring", s, i, lit(n))))))
+    ExpressionUtils.column(CharNgramHashSet(ExpressionUtils.expression(s), n))
 
   /** MinHash signature: for each of `k` hash functions
     * h_j(x) = (a_j·x + b_j) mod P take the min over the shingle set.

@@ -32,17 +32,33 @@ object Dedup {
     df.withColumn("canonical_id", min(id).over(Window.partitionBy(text)))
       .withColumn("is_dup", id =!= col("canonical_id"))
 
-  /** MinHash LSH banding: k-hash signature over a distinct shingle-hash
-    * set column, split into `k/rowsPerBand` bands; emits one
-    * (doc, band, band_hash) row per band. Docs sharing any band hash are
-    * near-dup candidates (standard banding estimate: collision
-    * probability 1−(1−J^r)^b).
+  /** Materialize the per-doc distinct shingle-hash set ONCE, behind an
+    * exchange barrier. Without the barrier, Catalyst's projection
+    * collapse inlines the (interpreted, per-char) hash expression into
+    * every downstream consumer — the 16 minhash folds and both sides of
+    * the candidate join would each recompute it, turning an O(n·len)
+    * projection into a 10-100× larger interpreted workload (measured
+    * 85s → ~2s at sf0.1). The shuffle moves only (id, ~30 longs) rows.
     */
-  def minHashBands(df: DataFrame, id: Column, shingleSet: Column,
-                   k: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+  def shingleSets(df: DataFrame, id: Column, shingleSet: Column): DataFrame =
+    df.select(id.as("doc"), shingleSet.as("hs"))
+      .repartition(col("doc"))
+      // The set relation feeds the signature branch AND both sides of
+      // the verify join: persist it (dimension-sized: id + ~30 longs per
+      // doc), the same materialized-intermediate reuse the reference
+      // applies to its score matrix (`meercat/nn_thresh.py:183-188`).
+      .persist()
+
+  /** MinHash LSH banding over a materialized (doc, hs) relation from
+    * [[shingleSets]]: k-hash signature split into `k/rowsPerBand` bands;
+    * emits one (doc, band, band_hash) row per band. Docs sharing any
+    * band hash are near-dup candidates (standard banding estimate:
+    * collision probability 1−(1−J^r)^b).
+    */
+  def minHashBandsFromSets(sets: DataFrame, k: Int = 16, rowsPerBand: Int = 2): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into bands")
     val nBands = k / rowsPerBand
-    val withSig = df.select(id.as("doc"), TextFunctions.minHashSignature(shingleSet, k).as("sig"))
+    val withSig = sets.select(col("doc"), TextFunctions.minHashSignature(col("hs"), k).as("sig"))
     val bandHash = (0 until rowsPerBand).foldLeft(lit(0L)) { (acc, r) =>
       (acc * 31 + element_at(col("sig"), col("band") * rowsPerBand + r + 1)) % P
     }
@@ -51,6 +67,11 @@ object Dedup {
       .withColumn("band_hash", bandHash)
       .drop("sig")
   }
+
+  /** Convenience: banding straight from a document relation. */
+  def minHashBands(df: DataFrame, id: Column, shingleSet: Column,
+                   k: Int = 16, rowsPerBand: Int = 2): DataFrame =
+    minHashBandsFromSets(shingleSets(df, id, shingleSet), k, rowsPerBand)
 
   /** Distinct candidate pairs (a < b) from shared LSH band hashes. The
     * join shuffles on (band, band_hash) — collision buckets, not docs.
@@ -65,13 +86,12 @@ object Dedup {
   }
 
   /** Verified near-duplicate pairs: LSH candidates whose exact Jaccard
-    * over `setCol` (a distinct element-hash array keyed by `id`) meets
+    * over the materialized (doc, hs) sets meets
     * `num/den ≥ threshNum/threshDen` (integer cross-multiplied — exact).
     * Output carries the exact intersection/union counts plus the ratio.
     */
-  def nearDupPairs(docs: DataFrame, id: Column, setCol: Column, bands: DataFrame,
-                   threshNum: Int, threshDen: Int): DataFrame = {
-    val sets = docs.select(id.as("doc"), setCol.as("hs"))
+  def nearDupPairsFromSets(sets: DataFrame, bands: DataFrame,
+                           threshNum: Int, threshDen: Int): DataFrame = {
     val cand = lshCandidatePairs(bands)
     cand
       .join(sets.select(col("doc").as("doc_a"), col("hs").as("hs_a")), "doc_a")

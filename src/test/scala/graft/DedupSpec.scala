@@ -51,8 +51,9 @@ class DedupSpec extends SparkSpec {
     val df = (Seq(base, nearDup) ++ noise).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val shingleSet = TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3)
-    val bands = Dedup.minHashBands(df, col("doc_id"), shingleSet)
-    val pairs = Dedup.nearDupPairs(df, col("doc_id"), shingleSet, bands, 1, 2)
+    val sets = Dedup.shingleSets(df, col("doc_id"), shingleSet)
+    val bands = Dedup.minHashBandsFromSets(sets)
+    val pairs = Dedup.nearDupPairsFromSets(sets, bands, 1, 2)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
     pairs shouldBe Array((0L, 1L))
   }
