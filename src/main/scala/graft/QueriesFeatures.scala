@@ -76,13 +76,55 @@ object QueriesFeatures {
       .orderBy("id", "frame_idx")
   }
 
+  // ---------------------------------------------------------------- f4
+  // The embedding plug-in boundary's deterministic toy encoder: hashing
+  // projection of token hashes to a dense vector (dim 8), exploded.
+  val f4HashEmbed: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.hashEmbed(
+          graft.functions.TextFunctions.tokens(col("text")), 8)).as(Seq("idx", "val")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("val"))
+      .orderBy("doc_id", "idx")
+
+  val f4HashEmbedSql: String = {
+    val P = graft.functions.TextFunctions.P
+    val strHash = "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, length(t)), " +
+      s"ci -> ascii(substring(t, ci, 1))::BIGINT)), (acc, x) -> (acc*31 + x) % $P)"
+    s"""WITH th AS (
+       |  SELECT doc_id,
+       |         list_transform(string_split(text, ' '), t -> $strHash) AS th,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM documents)
+       |SELECT doc_id, k::BIGINT AS idx,
+       |       (cast(list_reduce(list_prepend(0::BIGINT,
+       |          list_transform(th, h -> ((h + k + 42) * 2654435761) % $P - ${P / 2})),
+       |          (a, x) -> a + x) as double)
+       |        / cast(n as double) / ${P / 2}.0)::FLOAT AS val
+       |FROM th, generate_series(0, 7) AS t(k)
+       |ORDER BY doc_id, idx""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- a13
+  // Triplet sampler over the events table (user_id buckets): rows-only —
+  // selection uses Spark's murmur3 hash for the negative pick, which
+  // DuckDB cannot reproduce; invariants pinned in SamplingSpec.
+  val a13Triplets: Q = (s, dir) =>
+    graft.operators.Sampling.tripletSample(
+      Tables.load(s, dir, "events").where(col("user_id") < 20),
+      col("user_id"), col("event_id"))
+      .orderBy("entity")
+
   val queries: Map[String, Q] = Map(
     "x1_char_bigram_tf" -> x1CharBigramTf,
     "x2_word_df" -> x2WordDf,
+    "f4_hash_embed" -> f4HashEmbed,
+    "a13_triplets" -> a13Triplets,
     "m1_multimodal_features" -> m1MultimodalFeatures,
     "m2_frame_sample" -> m2FrameSample)
 
   val oracles: Map[String, String] = Map(
     "x1_char_bigram_tf" -> x1CharBigramTfSql,
-    "x2_word_df" -> x2WordDfSql)
+    "x2_word_df" -> x2WordDfSql,
+    "f4_hash_embed" -> f4HashEmbedSql)
 }

@@ -153,9 +153,34 @@ object QueriesSources {
   val p2ContextWindowSql: String =
     """SELECT * FROM (VALUES ('l3 l4 l5', 'r1')) AS t(left_kept, right_kept)""".stripMargin
 
+  // ---------------------------------------------------------------- s4
+  // Zeshel two-file reader = the J1 equi-join (context + label docs).
+  val s4Zeshel: Q = (s, _) => {
+    import s.implicits._
+    val docs = Seq(
+      ("d1", "Alpha", "Alpha is a greek letter", "letters"),
+      ("d2", "Beta", "Beta follows alpha closely", "letters2"))
+      .toDF("document_id", "title", "text", "category")
+    val mentions = Seq(("d1", "d2", 3, 4))
+      .toDF("context_document_id", "label_document_id", "start_index", "end_index")
+    Sources.zeshelMentions(docs, mentions)
+      .select(col("mention_index").cast("long").as("mention_index"),
+        col("left_context"), col("mention"), col("right_context"),
+        col("entity_id"), col("category"), col("document_id"))
+      .orderBy("mention_index")
+  }
+
+  val s4ZeshelSql: String =
+    """SELECT * FROM (VALUES
+      |  (0::BIGINT, 'Alpha is a', 'greek letter', '', 'Beta', 'letters', 'd1'),
+      |  (1::BIGINT, '', 'Beta', 'follows alpha closely', 'Beta', 'letters2', 'd2'))
+      |AS t(mention_index, left_context, mention, right_context, entity_id, category, document_id)
+      |ORDER BY mention_index""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s2_pubtator" -> s2PubTator,
     "s3_aida" -> s3Aida,
+    "s4_zeshel" -> s4Zeshel,
     "s5_ecbplus" -> s5EcbPlus,
     "s6_kilt" -> s6Kilt,
     "p1_flatten" -> p1Flatten,
@@ -164,6 +189,7 @@ object QueriesSources {
   val oracles: Map[String, String] = Map(
     "s2_pubtator" -> s2PubTatorSql,
     "s3_aida" -> s3AidaSql,
+    "s4_zeshel" -> s4ZeshelSql,
     "s5_ecbplus" -> s5EcbPlusSql,
     "s6_kilt" -> s6KiltSql,
     "p1_flatten" -> p1FlattenSql,

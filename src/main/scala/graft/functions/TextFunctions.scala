@@ -98,6 +98,30 @@ object TextFunctions {
       })
   }
 
+  /** F4-F7 plug-in boundary — deterministic toy text encoder (SURVEY
+    * §7.1 layer 7): a hashing projection standing in for the neural
+    * embedders, so E2/E3-shaped pipelines run end-to-end without any
+    * model runtime. Component k of the embedding is the mean over
+    * tokens of an integer pseudo-random weight derived from the token
+    * hash — engine-exact (integer sum, one final division) and
+    * SQL-reproducible, like everything else in this file.
+    */
+  def hashEmbed(toks: Column, dim: Int, seed: Long = 42L): Column = {
+    val th = tokenHashes(toks)
+    transform(
+      sequence(lit(0), lit(dim - 1)),
+      k => {
+        // k must mix INSIDE the multiplicative hash: adding a per-k
+        // constant after the mod leaves every embedding on the same
+        // line (const_k + mean(h)) and all cosines ≈ 1
+        val wsum = aggregate(
+          th,
+          lit(0L),
+          (acc, h) => acc + ((h + k + lit(seed)) * 2654435761L % P - P / 2))
+        (wsum.cast("double") / size(toks).cast("double") / lit((P / 2).toDouble)).cast("float")
+      })
+  }
+
   /** Stopword list used by quality scoring and language-ID. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A13 — triplet (anchor-positive, positive, negative) sampling for
+  * attentional-pooling / metric-learning training
+  * (`/root/reference/meercat/utils.py:199-249`): bucket rows by entity;
+  * every entity with ≥2 rows yields one triplet of two of its own rows
+  * plus one row of a different entity.
+  *
+  * The reference samples with `random.*`; here selection is
+  * deterministic pseudo-randomness — rows are ranked inside their
+  * bucket by a seeded mod-p hash of their id, and the negative entity
+  * is the hash-argmin over the OTHER entities — so results are
+  * reproducible across runs and partitionings (a requirement the
+  * reference's in-memory RNG can't meet distributed). Distribution-wise
+  * it is the same "uniform-ish pick" at a fixed seed.
+  *
+  * Scale: two hash-window passes over the bucketed rows + one
+  * broadcast-sized join on the entity dimension; no shuffles beyond the
+  * entity key.
+  */
+object Sampling {
+  private val P = 1000000007L
+
+  def tripletSample(df: DataFrame, entity: Column, id: Column, seed: Long = 42L): DataFrame = {
+    val h = ((col("rid") * 2654435761L + seed) % P + P) % P
+    val w = Window.partitionBy(col("e")).orderBy(h, col("rid"))
+    val ranked = df.select(entity.as("e"), id.cast("long").as("rid"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("e"))))
+    // two positives from every multi-mention bucket
+    val pos = ranked.where(col("bucket_size") >= 2 && col("rk") <= 2)
+      .groupBy(col("e")).agg(
+        min(when(col("rk") === 1, col("rid"))).as("pos_1"),
+        min(when(col("rk") === 2, col("rid"))).as("pos_2"))
+    // negative entity: hash-argmin over the other entities
+    val ents = ranked.select(col("e")).distinct()
+      .withColumn("eh", (abs(hash(col("e"))).cast("long") + seed) % P)
+    val negPick = pos.select(col("e"))
+      .join(broadcast(ents.select(col("e").as("ne"), col("eh"))), col("e") =!= col("ne"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("e")).orderBy(col("eh"), col("ne"))))
+      .where(col("rk") === 1)
+      .select(col("e"), col("ne"))
+    // negative row: the bucket's rank-1 row
+    val negRow = ranked.where(col("rk") === 1).select(col("e").as("ne"), col("rid").as("neg"))
+    pos.join(negPick, "e").join(negRow, "ne")
+      .select(col("e").as("entity"), col("pos_1"), col("pos_2"),
+        col("ne").as("neg_entity"), col("neg"))
+  }
+}

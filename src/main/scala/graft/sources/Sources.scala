@@ -173,6 +173,61 @@ object Sources {
     spark.createDataset(Seq(xml)).flatMap(x => parseEcbPlusXml(x, goldSentences))
   }
 
+  // ------------------------------------------------------------ S4/J1
+  /** S4 — Zeshel two-file reader as the equi-join it really is
+    * (`scripts/preprocess_zeshel.py:15-76`): mentions resolve their
+    * context document (tokens + category) and their label document
+    * (title = entity id); every distinct label document additionally
+    * yields one "entity row" whose mention is the title and whose right
+    * context is the text minus the first title occurrence. Instances are
+    * sorted by category and numbered (`:72-75`); ties are broken by
+    * (document_id, start) for determinism — the reference relies on
+    * Python's stable sort and input order.
+    *
+    * `documents`: (document_id, title, text, category);
+    * `mentions`: (context_document_id, label_document_id, start_index,
+    * end_index) — token indices, end inclusive.
+    */
+  def zeshelMentions(documents: DataFrame, mentions: DataFrame): DataFrame = {
+    val ctx = documents.select(
+      col("document_id").as("cdoc"), split(col("text"), " ").as("ctoks"), col("category").as("ccat"))
+    val lbl = documents.select(col("document_id").as("ldoc"), col("title").as("ltitle"))
+    val mentionRows = mentions
+      .join(broadcast(ctx), col("context_document_id") === col("cdoc"))
+      .join(broadcast(lbl), col("label_document_id") === col("ldoc"))
+      .select(
+        concat_ws(" ", slice(col("ctoks"), lit(1), col("start_index"))).as("left_context"),
+        concat_ws(" ", slice(col("ctoks"), col("start_index") + 1,
+          col("end_index") - col("start_index") + 1)).as("mention"),
+        concat_ws(" ", slice(col("ctoks"), col("end_index") + 2,
+          greatest(size(col("ctoks")) - col("end_index") - 1, lit(0)))).as("right_context"),
+        col("ltitle").as("entity_id"),
+        col("ccat").as("category"),
+        col("context_document_id").as("document_id"),
+        col("start_index").as("_ord"))
+    val entityRows = mentions.select(col("label_document_id").as("document_id")).distinct()
+      .join(documents, "document_id")
+      .select(
+        lit("").as("left_context"),
+        col("title").as("mention"),
+        // text.replace(title, '', 1).strip()
+        trim(when(locate_title > 0,
+          concat(expr("substring(text, 1, locate(title, text) - 1)"),
+            expr("substring(text, locate(title, text) + length(title))")))
+          .otherwise(col("text"))).as("right_context"),
+        col("title").as("entity_id"),
+        col("category"),
+        col("document_id"),
+        lit(-1).as("_ord"))
+    import org.apache.spark.sql.expressions.Window
+    mentionRows.unionByName(entityRows)
+      .withColumn("mention_index",
+        row_number().over(Window.orderBy(col("category"), col("document_id"), col("_ord"))) - 1)
+      .drop("_ord")
+  }
+
+  private def locate_title = expr("locate(title, text)")
+
   // ------------------------------------------------------------ S6
   /** S6 — KILT/BLINK projector (`scripts/preprocess_kilt.py:19-46`):
     * pure nested projection meta.{left_context,mention,right_context} +
