@@ -506,6 +506,29 @@ object Grinch {
       .toDF("id", "pred_cluster")
   }
 
+  /** Scale-out flat clustering: one independent GRINCH tree per key,
+    * built in parallel partitions (key-partitioned sort, one automaton
+    * per contiguous key run) — the same parallelism-across-streams story
+    * as GreedyClustering.clusterByKey. Cluster ids are per-key indices.
+    */
+  def flatClusterByKey(df: DataFrame, key: Column, id: Column, vec: Column, order: Column,
+                       p: Params, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(key.cast("long").as("_1"), id.cast("long").as("_2"),
+        vec.cast("array<float>").as("_3"), order.cast("long").as("_4"))
+      .as[(Long, Long, Array[Float], Long)]
+      .repartition(col("_1")).sortWithinPartitions(col("_1"), col("_4"))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (k, rows) =>
+          val g = build(rows.map(_._3), p)
+          val assign = g.flatClustering(threshold)
+          rows.iterator.zipWithIndex.map { case ((_, rid, _, _), i) => (k, rid, assign(i).toLong) }
+        }
+      }
+      .toDF("key", "id", "pred_cluster")
+  }
+
   /** The dendrogram relation of one stream: (uid, parent_uid, label);
     * leaf uids are stream positions, labels joined from `label`.
     */

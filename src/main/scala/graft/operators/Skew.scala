@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for the 100 TB design goal.
+  *
+  * AQE's skew-join splitting (enabled in GraftSession) covers joins;
+  * these cover the aggregation side: a hot grouping key (one entity with
+  * 10⁹ mentions, one document id with millions of rows) funnels into a
+  * single reducer under a plain groupBy. Salting splits each key into
+  * `salts` sub-keys for the partial aggregate and re-combines — classic
+  * two-phase aggregation with an explicit fan-out, for aggregates that
+  * are associative monoids.
+  */
+object Skew {
+
+  /** Salted count: groupBy (key, salt) then re-aggregate by key.
+    * Deterministic salt from a row-id column (not rand() — results must
+    * be reproducible).
+    */
+  def saltedCount(df: DataFrame, key: Column, rowId: Column, salts: Int): DataFrame =
+    df.withColumn("_salt", pmod(rowId.cast("long"), lit(salts)))
+      .groupBy(key.as("k"), col("_salt"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("k"))
+      .agg(sum("_c").cast("long").as("cnt"))
+
+  /** Salted sum over a long column (exact, associative). */
+  def saltedSum(df: DataFrame, key: Column, value: Column, rowId: Column, salts: Int): DataFrame =
+    df.withColumn("_salt", pmod(rowId.cast("long"), lit(salts)))
+      .groupBy(key.as("k"), col("_salt"))
+      .agg(sum(value).as("_s"))
+      .groupBy(col("k"))
+      .agg(sum("_s").cast("long").as("total"))
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{HashExpressions, TextFunctions}
+import graft.operators.{GreedyClustering, Grinch, Metrics, Skew}
+import graft.operators.GreedyClustering.Params
+
+/** ScalaCheck property tests (SURVEY §5 "beyond the reference"):
+  * metric bounds + label-invariance, clustering invariants under the
+  * eviction strategies, hash determinism, salted-aggregation equality.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic ScalaCheck sampling (no scalatest bridge in the
+    * offline cache): n samples from fixed seeds.
+    */
+  private def samples[A](g: Gen[A], n: Int = 10): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit = samples(g).foreach(body)
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    samples(ga).zip(samples(gb)).foreach { case (a, b) => body(a, b) }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val assignGen: Gen[List[(String, String)]] = for {
+    n <- Gen.choose(2, 30)
+    ts <- Gen.listOfN(n, Gen.choose(0, 4))
+    ps <- Gen.listOfN(n, Gen.choose(0, 4))
+  } yield ts.zip(ps).map { case (t, p) => (s"t$t", s"p$p") }
+
+  test("property: metric P/R/F1 always within [0,1] and label-invariant") {
+    forAll(assignGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("t", "p")
+        val m = Metrics.muc(df, col("t"), col("p")).collect().head
+        val b = Metrics.bCubed(df, col("t"), col("p")).collect().head
+        val c = Metrics.ceafE(df, col("t"), col("p")).collect().head
+        Seq(m, b, c).foreach { row =>
+          (0 until 3).foreach { i =>
+            val v = row.getDouble(i)
+            assert(v >= -1e-12 && v <= 1.0 + 1e-9, s"metric out of range: $v")
+          }
+        }
+        // relabeling predictions must not change any score
+        val relabeled = rows.map { case (t, p) => (t, "z" + p + "q") }.toDF("t", "p")
+        val b2 = Metrics.bCubed(relabeled, col("t"), col("p")).collect().head
+        assert(math.abs(b.getDouble(2) - b2.getDouble(2)) < 1e-12)
+      }
+    }
+  }
+
+  private val vecsGen: Gen[List[Array[Float]]] = for {
+    n <- Gen.choose(1, 25)
+    vs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-5, 5)).map(_.map(_.toFloat / 5).toArray))
+  } yield vs.filter(v => v.exists(_ != 0f))
+
+  test("property: greedy clustering ids are valid prior row ids for every strategy") {
+    forAll(vecsGen, Gen.oneOf("backwards", "diversity", "cache", "diversity-cache")) { (vecs, strat) =>
+      whenever(vecs.nonEmpty) {
+        val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+        val p = Params(strat, limit = if (strat == "backwards") -1 else 4, threshold = 0.3, cosine = false)
+        val out = GreedyClustering.clusterSorted(df, col("id"), col("vec"), col("id"), p)
+          .orderBy("id").select("id", "pred_cluster").as[(Long, Long)].collect()
+        out.foreach { case (id, c) =>
+          assert(c <= id, "cluster root must not be a later row")
+          assert(c >= 0)
+        }
+        // root rows point at themselves transitively
+        val cl = out.toMap
+        out.foreach { case (_, c) => assert(cl(c) == c, "cluster id must be a root") }
+      }
+    }
+  }
+
+  test("property: GRINCH assigns every point under any pruning budget") {
+    forAll(vecsGen, Gen.choose(2, 8)) { (vecs, budget) =>
+      whenever(vecs.length >= 2) {
+        val g = new Grinch(vecs.toArray, activeLeafLimit = budget)
+        g.buildDendrogram()
+        val assign = g.flatClustering(0.5)
+        assert(assign.length == vecs.length)
+        assert(assign.forall(_ >= 0))
+      }
+    }
+  }
+
+  test("property: shingle-hash expression equals the HOF formulation") {
+    val tokGen = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "d e", "", "xyz"))
+    forAll(tokGen, Gen.choose(1, 4)) { (toks, n) =>
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val native = df.select(TextFunctions.shingleHashes(col("toks"), n)).collect().head.getSeq[Long](0)
+      val hof = df.select(
+        array_distinct(transform(TextFunctions.shingles(col("toks"), n), s => TextFunctions.stringHash(s))))
+        .collect().head.getSeq[Long](0)
+      assert(native == hof, s"native $native != hof $hof for $toks n=$n")
+    }
+  }
+
+  test("property: salted aggregation equals plain aggregation") {
+    val rowsGen = Gen.listOf(for { k <- Gen.choose(0, 3); v <- Gen.choose(-100, 100) } yield (k, v))
+    forAll(rowsGen, Gen.choose(2, 7)) { (rows, salts) =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, s"k$k", v.toLong) }
+          .toDF("rid", "k", "v")
+        val salted = Skew.saltedSum(df, col("k"), col("v"), col("rid"), salts)
+          .orderBy("k").as[(String, Long)].collect().toSeq
+        val plain = df.groupBy("k").agg(sum("v").cast("long").as("total"))
+          .orderBy("k").as[(String, Long)].collect().toSeq
+        assert(salted == plain)
+      }
+    }
+  }
+
+  test("grinch flatClusterByKey separates keys") {
+    val df = Seq(
+      (0L, 0L, Array(1f, 0f)), (0L, 1L, Array(1f, 0f)),
+      (1L, 2L, Array(1f, 0f)), (1L, 3L, Array(0f, 1f)))
+      .toDF("k", "id", "vec")
+    val out = Grinch.flatClusterByKey(df, col("k"), col("id"), col("vec"), col("id"),
+      Grinch.Params(), threshold = 0.5)
+      .orderBy("id").select("key", "pred_cluster").as[(Long, Long)].collect().toSeq
+    out(0) shouldBe (0L, out(1)._2) // key 0: both in one cluster
+    out(2)._2 should not be out(3)._2 // key 1: orthogonal vectors split
+  }
+}
