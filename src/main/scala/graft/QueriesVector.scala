@@ -149,17 +149,44 @@ object QueriesVector {
        |FROM e, generate_series(1, $Dim) AS t(i)
        |ORDER BY vec_id, idx""".stripMargin
 
+  // ---------------------------------------------------------------- d6
+  // Embedding-cosine near-dup: LSH bucket join + exact cosine >= 0.4.
+  val d6EmbeddingNeardup: Q = (s, dir) =>
+    Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), AnnBits, Dim, 0.4, Seed)
+      .orderBy("id_a", "id_b")
+
+  val d6EmbeddingNeardupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm,
+       |                  ${sqlBucket("embedding")} AS bucket FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- v6
+  // IVF-style ANN (KMeans coarse quantizer, search own cell only) —
+  // rows-only: the centroid fit's float math is not SQL-reproducible.
+  val v6IvfAnn: Q = (s, dir) =>
+    Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), nCells = 16, k = 3, Seed)
+      .orderBy("query_id", "rank")
+
   val queries: Map[String, Q] = Map(
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_rhp_ann" -> v2RhpAnn,
     "v3_gram_pairs" -> v3GramPairs,
     "v4_blend_scores" -> v4BlendScores,
-    "v5_l2_normalize" -> v5L2Normalize)
+    "v5_l2_normalize" -> v5L2Normalize,
+    "v6_ivf_ann" -> v6IvfAnn,
+    "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
   val oracles: Map[String, String] = Map(
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_rhp_ann" -> v2RhpAnnSql,
     "v3_gram_pairs" -> v3GramPairsSql,
     "v4_blend_scores" -> v4BlendScoresSql,
-    "v5_l2_normalize" -> v5L2NormalizeSql)
+    "v5_l2_normalize" -> v5L2NormalizeSql,
+    "d6_embedding_neardup" -> d6EmbeddingNeardupSql)
 }

@@ -62,6 +62,51 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: RHP-LSH bucket join, then
+    * exact cosine ≥ threshold — the embedding lens of the dedup pack
+    * (bucketed like nearDupPairs, cosine instead of Jaccard).
+    */
+  def cosineNearDupPairs(df: DataFrame, id: Column, vec: Column, nBits: Int, dim: Int,
+                         threshold: Double, seed: Long = 42L): DataFrame = {
+    val sig = df.select(id.as("vid"), vec.as("v"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+      .withColumn("bucket", VectorFunctions.rhpSignature(col("v"), nBits, dim, seed))
+    val a = sig.select(col("bucket"), col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = sig.select(col("bucket"), col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .withColumn("sim", cosOf(col("va"), col("vb"), col("na"), col("nb")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** IVF-style ANN: a spark.ml KMeans coarse quantizer assigns every
+    * vector to a cell; queries search only their own cell (nProbe=1
+    * analog). The centroid fit is the one global pass; the search join
+    * shuffles on cell id — the classic inverted-file trade of recall
+    * for candidate-set size, complementary to the RHP-LSH path.
+    */
+  def ivfTopK(df: DataFrame, id: Column, vec: Column, nCells: Int, k: Int,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = df.select(id.as("vid"), vec.as("v"))
+      .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base)
+    val assigned = model.transform(base)
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+      .select(col("cell"), col("vid"), col("v"), col("nrm"))
+    val a = assigned.select(col("cell"), col("vid").as("qid"), col("v").as("qvec"), col("nrm").as("qnrm"))
+    val b = assigned.select(col("cell"), col("vid").as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
+    val cand = a.join(b, Seq("cell")).where(col("qid") =!= col("cid"))
+      .withColumn("sim", cosOf(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
   /** C1 — all-pairs Gram similarities (i < j) over a bounded subset:
     * the reference's S = E·Eᵀ as a θ-join. Cap the input — this IS n².
     */

@@ -57,4 +57,30 @@ class VectorSpec extends SparkSpec {
     val out = Similarity.gramPairs(df, col("vec_id"), col("embedding")).collect()
     out.length shouldBe 10 // C(5,2)
   }
+
+  test("cosineNearDupPairs finds only the almost-parallel pairs") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupPairs(df, col("vec_id"), col("embedding"),
+      nBits = 4, dim = 3, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // (0,1) and (2,3) are near-parallel; orthogonal pairs excluded.
+    // LSH bucketing may drop a true pair but never invents one.
+    out.subsetOf(Set((0L, 1L), (2L, 3L))) shouldBe true
+    out should contain((0L, 1L))
+  }
+
+  test("ivfTopK returns ranked neighbors within cells, self excluded") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(df, col("vec_id"), col("embedding"), nCells = 2, k = 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    out.foreach { case (q, n, r) =>
+      q should not be n
+      r should be >= 1L
+      r should be <= 2L
+    }
+    // ranks are dense per query starting at 1
+    out.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._3).sorted.toSeq shouldBe (1L to rows.length).toSeq
+    }
+  }
 }
