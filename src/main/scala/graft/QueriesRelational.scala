@@ -126,6 +126,43 @@ object QueriesRelational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q5
+  // TPC-H Q5-shaped region-filtered 6-way join: lineitem ⋈ orders ⋈
+  // customer ⋈ supplier ⋈ nation ⋈ region with the customer and
+  // supplier required to share a nation. Exercises join ordering,
+  // broadcast dims, and pushdown of the region filter.
+  val q5LocalSupplier: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val nat = broadcast(t(s, dir, "nation"))
+    val reg = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey") && cust("c_nationkey") === supp("s_nationkey"))
+      .join(nat, supp("s_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+        .cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5LocalSupplierSql: String =
+    """SELECT n_name,
+      |       cast(sum(cast(round(l_extendedprice*100, 0) as bigint)
+      |                * (100 - cast(round(l_discount*100, 0) as bigint))) as double)/10000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   // ---------------------------------------------------------------- a7
   // Seen/unseen semi/anti joins (eval_clusters.py:10-25, split_unseen.py).
   val a7SeenCustomers: Q = (s, dir) => {
@@ -304,6 +341,7 @@ object QueriesRelational {
 
   val queries: Map[String, Q] = Map(
     "q1_pricing" -> q1Pricing,
+    "q5_local_supplier" -> q5LocalSupplier,
     "j2_market_revenue" -> j2MarketRevenue,
     "j3_brand_revenue" -> j3BrandRevenue,
     "a7_seen_customers" -> a7SeenCustomers,
@@ -320,6 +358,7 @@ object QueriesRelational {
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
+    "q5_local_supplier" -> q5LocalSupplierSql,
     "j2_market_revenue" -> j2MarketRevenueSql,
     "j3_brand_revenue" -> j3BrandRevenueSql,
     "a7_seen_customers" -> a7SeenCustomersSql,

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.GreedyClustering.Params
+import graft.streaming.StreamingClustering
+import graft.streaming.StreamingClustering.MentionEvent
+
+/** Structured Streaming query entry: the greedy clusterer runs as a real
+  * streaming query (MemoryStream source → flatMapGroupsWithState →
+  * memory sink, three micro-batches), and its output is hash-checked
+  * against the same recursive-CTE oracle as the batch g1 — the driver
+  * gate proves streaming/batch/SQL three-way agreement.
+  */
+object QueriesStreaming {
+  import QueriesRelational.Q
+
+  private val Theta = 0.25
+  private val Dim = 64
+  private val N = 50L
+
+  val st1StreamingGreedy: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val events = Tables.load(s, dir, "embeddings")
+      .where(col("vec_id") < N)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id")
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) => MentionEvent(0L, id, id, v) }
+
+    val input = MemoryStream[MentionEvent]
+    val query = StreamingClustering.greedyCluster(
+      input.toDS(), Params("backwards", limit = -1, threshold = Theta, cosine = true))
+      .writeStream.format("memory").queryName("st1_sink").outputMode("append").start()
+    try {
+      events.grouped(events.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    s.table("st1_sink")
+      .select(col("id").as("vec_id"), col("predCluster").as("pred_cluster"))
+      .orderBy("vec_id")
+  }
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+
+  private def sqlNorm(a: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
+      s"i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (acc, x) -> acc + x))"
+
+  val st1StreamingGreedySql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm
+       |  FROM embeddings WHERE vec_id < $N),
+       |p AS (
+       |  SELECT j.vec_id AS j,
+       |         coalesce(max(CASE WHEN ${sqlDot("i.embedding", "j.embedding")} / (i.nrm * j.nrm) > $Theta
+       |                          THEN i.vec_id END), j.vec_id) AS parent
+       |  FROM e j LEFT JOIN e i ON i.vec_id < j.vec_id
+       |  GROUP BY j.vec_id),
+       |r(j, cur) AS (
+       |  SELECT j, j FROM p
+       |  UNION ALL
+       |  SELECT r.j, p.parent FROM r JOIN p ON r.cur = p.j WHERE p.parent <> r.cur)
+       |SELECT j AS vec_id, min(cur) AS pred_cluster FROM r GROUP BY j ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, Q] = Map("st1_streaming_greedy" -> st1StreamingGreedy)
+  val oracles: Map[String, String] = Map("st1_streaming_greedy" -> st1StreamingGreedySql)
+}

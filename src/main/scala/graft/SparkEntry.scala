@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesMetrics.queries ++ QueriesText.queries ++
       QueriesVector.queries ++ QueriesGreedy.queries ++ QueriesGrinch.queries ++
-      QueriesSources.queries ++ QueriesFeatures.queries
+      QueriesSources.queries ++ QueriesFeatures.queries ++ QueriesStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -26,5 +26,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesMetrics.oracles ++ QueriesText.oracles ++
       QueriesVector.oracles ++ QueriesGreedy.oracles ++ QueriesGrinch.oracles ++
-      QueriesSources.oracles ++ QueriesFeatures.oracles
+      QueriesSources.oracles ++ QueriesFeatures.oracles ++ QueriesStreaming.oracles
 }
