@@ -1,0 +1,72 @@
+package graft
+
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorAggregates
+import graft.streaming.StreamingAnalytics
+
+/** Scale-machinery specs: watermarked windowed streaming aggregation,
+  * the typed vector-mean Aggregator, and bucketed co-located joins
+  * (exchange-free when both sides share bucketing).
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermarked sliding-window aggregation finalizes windows and drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user", "value")
+    val query = StreamingAnalytics.windowedEventStats(
+      df, col("ts"), col("user"), col("value"),
+      window = "10 seconds", slide = "10 seconds", watermark = "5 seconds")
+      .writeStream.format("memory").queryName("win_stats").outputMode("append").start()
+    def t(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d")
+    try {
+      input.addData((t(1), 1L, 1.0), (t(3), 1L, 2.0), (t(2), 2L, 5.0))
+      query.processAllAvailable()
+      // advance the watermark past the [0,10) window, then send a LATE row for it
+      input.addData((t(25), 1L, 9.0))
+      query.processAllAvailable()
+      input.addData((t(2), 1L, 100.0)) // late beyond watermark: dropped
+      input.addData((t(35), 1L, 1.0))  // pushes watermark to 30, finalizing [20,30)
+      query.processAllAvailable()
+
+      val rows = spark.table("win_stats")
+        .select("key", "n_events", "total").as[(Long, Long, Double)].collect().toSet
+      rows should contain((1L, 2L, 3.0)) // [0,10) user 1: the late 100.0 NOT included
+      rows should contain((2L, 1L, 5.0))
+      rows should contain((1L, 1L, 9.0)) // [20,30)
+    } finally query.stop()
+  }
+
+  test("meanVector Aggregator computes exact per-group centroids distributed") {
+    val df = Seq(
+      (0L, Array(1f, 3f)), (0L, Array(3f, 5f)),
+      (1L, Array(10f, 0f)))
+      .toDF("cell", "vec").repartition(4)
+    val out = df.groupBy("cell")
+      .agg(VectorAggregates.meanVectorCol(col("vec")).as("centroid"))
+      .orderBy("cell").select("centroid").as[Array[Float]].collect()
+    out(0).toSeq shouldBe Seq(2f, 4f)
+    out(1).toSeq shouldBe Seq(10f, 0f)
+  }
+
+  test("bucketed tables join without a shuffle exchange on the join key") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_a")
+    b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_b")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located: no ShuffleExchange feeding the join
+      plan should not include "Exchange hashpartitioning"
+      joined.count() shouldBe 1000L
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
