@@ -339,9 +339,32 @@ object QueriesRelational {
       |       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- w1
+  // Event-time tumbling-window stats over the events stream table (the
+  // batch twin of StreamingAnalytics.windowedEventStats). events.ts is
+  // TIMESTAMP(NANOS) read as long nanos (GraftSession nanosAsLong), so
+  // the hour bucket is exact integer division on both engines.
+  val w1EventWindows: Q = (s, dir) => {
+    val hourNs = 3600L * 1000000000L
+    t(s, dir, "events")
+      .groupBy(expr(s"ts div ${hourNs}L").as("hour_bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("total_value"))
+      .orderBy("hour_bucket", "event_type")
+  }
+
+  val w1EventWindowsSql: String =
+    """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+      |       count(*) AS n_events,
+      |       cast(sum(cast(round(value*100, 0) as bigint)) as double)/100.0 AS total_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing" -> q1Pricing,
     "q5_local_supplier" -> q5LocalSupplier,
+    "w1_event_windows" -> w1EventWindows,
     "j2_market_revenue" -> j2MarketRevenue,
     "j3_brand_revenue" -> j3BrandRevenue,
     "a7_seen_customers" -> a7SeenCustomers,
@@ -359,6 +382,7 @@ object QueriesRelational {
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
+    "w1_event_windows" -> w1EventWindowsSql,
     "j2_market_revenue" -> j2MarketRevenueSql,
     "j3_brand_revenue" -> j3BrandRevenueSql,
     "a7_seen_customers" -> a7SeenCustomersSql,
