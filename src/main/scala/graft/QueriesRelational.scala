@@ -289,6 +289,22 @@ object QueriesRelational {
       |  (SELECT cast(sum(x) as bigint) FROM (SELECT count(DISTINCT lang) - 1 AS x FROM documents GROUP BY source)) AS conflated,
       |  (SELECT cast(sum(x) as bigint) FROM (SELECT count(DISTINCT source) - 1 AS x FROM documents GROUP BY lang)) AS divided""".stripMargin
 
+  // ---------------------------------------------------------------- a5b
+  // Error analysis (error_analysis.py:70-126): the most-conflated
+  // predicted cluster with its first 5 example rows.
+  val a5bMostConflated: Q = (s, dir) =>
+    Relational.mostConflatedExamples(
+      t(s, dir, "documents"), col("lang"), col("source"), col("doc_id"), 5)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_true").cast("long").as("n_true"))
+
+  val a5bMostConflatedSql: String =
+    """WITH worst AS (
+      |  SELECT source AS p, count(DISTINCT lang) AS n_true
+      |  FROM documents GROUP BY source ORDER BY n_true DESC, p LIMIT 1)
+      |SELECT doc_id, lang, source, n_true
+      |FROM documents JOIN worst ON source = p
+      |ORDER BY doc_id LIMIT 5""".stripMargin
+
   // ---------------------------------------------------------------- a11
   // Positional split routing (preprocess_medmentions.py:100-114).
   val a11SplitRouting: Q = (s, dir) => {
@@ -365,6 +381,7 @@ object QueriesRelational {
     "q1_pricing" -> q1Pricing,
     "q5_local_supplier" -> q5LocalSupplier,
     "w1_event_windows" -> w1EventWindows,
+    "a5b_most_conflated" -> a5bMostConflated,
     "j2_market_revenue" -> j2MarketRevenue,
     "j3_brand_revenue" -> j3BrandRevenue,
     "a7_seen_customers" -> a7SeenCustomers,
@@ -383,6 +400,7 @@ object QueriesRelational {
     "q1_pricing" -> q1PricingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
     "w1_event_windows" -> w1EventWindowsSql,
+    "a5b_most_conflated" -> a5bMostConflatedSql,
     "j2_market_revenue" -> j2MarketRevenueSql,
     "j3_brand_revenue" -> j3BrandRevenueSql,
     "a7_seen_customers" -> a7SeenCustomersSql,

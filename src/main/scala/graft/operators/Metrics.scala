@@ -63,9 +63,12 @@ object Metrics {
     val psz = pairs.groupBy(col("p")).agg(sum("c").as("ps"))
     val tsz = pairs.groupBy(col("t")).agg(sum("c").as("ts"))
     val joined = pairs.join(psz, "p").join(tsz, "t")
+    // c²·SCALE in decimal(38,0): a long product would overflow once a
+    // (true,pred) pair exceeds ~3e6 rows — real at the 100 TB target.
+    // DuckDB's c*c*SCALE promotes to HUGEINT and floor-divides the same.
     val agg = joined.agg(
-      sum(expr(s"(c * c * ${B3Scale}L) div ps")).as("pnum"),
-      sum(expr(s"(c * c * ${B3Scale}L) div ts")).as("rnum"),
+      sum(expr(s"(cast(c as decimal(38,0)) * c * ${B3Scale}L) div ps")).as("pnum"),
+      sum(expr(s"(cast(c as decimal(38,0)) * c * ${B3Scale}L) div ts")).as("rnum"),
       sum(col("c")).as("n"))
     val prec = col("pnum").cast("double") / (lit(B3Scale).cast("double") * col("n").cast("double"))
     val rec = col("rnum").cast("double") / (lit(B3Scale).cast("double") * col("n").cast("double"))

@@ -24,13 +24,16 @@ object Relational {
     * #input rows. The codes relation is then broadcast back onto the
     * fact table (vocabularies are dimension-sized).
     */
-  def dictEncode(df: DataFrame, key: Column, orderCol: Column, out: String): DataFrame = {
+  def dictEncode(df: DataFrame, key: Column, orderCol: Column, out: String,
+                 broadcastCodes: Boolean = true): DataFrame = {
     val codes = df
       .groupBy(key.as("_k"))
       .agg(min(orderCol).as("_first_seen"))
       .withColumn(out, dense_rank().over(Window.orderBy(col("_first_seen"))) - 1)
       .select(col("_k"), col(out))
-    df.join(broadcast(codes), key === col("_k")).drop("_k")
+    // vocabularies are usually dimension-sized → broadcast; pass false
+    // when the key cardinality rivals the fact table (shuffle join).
+    df.join(if (broadcastCodes) broadcast(codes) else codes, key === col("_k")).drop("_k")
   }
 
   /** P6 — composite key (`meercat/oracle_wd.py:31`). Null-propagating
@@ -113,6 +116,22 @@ object Relational {
       .agg((countDistinct(predCol) - 1).as("extra"))
       .agg(sum("extra").cast("long").as("divided"))
     conflated.crossJoin(divided)
+  }
+
+  /** A5 extended — error analysis (`meercat/error_analysis.py:41-126`):
+    * the single most-conflated predicted cluster (max distinct true ids,
+    * deterministic tie-break on the cluster key) with its top-k example
+    * rows joined back.
+    */
+  def mostConflatedExamples(df: DataFrame, trueCol: Column, predCol: Column,
+                            exampleOrd: Column, k: Int): DataFrame = {
+    val worst = df.groupBy(predCol.as("p"))
+      .agg(countDistinct(trueCol).as("n_true"))
+      .orderBy(col("n_true").desc, col("p"))
+      .limit(1)
+    df.join(broadcast(worst), predCol === col("p"))
+      .orderBy(exampleOrd)
+      .limit(k)
   }
 
   /** A6/A10 — cluster census: #clusters, median cluster size, #singletons
