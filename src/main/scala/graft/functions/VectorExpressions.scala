@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native expressions for the dense-vector kernels (same rationale as
+  * HashExpressions: the zip_with/aggregate HOF formulation is
+  * interpreted per element). Semantics preserved exactly: strict
+  * left fold in element order, each element cast to double before the
+  * arithmetic — bit-identical to the HOF versions and the DuckDB
+  * oracle folds. Element types float or double.
+  */
+private object VecEval {
+  def read(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+}
+
+/** Σ aᵢ·bᵢ as double, left fold. */
+case class DotProductExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += VecEval.read(a, ta, i) * VecEval.read(b, tb, i); i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ aᵢ² as double, left fold. */
+case class SqNormExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_sq_norm"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val t = child.dataType.asInstanceOf[ArrayType].elementType
+    var s = 0.0
+    var i = 0
+    while (i < a.numElements()) { val x = VecEval.read(a, t, i); s += x * x; i += 1 }
+    s
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqNormExpr =
+    copy(child = newChild)
+}
+
+/** Σ (aᵢ−bᵢ)² as double, left fold. */
+case class SqDistExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_sq_dist"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = VecEval.read(a, ta, i) - VecEval.read(b, tb, i); s += d * d; i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
+}

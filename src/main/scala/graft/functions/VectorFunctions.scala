@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
 
 /** Column-level dense-vector math over `ArrayType(FloatType)` embeddings.
   *
@@ -17,19 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ a_i·b_i as double; left fold in element order. */
+  /** Σ a_i·b_i as double; left fold in element order. Native expression
+    * — the zip_with/aggregate HOF form is interpreted per element.
+    */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    Shim.column(DotProductExpr(Shim.expression(a), Shim.expression(b)))
 
   /** Σ a_i² as double. */
   def sqNorm(a: Column): Column =
-    aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    Shim.column(SqNormExpr(Shim.expression(a)))
 
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(sqNorm(a))
@@ -58,14 +55,9 @@ object VectorFunctions {
   def blend(simA: Column, simB: Column, w: Double): Column =
     lit(w) * simA + lit(1.0 - w) * simB
 
-  /** Squared Euclidean distance. */
+  /** Squared Euclidean distance (native expression). */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0),
-      (acc, v) => acc + v)
+    Shim.column(SqDistExpr(Shim.expression(a), Shim.expression(b)))
 
   /** Deterministic pseudo-random hyperplane component: integer-exact
     * (Knuth multiplicative hash mod p, shifted to be sign-balanced), so
