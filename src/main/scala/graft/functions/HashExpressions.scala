@@ -106,6 +106,84 @@ case class ShingleHashSet(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-row term-frequency relation: counts each distinct string of the
+  * input array (first-occurrence order) and attaches the L2-normalized
+  * weight tf/√(Σtf²) — one local pass, no shuffle. The per-document
+  * half of a TF vectorizer as a scalar expression: downstream code just
+  * explodes the result (term: string, tf: long, weight: double).
+  */
+case class TermCounts(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false),
+    StructField("weight", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "term_counts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = mutable.LinkedHashMap.empty[UTF8String, Long]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        counts.update(t, counts.getOrElse(t, 0L) + 1)
+      }
+      i += 1
+    }
+    // exact integer Σtf² then one cast, matching sqrt(cast(sum(tf*tf)
+    // as double)) on the oracle side bit-for-bit
+    var sq = 0L
+    counts.valuesIterator.foreach(c => sq += c * c)
+    val nrm = math.sqrt(sq.toDouble)
+    new GenericArrayData(counts.iterator.map { case (t, c) =>
+      InternalRow(t.copy(), c, c.toDouble / nrm)
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+/** Deterministic hashing-projection embedding of a token array (the
+  * F4-boundary toy encoder): component k = Σ_tokens(((th + k + seed) ·
+  * 2654435761) mod P − P/2) / n / (P/2), exact long sums, one final
+  * division chain — identical to the HOF formulation and the f4 oracle.
+  */
+case class HashEmbedExpr(child: Expression, dim: Int, seed: Long)
+  extends UnaryExpression with CodegenFallback {
+  import HashExpressions._
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hash_embed"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      th(i) = polyHashChars(s, 0, s.length, 0L)
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    var k = 0
+    while (k < dim) {
+      var sum = 0L
+      i = 0
+      while (i < n) { sum += ((th(i) + k + seed) * 2654435761L) % P - P / 2; i += 1 }
+      out(k) = (sum.toDouble / n / (P / 2).toDouble).toFloat
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbedExpr =
+    copy(child = newChild)
+}
+
 /** Distinct hashed character n-grams of a string, first-occurrence
   * order — poly_hash over each length-n char window, one compiled pass.
   */

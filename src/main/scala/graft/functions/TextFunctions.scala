@@ -106,21 +106,11 @@ object TextFunctions {
     * hash — engine-exact (integer sum, one final division) and
     * SQL-reproducible, like everything else in this file.
     */
-  def hashEmbed(toks: Column, dim: Int, seed: Long = 42L): Column = {
-    val th = tokenHashes(toks)
-    transform(
-      sequence(lit(0), lit(dim - 1)),
-      k => {
-        // k must mix INSIDE the multiplicative hash: adding a per-k
-        // constant after the mod leaves every embedding on the same
-        // line (const_k + mean(h)) and all cosines ≈ 1
-        val wsum = aggregate(
-          th,
-          lit(0L),
-          (acc, h) => acc + ((h + k + lit(seed)) * 2654435761L % P - P / 2))
-        (wsum.cast("double") / size(toks).cast("double") / lit((P / 2).toDouble)).cast("float")
-      })
-  }
+  def hashEmbed(toks: Column, dim: Int, seed: Long = 42L): Column =
+    // Native expression; k mixes INSIDE the multiplicative hash — adding
+    // a per-k constant after the mod would leave every embedding on the
+    // same line (const_k + mean(h)) with all cosines ≈ 1.
+    ExpressionUtils.column(HashEmbedExpr(ExpressionUtils.expression(toks), dim, seed))
 
   /** Stopword list used by quality scoring and language-ID. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")

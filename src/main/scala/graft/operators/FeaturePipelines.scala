@@ -62,15 +62,17 @@ object FeaturePipelines {
     val spark = df.sparkSession
     import spark.implicits._
     val vocabDf = broadcast(vocab.zipWithIndex.toSeq.toDF("term", "term_idx"))
-    val exploded = model.transform(df)
-      .select(col(idCol), explode(col("__bigrams")).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("long").as("tf"))
-    val norms = exploded.groupBy(col(idCol))
-      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
-    exploded.join(norms, idCol)
-      .join(vocabDf, "term") // keeps only in-vocab terms (all, unless capped)
-      .select(col(idCol), col("term"), col("tf"),
-        (col("tf").cast("double") / col("nrm")).as("weight"))
+    // Per-document term counts + L2 weights are LOCAL (graft.functions
+    // TermCounts): no (doc, term) shuffle, no norms re-join — the only
+    // shuffle left is the caller's final sort.
+    val transformed = model.transform(df)
+    val termCounts = org.apache.spark.sql.graftshim.Shim.column(
+      graft.functions.TermCounts(
+        org.apache.spark.sql.graftshim.Shim.expression(transformed("__bigrams"))))
+    transformed
+      .select(col(idCol), explode(termCounts).as("tc"))
+      .join(vocabDf, col("tc.term") === col("term")) // keeps only in-vocab terms
+      .select(col(idCol), col("term"), col("tc.tf").as("tf"), col("tc.weight").as("weight"))
   }
 
   /** Document-frequency relation from a fitted F2 model:
