@@ -1,0 +1,164 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.functions.TextFunctions
+import graft.operators._
+import graft.operators.GreedyClustering.Params
+import graft.sources.Sources
+
+/** Command-line surface mirroring the reference's entry points, so a
+  * streaming-cdc user can run the same workflows on the same file
+  * formats (SURVEY §3 E1-E3 lifecycles):
+  *
+  *   preprocess-pubtator  ≙ scripts/preprocess_medmentions.py (flatten)
+  *   preprocess-kilt      ≙ scripts/preprocess_kilt.py
+  *   embed                ≙ meercat/embed.py (deterministic hash encoder
+  *                          standing in for the transformer)
+  *   nn-thresh            ≙ meercat/nn_thresh.py
+  *   string-match         ≙ meercat/string_match.py
+  *   oracle-wd            ≙ meercat/oracle_wd.py
+  *   grinch               ≙ meercat/cluster_w_grinch.py (+ write_tree)
+  *   cut-tree             ≙ meercat/cut_tree.py
+  *   dendrogram-purity    ≙ meercat/dendrogram_purity.py
+  *   eval-clusters        ≙ meercat/eval_clusters.py
+  *   max-active           ≙ meercat/max_active.py
+  *
+  * Usage: runMain graft.cli.Cli <command> [--flag value ...]
+  */
+object Cli {
+
+  def parseFlags(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: <command> [--flag value ...]")
+    val cmd = args.head
+    val flags = parseFlags(args.tail)
+    val spark = GraftSession.getOrCreate(s"graft-$cmd")
+    try run(spark, cmd, flags)
+    finally spark.stop()
+  }
+
+  /** Separated for tests (shared session). */
+  def run(spark: SparkSession, cmd: String, flags: Map[String, String]): Unit = {
+    def in = flags("input")
+    def out = flags("output")
+    cmd match {
+      case "preprocess-pubtator" =>
+        import spark.implicits._
+        Sources.readPubTator(spark, in)
+          .flatMap { d =>
+            val text = d.title + " " + d.abstract_
+            d.mentions.zipWithIndex.map { case (m, i) =>
+              (text.take(m.start), m.text, text.drop(m.end), m.entityId,
+                m.semanticTypes.mkString(","), d.pmid, i.toLong)
+            }
+          }
+          .toDF("left_context", "mention", "right_context", "entity_id", "type", "document_id", "mention_index")
+          .coalesce(1).write.mode("overwrite").json(out)
+
+      case "preprocess-kilt" =>
+        Sources.projectKilt(spark.read.json(in))
+          .coalesce(1).write.mode("overwrite").json(out)
+
+      case "embed" =>
+        val dim = flags.getOrElse("dim", "64").toInt
+        val mentions = spark.read.json(in)
+        val df = mentions.select(
+          col("mention_index").cast("long").as("uid"),
+          col("entity_id"),
+          TextFunctions.hashEmbed(TextFunctions.tokens(col("mention")), dim).as("embedding"))
+        Sources.writeEmbeddingsTsv(df, "uid", "entity_id", "embedding", dim, out)
+
+      case "nn-thresh" =>
+        val emb = Sources.readEmbeddingsTsv(spark, in)
+        val p = Params(
+          strategy = flags.getOrElse("strategy", "backwards"),
+          limit = flags.getOrElse("limit", "-1").toInt,
+          threshold = flags.getOrElse("threshold", "0.76").toDouble,
+          cosine = !flags.contains("dot-prod"))
+        val clusters = GreedyClustering.clusterSorted(emb, col("uid"), col("embedding"), col("uid"), p)
+        writePairs(spark, emb.select(col("uid"), col("entity_id")), clusters, out)
+
+      case "string-match" =>
+        val mentions = spark.read.json(in)
+        val clustered = Relational.stringMatchCluster(mentions, col("mention"), col("mention_index"))
+        Sources.writeClusterPairs(
+          Relational.dictEncode(clustered, col("entity_id"), col("mention_index"), "true_id")
+            .select(col("mention_index"), col("true_id"), col("pred_cluster")),
+          "true_id", "pred_cluster", "mention_index", out)
+
+      case "oracle-wd" =>
+        val mentions = spark.read.json(in)
+        val clustered = Relational.oracleWithinDoc(mentions, col("entity_id"), col("document_id"), col("mention_index"))
+        Sources.writeClusterPairs(
+          Relational.dictEncode(clustered, col("entity_id"), col("mention_index"), "true_id")
+            .select(col("mention_index"), col("true_id"), col("pred_cluster")),
+          "true_id", "pred_cluster", "mention_index", out)
+
+      case "grinch" =>
+        val emb = Sources.readEmbeddingsTsv(spark, in)
+        val p = Grinch.Params(
+          activeLeafLimit = flags.getOrElse("active-leaf-limit", "-1").toInt,
+          pruningStrategy = flags.getOrElse("pruning-strategy", "least_recent"))
+        val tree = Grinch.dendrogram(emb, col("uid"), col("embedding"), col("uid"), col("entity_id"), p)
+        Sources.writeDendrogramTsv(tree, flags("tree"))
+
+      case "cut-tree" =>
+        val nodes = Sources.readDendrogramTsv(spark, flags("dendrogram")).collect()
+          .map(r => Trees.TreeNode(r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toSeq
+        val emb = Sources.readEmbeddingsTsv(spark, flags("embeddings")).collect()
+          .map(r => r.getLong(0).toString -> r.getSeq[Float](2).toArray).toMap
+        val cut = Trees.cutTree(nodes, emb, flags("threshold").toDouble,
+          dotProd = flags.contains("dot-prod"))
+        import spark.implicits._
+        val labels = nodes.collect { case t if t.label.isDefined => t.uid -> t.label.get }.toMap
+        cut.toSeq.sortBy(_._1.toLong)
+          .map { case (uid, c) => (labels.getOrElse(uid, uid), c.toLong) }
+          .toDF("true_id", "pred_id")
+          .coalesce(1)
+          .select(concat_ws(", ", col("true_id"), col("pred_id")).as("value"))
+          .write.mode("overwrite").text(out)
+
+      case "dendrogram-purity" =>
+        val nodes = Sources.readDendrogramTsv(spark, flags("dendrogram")).collect()
+          .map(r => Trees.TreeNode(r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toSeq
+        println(f"Dendrogram Purity: ${Trees.dendrogramPurity(nodes)}%.4f")
+
+      case "eval-clusters" =>
+        val pairs = Sources.readClusterPairs(spark, in)
+        val summary = Metrics.evalSummary(pairs, col("true_id"), col("pred_id")).collect().head
+        Seq("muc_p", "muc_r", "muc_f1", "b3_p", "b3_r", "b3_f1",
+          "ceafe_p", "ceafe_r", "ceafe_f1", "mean_f1").foreach { m =>
+          println(f"$m%-10s ${summary.getAs[Double](m)}%.6f")
+        }
+        println(s"n_true_clusters ${summary.getAs[Long]("n_true_clusters")}")
+        println(s"n_pred_clusters ${summary.getAs[Long]("n_pred_clusters")}")
+        println(f"median_true_size ${summary.getAs[Double]("median_true_size")}%.1f")
+
+      case "max-active" =>
+        val mentions = spark.read.json(in)
+        val m = Relational.maxActive(mentions, col("entity_id"), col("mention_index"))
+          .collect().head.getLong(0)
+        println(s"Max active entities: $m")
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown command: $other")
+    }
+  }
+
+  /** Reference pairs contract: `true, pred` per mention in stream order,
+    * true = dict-encoded gold entity (`meercat/nn_thresh.py:176-194`).
+    */
+  private def writePairs(spark: SparkSession, gold: DataFrame, clusters: DataFrame, out: String): Unit = {
+    val joined = gold.join(clusters, gold("uid") === clusters("id"))
+    val encoded = Relational.dictEncode(joined, col("entity_id"), col("uid"), "true_id")
+      .select(col("uid"), col("true_id"), col("pred_cluster"))
+    Sources.writeClusterPairs(encoded, "true_id", "pred_cluster", "uid", out)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+import graft.cli.Cli
+
+/** Drives the CLI surface end-to-end through real files: the reference
+  * user's E1/E2 workflow — preprocess → embed → cluster → evaluate —
+  * executed as commands over the reference's own file formats.
+  */
+class CliSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("graft-cli").toString + "/" + name
+
+  private def captureOut(body: => Unit): String = {
+    val bos = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(bos))(body)
+    bos.toString("UTF-8")
+  }
+
+  test("E2 workflow: preprocess-pubtator -> embed -> nn-thresh -> eval-clusters") {
+    // PubTator input with two entities, two mentions each (identical
+    // surface strings so the hash encoder separates them perfectly)
+    val pub = tmp("in.pubtator")
+    Files.writeString(java.nio.file.Paths.get(pub),
+      """1|t|alpha beta
+        |1|a|more text
+        |1	0	5	alpha	T1	C01
+        |1	6	10	beta	T2	C02
+        |
+        |2|t|alpha beta again
+        |2|a|words
+        |2	0	5	alpha	T1	C01
+        |2	6	10	beta	T2	C02
+        |""".stripMargin)
+
+    val mentions = tmp("mentions")
+    Cli.run(spark, "preprocess-pubtator", Map("input" -> pub, "output" -> mentions))
+    spark.read.json(mentions).count() shouldBe 4
+
+    val emb = tmp("emb")
+    Cli.run(spark, "embed", Map("input" -> mentions, "output" -> emb, "dim" -> "16"))
+
+    val pairs = tmp("pairs")
+    Cli.run(spark, "nn-thresh", Map(
+      "input" -> emb, "output" -> pairs, "strategy" -> "backwards", "threshold" -> "0.99"))
+
+    val report = captureOut {
+      Cli.run(spark, "eval-clusters", Map("input" -> pairs))
+    }
+    report should include regex "muc_f1\\s+1\\.000000"
+    report should include regex "b3_f1\\s+1\\.000000"
+    report should include("n_true_clusters 2")
+    report should include("n_pred_clusters 2")
+  }
+
+  test("E3 workflow: grinch -> dendrogram-purity + cut-tree") {
+    val emb = tmp("emb.tsv")
+    // 4 one-hot-ish embeddings: two entities, written in the S7 format
+    Files.writeString(java.nio.file.Paths.get(emb),
+      """0	E1	1.0	0.0
+        |1	E2	0.0	1.0
+        |2	E1	0.9	0.1
+        |3	E2	0.1	0.9
+        |""".stripMargin)
+
+    val tree = tmp("tree.tsv")
+    Cli.run(spark, "grinch", Map("input" -> emb, "tree" -> tree))
+    val purity = captureOut {
+      Cli.run(spark, "dendrogram-purity", Map("dendrogram" -> tree))
+    }
+    purity.trim shouldBe "Dendrogram Purity: 1.0000"
+
+    val cutOut = tmp("cut")
+    Cli.run(spark, "cut-tree", Map(
+      "dendrogram" -> tree, "embeddings" -> emb, "threshold" -> "0.5", "output" -> cutOut))
+    val rows = spark.read.text(cutOut).collect().map(_.getString(0)).sorted
+    rows should have size 4
+    // E1 rows share a cluster id, E2 rows share a different one
+    val byEntity = rows.map(_.split(", ")).groupBy(_.head).view.mapValues(_.map(_.last).toSet)
+    byEntity("E1").size shouldBe 1
+    byEntity("E2").size shouldBe 1
+    byEntity("E1") should not be byEntity("E2")
+  }
+
+  test("string-match and oracle-wd and max-active commands") {
+    val mentions = tmp("m")
+    val rows = Seq(
+      """{"mention": "apple", "entity_id": "A", "document_id": "d1", "mention_index": 0}""",
+      """{"mention": "pear", "entity_id": "B", "document_id": "d1", "mention_index": 1}""",
+      """{"mention": "apple", "entity_id": "A", "document_id": "d2", "mention_index": 2}""")
+    Files.createDirectories(java.nio.file.Paths.get(mentions))
+    Files.writeString(java.nio.file.Paths.get(mentions + "/part.json"), rows.mkString("\n"))
+
+    val smOut = tmp("sm")
+    Cli.run(spark, "string-match", Map("input" -> mentions, "output" -> smOut))
+    spark.read.text(smOut).collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("0, 0", "0, 0", "1, 1")  // apple rows share cluster 0, pear is 1
+
+    val owOut = tmp("ow")
+    Cli.run(spark, "oracle-wd", Map("input" -> mentions, "output" -> owOut))
+    spark.read.text(owOut).count() shouldBe 3
+
+    val ma = captureOut {
+      Cli.run(spark, "max-active", Map("input" -> mentions))
+    }
+    ma.trim shouldBe "Max active entities: 2"
+  }
+}
