@@ -141,6 +141,46 @@ object Cli {
         println(s"n_pred_clusters ${summary.getAs[Long]("n_pred_clusters")}")
         println(f"median_true_size ${summary.getAs[Double]("median_true_size")}%.1f")
 
+      case "baseline" =>
+        // E1 (meercat/baseline.py): char-bigram mention similarity
+        // blended 0.8/0.2 with context similarity, greedy threshold
+        // clustering. The blend is folded into ONE vector per mention:
+        // concat(√w·m̂, √(1−w)·ĉ) of L2-normalized sub-embeddings, so a
+        // raw dot product equals w·cos_mention + (1−w)·cos_context —
+        // exactly the reference's score (baseline.py:40) without a
+        // custom pair scorer.
+        val w = flags.getOrElse("mention-weight", "0.8").toDouble
+        val dim = flags.getOrElse("dim", "32").toInt
+        val mentions = spark.read.json(in)
+        val mEmb = graft.functions.VectorFunctions.l2Normalize(
+          TextFunctions.hashEmbed(TextFunctions.charNgramHashesAsTokens(col("mention")), dim))
+        val cEmb = graft.functions.VectorFunctions.l2Normalize(
+          TextFunctions.hashEmbed(
+            TextFunctions.tokens(concat_ws(" ", col("left_context"), col("right_context"))), dim, seed = 7L))
+        val scaled = concat(
+          transform(mEmb, x => (x * math.sqrt(w)).cast("float")),
+          transform(cEmb, x => (x * math.sqrt(1 - w)).cast("float")))
+        val encoded = mentions.select(
+          col("mention_index").cast("long").as("uid"), col("entity_id"), scaled.as("embedding"))
+        val p = Params(
+          strategy = "backwards", limit = -1,
+          threshold = flags.getOrElse("threshold", "0.76").toDouble,
+          cosine = false) // dot of the concat IS the blended cosine
+        val clusters = GreedyClustering.clusterSorted(encoded, col("uid"), col("embedding"), col("uid"), p)
+        writePairs(spark, encoded.select(col("uid"), col("entity_id")), clusters, out)
+
+      case "split-unseen" =>
+        // scripts/split_unseen.py: route test mentions by whether their
+        // entity appears in train; prints the overlap percentage.
+        val train = spark.read.json(flags("train"))
+        val test = spark.read.json(flags("test"))
+        val seen = Relational.seen(test, train.select(col("entity_id")), "entity_id")
+        val unseen = Relational.unseen(test, train.select(col("entity_id")), "entity_id")
+        seen.coalesce(1).write.mode("overwrite").json(flags("seen-output"))
+        unseen.coalesce(1).write.mode("overwrite").json(flags("unseen-output"))
+        val nSeen = seen.count(); val nTotal = test.count()
+        println(f"Seen-entity mentions: $nSeen/$nTotal (${100.0 * nSeen / nTotal}%.1f%%)")
+
       case "max-active" =>
         val mentions = spark.read.json(in)
         val m = Relational.maxActive(mentions, col("entity_id"), col("mention_index"))

@@ -112,6 +112,15 @@ object TextFunctions {
     // same line (const_k + mean(h)) with all cosines ≈ 1.
     ExpressionUtils.column(HashEmbedExpr(ExpressionUtils.expression(toks), dim, seed))
 
+  /** Character trigrams of a string as a pseudo-token array (feeds
+    * hashEmbed for char-level encodings, e.g. the baseline's
+    * char-bigram-style mention representation).
+    */
+  def charNgramHashesAsTokens(s: Column): Column =
+    when(length(s) < 3, array(s)).otherwise(
+      transform(sequence(lit(1), length(s) - 2),
+        i => call_function("substring", s, i, lit(3))))
+
   /** Stopword list used by quality scoring and language-ID. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 

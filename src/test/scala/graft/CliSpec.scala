@@ -85,6 +85,47 @@ class CliSpec extends SparkSpec {
     byEntity("E1") should not be byEntity("E2")
   }
 
+  test("E1 workflow: baseline blended clustering reaches F1 1.0 on separable mentions") {
+    val mentions = tmp("bm")
+    val rows = Seq(
+      """{"mention": "aardvark", "left_context": "the big", "right_context": "ran", "entity_id": "A", "mention_index": 0}""",
+      """{"mention": "zymurgy", "left_context": "art of", "right_context": "brewing", "entity_id": "B", "mention_index": 1}""",
+      """{"mention": "aardvark", "left_context": "a small", "right_context": "slept", "entity_id": "A", "mention_index": 2}""",
+      """{"mention": "zymurgy", "left_context": "study of", "right_context": "is fun", "entity_id": "B", "mention_index": 3}""")
+    Files.createDirectories(java.nio.file.Paths.get(mentions))
+    Files.writeString(java.nio.file.Paths.get(mentions + "/part.json"), rows.mkString("\n"))
+
+    val pairs = tmp("bp")
+    // same mention string -> mention-cosine 1; contexts differ, so the
+    // blended score ~ 0.8 + 0.2·(small) for same-entity pairs; cross
+    // pairs score near 0 -> threshold 0.6 separates
+    Cli.run(spark, "baseline", Map("input" -> mentions, "output" -> pairs, "threshold" -> "0.6"))
+    val report = captureOut {
+      Cli.run(spark, "eval-clusters", Map("input" -> pairs))
+    }
+    report should include regex "muc_f1\\s+1\\.000000"
+    report should include("n_pred_clusters 2")
+  }
+
+  test("split-unseen routes by train-entity membership") {
+    val train = tmp("tr"); val test = tmp("te")
+    Files.createDirectories(java.nio.file.Paths.get(train))
+    Files.createDirectories(java.nio.file.Paths.get(test))
+    Files.writeString(java.nio.file.Paths.get(train + "/p.json"),
+      """{"mention": "x", "entity_id": "A", "mention_index": 0}""")
+    Files.writeString(java.nio.file.Paths.get(test + "/p.json"), Seq(
+      """{"mention": "y", "entity_id": "A", "mention_index": 0}""",
+      """{"mention": "z", "entity_id": "B", "mention_index": 1}""").mkString("\n"))
+    val so = tmp("seen"); val uo = tmp("unseen")
+    val outTxt = captureOut {
+      Cli.run(spark, "split-unseen", Map(
+        "train" -> train, "test" -> test, "seen-output" -> so, "unseen-output" -> uo))
+    }
+    spark.read.json(so).select("entity_id").collect().map(_.getString(0)).toSeq shouldBe Seq("A")
+    spark.read.json(uo).select("entity_id").collect().map(_.getString(0)).toSeq shouldBe Seq("B")
+    outTxt should include("1/2 (50.0%)")
+  }
+
   test("string-match and oracle-wd and max-active commands") {
     val mentions = tmp("m")
     val rows = Seq(
