@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.Trees
+
+/** Golden-equivalence against the REFERENCE dendrogram-purity
+  * implementation: expected values computed by running
+  * /root/reference/meercat/dendrogram_purity.py on three random binary
+  * trees (8 leaves, random 3-way labels) serialized in its own TSV
+  * format. Non-trivial values (0.64/0.46/0.63) pin the histogram
+  * roll-up and pair-counting semantics exactly.
+  */
+class PuritySpec extends SparkSpec {
+
+  private val cases: Seq[(String, Map[String, String], Double)] = Seq(
+    ("n6\tNone\tNone\nn4\tn6\tNone\nn5\tn6\tNone\nn3\tn4\tNone\nl3\tn4\tNone\nl4\tn5\tNone\nl5\tn5\tNone\nn2\tn3\tNone\nn0\tn3\tNone\nn1\tn2\tNone\nl6\tn2\tNone\nl1\tn0\tNone\nl2\tn0\tNone\nl7\tn1\tNone\nl0\tn1\tNone\n", Map("l0" -> "y", "l1" -> "y", "l2" -> "x", "l3" -> "z", "l4" -> "x", "l5" -> "x", "l6" -> "x", "l7" -> "x"), 0.6378787878787878),
+    ("n6\tNone\tNone\nl3\tn6\tNone\nn5\tn6\tNone\nl6\tn5\tNone\nn4\tn5\tNone\nn2\tn4\tNone\nn3\tn4\tNone\nn0\tn2\tNone\nn1\tn2\tNone\nl1\tn3\tNone\nl5\tn3\tNone\nl7\tn0\tNone\nl0\tn0\tNone\nl2\tn1\tNone\nl4\tn1\tNone\n", Map("l0" -> "y", "l1" -> "x", "l2" -> "y", "l3" -> "z", "l4" -> "x", "l5" -> "y", "l6" -> "z", "l7" -> "x"), 0.4642857142857143),
+    ("n6\tNone\tNone\nn5\tn6\tNone\nn4\tn6\tNone\nn3\tn5\tNone\nl4\tn5\tNone\nl0\tn4\tNone\nl2\tn4\tNone\nl3\tn3\tNone\nn2\tn3\tNone\nl5\tn2\tNone\nn1\tn2\tNone\nl1\tn1\tNone\nn0\tn1\tNone\nl6\tn0\tNone\nl7\tn0\tNone\n", Map("l0" -> "z", "l1" -> "y", "l2" -> "x", "l3" -> "x", "l4" -> "z", "l5" -> "x", "l6" -> "y", "l7" -> "y"), 0.6285714285714287))
+
+  cases.zipWithIndex.foreach { case ((tsv, labels, expected), i) =>
+    test(s"reference-equivalent dendrogram purity on random tree $i") {
+      val nodes = tsv.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+        val Array(uid, parent, label) = line.split("\t")
+        Trees.TreeNode(uid,
+          if (parent == "None") None else Some(parent),
+          if (label == "None") None else Some(label))
+      }
+      Trees.dendrogramPurity(nodes, labels) shouldBe expected +- 1e-6
+    }
+  }
+}
