@@ -10,6 +10,12 @@ import graft.operators.Grinch
   * first occurrence. Pins rotate/graft/prune/cut semantics end-to-end,
   * including the non-trivial theta=0.95 fragmentations that differ per
   * pruning strategy.
+  *
+  * Note: exact node-for-node TREE identity with the reference is not
+  * asserted — the reference accumulates similarities in float32 (numpy
+  * matmul) while this engine uses double accumulation, and a near-tie
+  * graft decision can legitimately flip in the last float32 ulp; the
+  * resulting flat clusterings still agree on every tested case.
   */
 class GrinchGoldenSpec extends SparkSpec {
 
