@@ -106,14 +106,50 @@ object QueriesFeatures {
   }
 
   // ---------------------------------------------------------------- a13
-  // Triplet sampler over the events table (user_id buckets): rows-only —
-  // selection uses Spark's murmur3 hash for the negative pick, which
-  // DuckDB cannot reproduce; invariants pinned in SamplingSpec.
+  // Triplet sampler over the events table (user_id buckets). Both the
+  // row-rank hash (Knuth multiplicative mix of event_id) and the
+  // negative-entity pick (PolyHash of the entity string) are mod-p
+  // integer arithmetic, so the whole selection is oracle-reproducible.
   val a13Triplets: Q = (s, dir) =>
     graft.operators.Sampling.tripletSample(
       Tables.load(s, dir, "events").where(col("user_id") < 20),
       col("user_id"), col("event_id"))
       .orderBy("entity")
+
+  val a13TripletsSql: String = {
+    val P = graft.functions.TextFunctions.P
+    s"""WITH base AS (
+       |  SELECT user_id AS e, event_id AS rid FROM events WHERE user_id < 20),
+       |ranked AS (
+       |  SELECT e, rid,
+       |         row_number() OVER (PARTITION BY e
+       |           ORDER BY ((((rid % $P) * 2654435761 + 42) % $P + $P) % $P), rid) AS rk,
+       |         count(*) OVER (PARTITION BY e) AS bucket_size
+       |  FROM base),
+       |pos AS (
+       |  SELECT e,
+       |         min(CASE WHEN rk = 1 THEN rid END) AS pos_1,
+       |         min(CASE WHEN rk = 2 THEN rid END) AS pos_2
+       |  FROM ranked WHERE bucket_size >= 2 AND rk <= 2 GROUP BY e),
+       |es AS (SELECT DISTINCT e, cast(e AS VARCHAR) AS s FROM ranked),
+       |ents AS (
+       |  SELECT e AS ne,
+       |         (list_reduce(list_prepend(0::BIGINT,
+       |            list_transform(generate_series(1, length(s)),
+       |              ci -> ascii(substring(s, ci, 1))::BIGINT)),
+       |            (acc, x) -> (acc*31 + x) % $P) + 42) % $P AS eh
+       |  FROM es),
+       |negpick AS (
+       |  SELECT e, ne FROM (
+       |    SELECT p.e, t.ne,
+       |           row_number() OVER (PARTITION BY p.e ORDER BY t.eh, t.ne) AS rk
+       |    FROM pos p JOIN ents t ON p.e <> t.ne)
+       |  WHERE rk = 1),
+       |negrow AS (SELECT e AS ne, rid AS neg FROM ranked WHERE rk = 1)
+       |SELECT p.e AS entity, p.pos_1, p.pos_2, n.ne AS neg_entity, r.neg
+       |FROM pos p JOIN negpick n USING (e) JOIN negrow r ON n.ne = r.ne
+       |ORDER BY entity""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
     "x1_char_bigram_tf" -> x1CharBigramTf,
@@ -126,5 +162,6 @@ object QueriesFeatures {
   val oracles: Map[String, String] = Map(
     "x1_char_bigram_tf" -> x1CharBigramTfSql,
     "x2_word_df" -> x2WordDfSql,
-    "f4_hash_embed" -> f4HashEmbedSql)
+    "f4_hash_embed" -> f4HashEmbedSql,
+    "a13_triplets" -> a13TripletsSql)
 }

@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   * is the hash-argmin over the OTHER entities — so results are
   * reproducible across runs and partitionings (a requirement the
   * reference's in-memory RNG can't meet distributed). Distribution-wise
-  * it is the same "uniform-ish pick" at a fixed seed.
+  * it is the same "uniform-ish pick" at a fixed seed. Both hashes are
+  * engine-portable mod-p arithmetic (the row hash is a Knuth
+  * multiplicative mix of the id, the entity hash is [[graft.functions
+  * .PolyHash]] of the entity rendered as a string), so the whole
+  * operator is reproducible by an ANSI-SQL oracle.
   *
   * Scale: two hash-window passes over the bucketed rows + one
   * broadcast-sized join on the entity dimension; no shuffles beyond the
@@ -26,7 +30,9 @@ object Sampling {
   private val P = 1000000007L
 
   def tripletSample(df: DataFrame, entity: Column, id: Column, seed: Long = 42L): DataFrame = {
-    val h = ((col("rid") * 2654435761L + seed) % P + P) % P
+    // reduce rid mod P before the multiply so the product stays well
+    // inside int64 — DuckDB errors on bigint overflow where Spark wraps
+    val h = (((col("rid") % P) * 2654435761L + seed) % P + P) % P
     val w = Window.partitionBy(col("e")).orderBy(h, col("rid"))
     val ranked = df.select(entity.as("e"), id.cast("long").as("rid"))
       .withColumn("rk", row_number().over(w))
@@ -38,7 +44,8 @@ object Sampling {
         min(when(col("rk") === 2, col("rid"))).as("pos_2"))
     // negative entity: hash-argmin over the other entities
     val ents = ranked.select(col("e")).distinct()
-      .withColumn("eh", (abs(hash(col("e"))).cast("long") + seed) % P)
+      .withColumn("eh",
+        (graft.functions.TextFunctions.stringHash(col("e").cast("string")) + seed) % P)
     val negPick = pos.select(col("e"))
       .join(broadcast(ents.select(col("e").as("ne"), col("eh"))), col("e") =!= col("ne"))
       .withColumn("rk", row_number().over(Window.partitionBy(col("e")).orderBy(col("eh"), col("ne"))))
