@@ -28,15 +28,15 @@ object QueriesGrinch {
       .orderBy(col("uid").cast("long"))
 
   /** h3 — A4 dendrogram purity of the GRINCH tree w.r.t. the label
-    * column (driver-side fold over the collected tree).
+    * column. [[Trees.purityAuto]] picks the driver fold below 100k
+    * nodes and the distributed groupBy(parent) histogram roll-up
+    * ([[Trees.dendrogramPurityDF]]) above it, so a single global
+    * stream's tree never materializes on the driver.
     */
   val h3GrinchPurity: Q = (s, dir) => {
     val tree = Grinch.dendrogram(Tables.load(s, dir, "embeddings"),
       col("vec_id"), col("embedding"), col("vec_id"), col("label"), P)
-      .collect()
-      .map(r => Trees.TreeNode(r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
-      .toSeq
-    val purity = Trees.dendrogramPurity(tree)
+    val purity = Trees.purityAuto(tree)
     import s.implicits._
     Seq(purity).toDF("purity")
   }

@@ -2,6 +2,9 @@ package graft.operators
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
 /** Parent-pointer dendrogram relation + tree analytics (SURVEY.md §1.1
   * "Dendrogram", §2.5 A4, §2.4 C18).
   *
@@ -75,6 +78,100 @@ object Trees {
     val rootHist = histOf(root.get)
     val pStar = rootHist.valuesIterator.map(x => x * (x - 1) / 2.0).sum
     summand / pStar
+  }
+
+  /** A4, distributed — dendrogram purity over a dendrogram *relation*
+    * (uid, parent_uid, label), with no driver-side materialization of
+    * the tree: the map-monoid label-histogram roll-up of
+    * `meercat/dendrogram_purity.py:64-84` re-expressed as an iterative
+    * `groupBy(parent)`.
+    *
+    * Histograms are relational rows (uid, parent, label, cnt). Each
+    * round, parents whose children have ALL produced their histograms
+    * merge them (`sum(cnt)` per label — the monoid), contribute
+    * Σ_l pairs_l · hist_l / n_v to the purity summand (pairs_l =
+    * product of the two children's counts; binary trees only, like the
+    * reference), and promote the merged histogram one level up. Rounds
+    * = tree height; per-round work is a handful of keyed shuffles over
+    * the still-pending frontier, so a balanced billion-leaf forest is
+    * ~30 rounds of ordinary aggregations — nothing ever collects.
+    * Unlabeled leaves carry a null-label zero row so readiness counting
+    * still sees them (they contribute nothing, as in the reference).
+    *
+    * Only per-round scalar contributions cross to the driver. The
+    * per-round double sums make repeated runs agree to float-sum
+    * reordering (~1e-12 relative); use [[dendrogramPurity]] for the
+    * bit-exact small-tree fold.
+    */
+  def dendrogramPurityDF(tree: DataFrame): Double = {
+    val nodes = tree.select(col("uid").cast("string").as("uid"),
+      col("parent_uid").cast("string").as("parent_uid"),
+      col("label").cast("string").as("label")).persist()
+    val childCounts = nodes.where(col("parent_uid").isNotNull)
+      .groupBy(col("parent_uid").as("p")).agg(count(lit(1)).as("n_children")).persist()
+    val leaves = nodes.join(childCounts, nodes("uid") === childCounts("p"), "left_anti")
+
+    val pStarRow = leaves.where(col("label").isNotNull)
+      .groupBy("label").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2.0).as("p_star")).collect()(0)
+    val pStar = if (pStarRow.isNullAt(0)) 0.0 else pStarRow.getDouble(0)
+
+    // localCheckpoint (eager) rather than persist: each round's frontier
+    // is built from joins against the previous one, so an un-truncated
+    // logical plan grows exponentially with tree height and OOMs the
+    // driver around a dozen rounds — checkpointing keeps every round's
+    // plan O(1).
+    var cur = leaves.where(col("parent_uid").isNotNull).select(
+      col("uid"), col("parent_uid").as("parent"), col("label"),
+      when(col("label").isNotNull, 1L).otherwise(0L).as("cnt")).localCheckpoint()
+    var summand = 0.0
+    var remaining = cur.count()
+    while (remaining > 0) {
+      val ready = cur.groupBy("parent").agg(countDistinct("uid").as("got"))
+        .join(childCounts, col("parent") === col("p"))
+        .where(col("got") === col("n_children"))
+        .select("parent").localCheckpoint()
+      // progress = some parent completed (frontier ROW count can stay
+      // flat across a round: merged histograms re-key under the
+      // grandparent without collapsing any labels)
+      require(ready.count() > 0,
+        s"dendrogram roll-up stalled at $remaining frontier rows — malformed tree " +
+          "(dangling parent_uid or non-tree edges)")
+      val readyRows = cur.join(ready, Seq("parent"))
+      val waiting = cur.join(ready, Seq("parent"), "left_anti")
+      val hist = readyRows.groupBy(col("parent"), col("label"))
+        .agg(sum(col("cnt")).as("cnt"),
+          when(count(lit(1)) === 2, min(col("cnt")) * max(col("cnt")))
+            .otherwise(0L).as("pairs"))
+      val nv = hist.groupBy("parent").agg(sum(col("cnt")).as("n_v"))
+      val contribRow = hist.join(nv, "parent")
+        .where(col("label").isNotNull && col("n_v") > 0)
+        .agg(sum(col("pairs").cast("double") * col("cnt") / col("n_v"))).collect()(0)
+      if (!contribRow.isNullAt(0)) summand += contribRow.getDouble(0)
+      val promoted = hist
+        .join(nodes.select(col("uid").as("parent"), col("parent_uid").as("gp")), "parent")
+        .where(col("gp").isNotNull)
+        .select(col("parent").as("uid"), col("gp").as("parent"), col("label"), col("cnt"))
+      val next = waiting.select("uid", "parent", "label", "cnt").union(promoted).localCheckpoint()
+      remaining = next.count()
+      cur = next
+    }
+    childCounts.unpersist(); nodes.unpersist()
+    if (pStar == 0.0) 0.0 else summand / pStar
+  }
+
+  /** A4 front door: driver fold for small trees (bit-exact, one pass),
+    * distributed roll-up past `driverFoldMaxNodes` — the cluster-level
+    * asymmetry argument in the file Scaladoc only holds per tree, and a
+    * single global stream's tree is ∝ input size.
+    */
+  def purityAuto(tree: DataFrame, driverFoldMaxNodes: Long = 100000L): Double = {
+    if (tree.count() <= driverFoldMaxNodes) {
+      val nodes = tree.select(col("uid").cast("string"), col("parent_uid").cast("string"),
+        col("label").cast("string")).collect()
+        .map(r => TreeNode(r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toSeq
+      dendrogramPurity(nodes)
+    } else dendrogramPurityDF(tree)
   }
 
   /** C18 (standalone variant) — flat clustering from a dendrogram

@@ -16,15 +16,27 @@ class PuritySpec extends SparkSpec {
     ("n6\tNone\tNone\nl3\tn6\tNone\nn5\tn6\tNone\nl6\tn5\tNone\nn4\tn5\tNone\nn2\tn4\tNone\nn3\tn4\tNone\nn0\tn2\tNone\nn1\tn2\tNone\nl1\tn3\tNone\nl5\tn3\tNone\nl7\tn0\tNone\nl0\tn0\tNone\nl2\tn1\tNone\nl4\tn1\tNone\n", Map("l0" -> "y", "l1" -> "x", "l2" -> "y", "l3" -> "z", "l4" -> "x", "l5" -> "y", "l6" -> "z", "l7" -> "x"), 0.4642857142857143),
     ("n6\tNone\tNone\nn5\tn6\tNone\nn4\tn6\tNone\nn3\tn5\tNone\nl4\tn5\tNone\nl0\tn4\tNone\nl2\tn4\tNone\nl3\tn3\tNone\nn2\tn3\tNone\nl5\tn2\tNone\nn1\tn2\tNone\nl1\tn1\tNone\nn0\tn1\tNone\nl6\tn0\tNone\nl7\tn0\tNone\n", Map("l0" -> "z", "l1" -> "y", "l2" -> "x", "l3" -> "x", "l4" -> "z", "l5" -> "x", "l6" -> "y", "l7" -> "y"), 0.6285714285714287))
 
+  private def parse(tsv: String): Seq[Trees.TreeNode] =
+    tsv.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+      val Array(uid, parent, label) = line.split("\t")
+      Trees.TreeNode(uid,
+        if (parent == "None") None else Some(parent),
+        if (label == "None") None else Some(label))
+    }
+
   cases.zipWithIndex.foreach { case ((tsv, labels, expected), i) =>
     test(s"reference-equivalent dendrogram purity on random tree $i") {
-      val nodes = tsv.split("\n").filter(_.nonEmpty).toSeq.map { line =>
-        val Array(uid, parent, label) = line.split("\t")
-        Trees.TreeNode(uid,
-          if (parent == "None") None else Some(parent),
-          if (label == "None") None else Some(label))
-      }
-      Trees.dendrogramPurity(nodes, labels) shouldBe expected +- 1e-6
+      Trees.dendrogramPurity(parse(tsv), labels) shouldBe expected +- 1e-6
+    }
+  }
+
+  cases.zipWithIndex.foreach { case ((tsv, labels, expected), i) =>
+    test(s"distributed histogram roll-up matches the reference on random tree $i") {
+      import spark.implicits._
+      val df = parse(tsv)
+        .map(n => (n.uid, n.parentUid.orNull, labels.get(n.uid).orElse(n.label).orNull))
+        .toDF("uid", "parent_uid", "label")
+      Trees.dendrogramPurityDF(df) shouldBe expected +- 1e-6
     }
   }
 }

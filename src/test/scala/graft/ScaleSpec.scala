@@ -53,6 +53,24 @@ class ScaleSpec extends SparkSpec {
     out(1).toSeq shouldBe Seq(10f, 0f)
   }
 
+  test("distributed dendrogram purity rolls up a 131k-leaf tree without collecting it") {
+    // heap-numbered balanced binary tree: node i has parent i/2; leaves
+    // are the bottom level, labeled cyclically. Built with spark.range —
+    // the tree relation never exists on the driver.
+    val depth = 17
+    val leafStart = 1L << depth
+    val tree = spark.range(1L, 2L * leafStart)
+      .select(col("id").cast("string").as("uid"),
+        when(col("id") > 1L, (col("id") / 2).cast("long").cast("string")).as("parent_uid"),
+        when(col("id") >= leafStart, concat(lit("L"), col("id") % 64)).as("label"))
+    val got = graft.operators.Trees.dendrogramPurityDF(tree)
+
+    // expected from the bit-exact driver fold on the same (tiny-schema) rows
+    val nodes = tree.collect().map(r =>
+      graft.operators.Trees.TreeNode(r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toSeq
+    got shouldBe graft.operators.Trees.dendrogramPurity(nodes) +- 1e-9
+  }
+
   test("bucketed tables join without a shuffle exchange on the join key") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
