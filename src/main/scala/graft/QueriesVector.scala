@@ -44,12 +44,17 @@ object QueriesVector {
       s"i -> $a[i]::DOUBLE * ${sqlRhpW("k", "i")}::DOUBLE)), (a2, x) -> a2 + x) > 0 THEN 1 ELSE 0 END)"
 
   // ---------------------------------------------------------------- v1
-  // Brute-force exact cosine top-5 for a 2% query subset vs the corpus —
-  // the ANN baseline. Queries broadcast; corpus streams.
+  // Brute-force exact cosine top-5 for a query subset vs the corpus —
+  // the ANN baseline. The broadcast side is bounded by ABSOLUTE count
+  // inside cosineTopK (100k rows); past the cap the operator routes to
+  // the LSH bucket join, so a corpus-proportional subset can't OOM an
+  // executor at scale. At bench scales the subset is far below the cap,
+  // so the exact path (and this oracle) is what runs.
   val v1CosineTopk: Q = (s, dir) => {
     val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.where(col("vec_id") % 50 === 0)
-    Similarity.cosineTopK(emb, queries, col("vec_id"), col("embedding"), 5)
+    Similarity.cosineTopK(emb, queries, col("vec_id"), col("embedding"), 5,
+      maxBroadcastRows = 100000L, nBits = AnnBits, dim = Dim, seed = Seed)
       .orderBy("query_id", "rank")
   }
 

@@ -208,12 +208,22 @@ object GreedyClustering {
     * θ ∈ [0,1] until the cluster count is within ε = n/1000 of `target`.
     * Always iteration-capped (3 of the reference's 4 copies can loop
     * forever — SURVEY §7.4). Returns (threshold, nClusters).
+    *
+    * The sorted single-partition Dataset is materialized ONCE and
+    * reused across every bisection iteration — only the cheap fold
+    * re-runs per θ, not the repartition+sort.
     */
   def findThreshold(df: DataFrame, id: Column, vec: Column, order: Column,
                     base: Params, target: Long, maxIters: Int = 30): (Double, Long) = {
-    val cached = df.select(id.as("_id"), vec.as("_v"), order.as("_o")).persist()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(id.cast("long").as("_1"), vec.cast("array<float>").as("_2"), order.cast("long").as("_3"))
+      .as[(Long, Array[Float], Long)]
+      .repartition(1).sortWithinPartitions(col("_3"))
+      .persist()
     try {
-      val n = cached.count()
+      val n = sorted.count()
       val epsilon = n / 1000.0
       var lo = 0.0
       var hi = 1.0
@@ -222,13 +232,16 @@ object GreedyClustering {
       var it = 0
       while (math.abs(nClusters - target) > epsilon && it < maxIters) {
         threshold = (lo + hi) / 2
-        val clusters = clusterSorted(cached, col("_id"), col("_v"), col("_o"),
-          base.copy(threshold = threshold))
-        nClusters = clusters.agg(countDistinct(col("pred_cluster"))).collect().head.getLong(0)
+        val p = base.copy(threshold = threshold)
+        val clusters = sorted.mapPartitions { rows =>
+          val state = new State(p)
+          rows.map { case (rid, arr, _) => state.step(rid, arr) }
+        }
+        nClusters = clusters.toDF("c").agg(countDistinct(col("c"))).collect().head.getLong(0)
         if (nClusters < target) lo = threshold else hi = threshold
         it += 1
       }
       (threshold, nClusters)
-    } finally cached.unpersist()
+    } finally sorted.unpersist()
   }
 }

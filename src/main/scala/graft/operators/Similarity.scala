@@ -24,10 +24,21 @@ object Similarity {
     VectorFunctions.dotProduct(va, vb) / (na * nb)
 
   /** Brute-force exact top-k cosine neighbors of each query row against
-    * the whole corpus (self-pairs excluded). `queries` should be a small
-    * subset of the corpus — it is broadcast; the corpus side streams.
+    * the whole corpus (self-pairs excluded). The query side is
+    * broadcast, so it is capped by ABSOLUTE row count, never a corpus
+    * fraction — a proportional subset ("2% of the corpus") scales with
+    * the data and is a guaranteed executor OOM at 100×. Past
+    * `maxBroadcastRows` the operator routes to the RHP-LSH bucketed
+    * join ([[rhpTopKForQueries]]): approximate (bucket recall), but
+    * linear and broadcast-free. `nBits`/`dim`/`seed` configure only
+    * that fallback.
     */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column, k: Int,
+                 maxBroadcastRows: Long = 100000L, nBits: Int = 8, dim: Int = 64,
+                 seed: Long = 42L): DataFrame = {
+    // bounded existence check: CollectLimit stops after cap+1 rows
+    val over = queries.limit(maxBroadcastRows.toInt + 1).count() > maxBroadcastRows
+    if (over) return rhpTopKForQueries(corpus, queries, id, vec, nBits, dim, k, seed)
     val c = corpus.select(id.as("cid"), vec.as("cvec"))
       .withColumn("cnrm", VectorFunctions.l2Norm(col("cvec")))
     val q = queries.select(id.as("qid"), vec.as("qvec"))
@@ -36,6 +47,29 @@ object Similarity {
       .withColumn("sim", cosOf(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** Query-subset-vs-corpus RHP-LSH top-k: both sides bucket on the
+    * same hyperplane signature and join on the bucket key — the
+    * unbounded-query-side path of [[cosineTopK]]. Shuffles on bucket
+    * occupancy, no broadcast; misses cross-bucket neighbors (standard
+    * LSH recall trade, same as [[rhpAnnTopK]]).
+    */
+  def rhpTopKForQueries(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+                        nBits: Int, dim: Int, k: Int, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(id.as("cid"), vec.as("cvec"))
+      .withColumn("cnrm", VectorFunctions.l2Norm(col("cvec")))
+      .withColumn("bucket", VectorFunctions.rhpSignature(col("cvec"), nBits, dim, seed))
+    val q = queries.select(id.as("qid"), vec.as("qvec"))
+      .withColumn("qnrm", VectorFunctions.l2Norm(col("qvec")))
+      .withColumn("bucket", VectorFunctions.rhpSignature(col("qvec"), nBits, dim, seed))
+    val cand = q.join(c, Seq("bucket")).where(col("qid") =!= col("cid"))
+      .withColumn("sim", cosOf(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("sim"))

@@ -52,6 +52,18 @@ class VectorSpec extends SparkSpec {
     out.map(_._2) should not contain 0L
   }
 
+  test("cosineTopK past the broadcast cap routes to the LSH bucket join") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val capped = Similarity.cosineTopK(df, df, col("vec_id"), col("embedding"), 2,
+      maxBroadcastRows = 2L, nBits = 4, dim = 3)
+    val lsh = Similarity.rhpTopKForQueries(df, df, col("vec_id"), col("embedding"),
+      nBits = 4, dim = 3, k = 2)
+    val a = capped.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val b = lsh.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    a shouldBe b
+    a should not be empty
+  }
+
   test("gramPairs emits each unordered pair once") {
     val df = vecs.toDF("vec_id", "embedding")
     val out = Similarity.gramPairs(df, col("vec_id"), col("embedding")).collect()
