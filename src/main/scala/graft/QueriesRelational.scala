@@ -305,6 +305,23 @@ object QueriesRelational {
       |FROM documents JOIN worst ON source = p
       |ORDER BY doc_id LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------------- a5c
+  // Error analysis, "most split" side (error_analysis.py:89-113): the
+  // true cluster scattered over the most predicted clusters, with its
+  // first 5 example rows.
+  val a5cMostDivided: Q = (s, dir) =>
+    Relational.mostDividedExamples(
+      t(s, dir, "documents"), col("lang"), col("source"), col("doc_id"), 5)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_pred").cast("long").as("n_pred"))
+
+  val a5cMostDividedSql: String =
+    """WITH worst AS (
+      |  SELECT lang AS tt, count(DISTINCT source) AS n_pred
+      |  FROM documents GROUP BY lang ORDER BY n_pred DESC, tt LIMIT 1)
+      |SELECT doc_id, lang, source, n_pred
+      |FROM documents JOIN worst ON lang = tt
+      |ORDER BY doc_id LIMIT 5""".stripMargin
+
   // ---------------------------------------------------------------- a11
   // Positional split routing (preprocess_medmentions.py:100-114).
   val a11SplitRouting: Q = (s, dir) => {
@@ -382,6 +399,7 @@ object QueriesRelational {
     "q5_local_supplier" -> q5LocalSupplier,
     "w1_event_windows" -> w1EventWindows,
     "a5b_most_conflated" -> a5bMostConflated,
+    "a5c_most_divided" -> a5cMostDivided,
     "j2_market_revenue" -> j2MarketRevenue,
     "j3_brand_revenue" -> j3BrandRevenue,
     "a7_seen_customers" -> a7SeenCustomers,
@@ -401,6 +419,7 @@ object QueriesRelational {
     "q5_local_supplier" -> q5LocalSupplierSql,
     "w1_event_windows" -> w1EventWindowsSql,
     "a5b_most_conflated" -> a5bMostConflatedSql,
+    "a5c_most_divided" -> a5cMostDividedSql,
     "j2_market_revenue" -> j2MarketRevenueSql,
     "j3_brand_revenue" -> j3BrandRevenueSql,
     "a7_seen_customers" -> a7SeenCustomersSql,

@@ -15,6 +15,9 @@ import graft.sources.Sources
   *
   *   preprocess-pubtator  ≙ scripts/preprocess_medmentions.py (flatten)
   *   preprocess-kilt      ≙ scripts/preprocess_kilt.py
+  *   preprocess-zeshel    ≙ scripts/preprocess_zeshel.py
+  *   preprocess-aida      ≙ scripts/preprocess_aida_yago2.py
+  *   preprocess-ecbplus   ≙ scripts/preprocess_ecbplus.py
   *   embed                ≙ meercat/embed.py (deterministic hash encoder
   *                          standing in for the transformer)
   *   nn-thresh            ≙ meercat/nn_thresh.py
@@ -30,10 +33,23 @@ import graft.sources.Sources
   */
 object Cli {
 
-  def parseFlags(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-    }.toMap
+  /** `--flag value` pairs plus bare boolean `--flag` (→ "true"); a
+    * non-flag token with no preceding flag is rejected rather than
+    * silently shifting the pairing.
+    */
+  def parseFlags(args: Array[String]): Map[String, String] = {
+    @annotation.tailrec
+    def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
+      case k :: v :: tail if k.startsWith("--") && !v.startsWith("--") =>
+        go(tail, acc + (k.stripPrefix("--") -> v))
+      case k :: tail if k.startsWith("--") =>
+        go(tail, acc + (k.stripPrefix("--") -> "true"))
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unexpected argument: $other")
+      case Nil => acc
+    }
+    go(args.toList, Map.empty)
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: <command> [--flag value ...]")
@@ -51,19 +67,97 @@ object Cli {
     cmd match {
       case "preprocess-pubtator" =>
         import spark.implicits._
-        Sources.readPubTator(spark, in)
+        import org.apache.spark.sql.expressions.Window
+        val flat = Sources.readPubTator(spark, in)
           .flatMap { d =>
             val text = d.title + " " + d.abstract_
             d.mentions.zipWithIndex.map { case (m, i) =>
-              (text.take(m.start), m.text, text.drop(m.end), m.entityId,
-                m.semanticTypes.mkString(","), d.pmid, i.toLong)
+              // mention from the text slice, not the annotation column
+              // (preprocess_medmentions.py:126: text[start:end])
+              (text.take(m.start), text.slice(m.start, m.end), text.drop(m.end),
+                m.entityId, m.semanticTypes, d.pmid, i.toLong)
             }
           }
-          .toDF("left_context", "mention", "right_context", "entity_id", "type", "document_id", "mention_index")
+          .toDF("left_context", "mention", "right_context", "entity_id", "type",
+            "document_id", "_doc_pos")
+        // mention_index/document_index are GLOBAL stream counters
+        // (preprocess_medmentions.py:118-137) — downstream commands use
+        // mention_index as the unique uid and the stream sort key, so a
+        // per-document index would collide across documents. Stream
+        // order here is pmid order (the reference's is its date sort,
+        // which needs the out-of-scope network enrichment). `type`
+        // stays a JSON list, matching Sources.mentionSchema.
+        flat
+          .withColumn("mention_index",
+            row_number().over(Window.orderBy(col("document_id"), col("_doc_pos"))) - 1)
+          .withColumn("document_index",
+            dense_rank().over(Window.orderBy(col("document_id"))) - 1)
+          .drop("_doc_pos")
           .coalesce(1).write.mode("overwrite").json(out)
 
       case "preprocess-kilt" =>
         Sources.projectKilt(spark.read.json(in))
+          .coalesce(1).write.mode("overwrite").json(out)
+
+      case "preprocess-zeshel" =>
+        // scripts/preprocess_zeshel.py: the documents/mentions two-file
+        // join; zeshelMentions reproduces the instance rows, the
+        // entity rows and the category-sorted global mention_index.
+        Sources.zeshelMentions(
+          spark.read.json(flags("documents")), spark.read.json(flags("mentions")))
+          .coalesce(1).write.mode("overwrite").json(out)
+
+      case "preprocess-aida" =>
+        // scripts/preprocess_aida_yago2.py: CoNLL chunks in file order,
+        // '--NME--' mentions dropped (:90-91), global mention_index
+        // (the reference resets it per train/dev/test section and
+        // writes three files; this single-file contract numbers the
+        // whole stream).
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val content = spark.read.option("wholetext", "true").text(in)
+          .as[String].collect().mkString("\n")
+        val chunks = Sources.aidaChunks(content).zipWithIndex
+        spark.createDataset(chunks)
+          .flatMap { case (c, ord) =>
+            Sources.parseAidaChunk(c).toSeq.flatMap { d =>
+              d.mentions.zipWithIndex.collect {
+                case (m, i) if m.entityId != "--NME--" =>
+                  (d.text.take(m.start), d.text.slice(m.start, m.end), d.text.drop(m.end),
+                    m.entityId, d.docId, ord.toLong, i.toLong)
+              }
+            }
+          }
+          .toDF("left_context", "mention", "right_context", "entity_id",
+            "document_id", "_doc_ord", "_m_ord")
+          .withColumn("mention_index",
+            row_number().over(Window.orderBy(col("_doc_ord"), col("_m_ord"))) - 1)
+          .drop("_doc_ord", "_m_ord")
+          .coalesce(1).write.mode("overwrite").json(out)
+
+      case "preprocess-ecbplus" =>
+        // scripts/preprocess_ecbplus.py: XML corpus scan with the
+        // optional gold-sentence CSV restriction ('{Topic}_{File}.xml'
+        // keys, :135-143); files absent from a provided CSV are skipped
+        // like the reference's gold-driven iteration.
+        import spark.implicits._
+        val gold: Map[String, Set[String]] = flags.get("gold-csv").map { path =>
+          spark.read.option("header", "true").csv(path).collect()
+            .groupBy(r => s"${r.getAs[String]("Topic")}_${r.getAs[String]("File")}.xml")
+            .view.mapValues(_.map(_.getAs[String]("Sentence Number")).toSet).toMap
+        }.getOrElse(Map.empty)
+        val goldB = spark.sparkContext.broadcast(gold)
+        spark.read.option("wholetext", "true").text(in)
+          .select(input_file_name().as("fname"), col("value"))
+          .as[(String, String)]
+          .flatMap { case (fname, xml) =>
+            val base = fname.split("/").last
+            val g = goldB.value
+            if (g.nonEmpty && !g.contains(base)) Nil
+            else Sources.parseEcbPlusXml(xml, g.get(base))
+              .map(m => (m.leftContext, m.mention, m.rightContext, m.entityId, base))
+          }
+          .toDF("left_context", "mention", "right_context", "entity_id", "document_id")
           .coalesce(1).write.mode("overwrite").json(out)
 
       case "embed" =>

@@ -181,6 +181,13 @@ object Metrics {
   /** A1+A2+A3+A6 summary row (`meercat/eval_clusters.py:196-219`): the
     * three F1s, their mean, cluster counts and the median true-cluster
     * size.
+    *
+    * Deliberate deviation: the reference's `eval_clusters.py:196`
+    * computes `median(len(x) for x in true_clusters)` over the dict
+    * KEYS — the median LENGTH OF THE CLUSTER-ID STRING, an upstream
+    * bug. `median_true_size` here is the median true-cluster SIZE (the
+    * evident intent), so this one field does not reproduce the
+    * reference's printed number.
     */
   def evalSummary(df: DataFrame, trueCol: Column, predCol: Column): DataFrame = {
     val m = muc(df, trueCol, predCol)

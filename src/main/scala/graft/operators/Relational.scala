@@ -134,6 +134,22 @@ object Relational {
       .limit(k)
   }
 
+  /** A5 extended — the "most split" twin (`meercat/error_analysis.py:
+    * 89-113`): the single TRUE cluster scattered across the most
+    * predicted clusters (deterministic tie-break on the cluster key)
+    * with its top-k example rows joined back.
+    */
+  def mostDividedExamples(df: DataFrame, trueCol: Column, predCol: Column,
+                          exampleOrd: Column, k: Int): DataFrame = {
+    val worst = df.groupBy(trueCol.as("t"))
+      .agg(countDistinct(predCol).as("n_pred"))
+      .orderBy(col("n_pred").desc, col("t"))
+      .limit(1)
+    df.join(broadcast(worst), trueCol === col("t"))
+      .orderBy(exampleOrd)
+      .limit(k)
+  }
+
   /** A6/A10 — cluster census: #clusters, median cluster size, #singletons
     * (`meercat/eval_clusters.py:196-219`, `scripts/unique_entities.py:6-14`).
     */

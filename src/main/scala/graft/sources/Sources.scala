@@ -83,13 +83,20 @@ object Sources {
     * tokens (space-joined), BIO tags → char spans.
     */
   def parseAidaChunk(chunk: String): Option[AidaDocument] = {
-    val lines = chunk.split("\n").toIndexedSeq
+    // reproduce Python file-line iteration: every "\n"-terminated
+    // segment is a line; a trailing segment without newline is one too
+    val rawLines = chunk.split("\n", -1).toIndexedSeq
+    val lines = if (chunk.endsWith("\n")) rawLines.dropRight(1) else rawLines
     if (lines.isEmpty) return None
     val header = lines.head
     val docId = "\\(([^)]*)\\)".r.findFirstMatchIn(header).map(_.group(1)).getOrElse(return None)
     val sb = new StringBuilder
     val mentions = scala.collection.mutable.ArrayBuffer.empty[AidaMention]
-    val body = lines.tail.map(_.trim).filter(_.nonEmpty)
+    // Blank lines STAY in the body (`preprocess_aida_yago2.py:36-41`):
+    // each is an empty token that appends nothing but still counts
+    // toward the remaining-line space rule below, so sentence breaks
+    // become double spaces exactly like the reference.
+    val body = lines.tail.map(_.trim)
     body.zipWithIndex.foreach { case (line, i) =>
       val split = line.split("\t")
       val token = split(0)
@@ -102,8 +109,9 @@ object Sources {
         mentions += last.copy(end = sb.length)
       }
       // Reference quirk (`preprocess_aida_yago2.py:45-46`): the space is
-      // appended only while MORE THAN ONE line remains, so the last two
-      // tokens of every document are glued together. Mirrored.
+      // appended only while MORE THAN ONE line remains (blank lines
+      // included in the count), so the last two tokens of a document
+      // with no trailing blank line are glued together. Mirrored.
       if (i < body.length - 2) sb.append(' ')
     }
     Some(AidaDocument(docId, sb.toString, mentions.toSeq))

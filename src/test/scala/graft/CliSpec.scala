@@ -20,6 +20,101 @@ class CliSpec extends SparkSpec {
     bos.toString("UTF-8")
   }
 
+  test("parseFlags accepts bare boolean flags and rejects stray tokens") {
+    Cli.parseFlags(Array("--dot-prod", "--input", "x")) shouldBe
+      Map("dot-prod" -> "true", "input" -> "x")
+    Cli.parseFlags(Array("--input", "x", "--dot-prod")) shouldBe
+      Map("dot-prod" -> "true", "input" -> "x")
+    an[IllegalArgumentException] should be thrownBy Cli.parseFlags(Array("oops"))
+  }
+
+  test("preprocess-pubtator emits globally unique mention_index and list-typed type") {
+    val pub = tmp("uid.pubtator")
+    Files.writeString(java.nio.file.Paths.get(pub),
+      """1|t|alpha beta
+        |1|a|more text
+        |1	0	5	alpha	T1,T9	C01
+        |1	6	10	beta	T2	C02
+        |
+        |2|t|alpha beta again
+        |2|a|words
+        |2	0	5	alpha	T1	C01
+        |2	6	10	beta	T2	C02
+        |""".stripMargin)
+    val out = tmp("uid-mentions")
+    Cli.run(spark, "preprocess-pubtator", Map("input" -> pub, "output" -> out))
+    val rows = spark.read.schema(graft.sources.Sources.mentionSchema).json(out)
+    import org.apache.spark.sql.functions.col
+    rows.select("mention_index").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(0L, 1L, 2L, 3L) // global, not per-document
+    rows.select("document_index").distinct().count() shouldBe 2
+    rows.where(col("mention_index") === 0)
+      .select("type").collect().head.getSeq[String](0) shouldBe Seq("T1", "T9")
+  }
+
+  test("preprocess-zeshel joins the two-file corpus into mention + entity rows") {
+    val docs = tmp("zdocs"); val ments = tmp("zments"); val out = tmp("zout")
+    Files.createDirectories(java.nio.file.Paths.get(docs))
+    Files.createDirectories(java.nio.file.Paths.get(ments))
+    Files.writeString(java.nio.file.Paths.get(docs + "/d.json"), Seq(
+      """{"document_id": "D1", "title": "Alpha", "text": "w0 w1 w2 w3 w4", "category": "cat_a"}""",
+      """{"document_id": "L1", "title": "Ent One", "text": "Ent One is great", "category": "cat_b"}""").mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(ments + "/m.json"),
+      """{"context_document_id": "D1", "label_document_id": "L1", "start_index": 1, "end_index": 2}""")
+    Cli.run(spark, "preprocess-zeshel", Map("documents" -> docs, "mentions" -> ments, "output" -> out))
+    val rows = spark.read.json(out).orderBy("mention_index").collect()
+    rows.length shouldBe 2
+    rows(0).getAs[String]("mention") shouldBe "w1 w2"
+    rows(0).getAs[String]("entity_id") shouldBe "Ent One"
+    rows(0).getAs[Long]("mention_index") shouldBe 0L
+    rows(1).getAs[String]("mention") shouldBe "Ent One"
+    rows(1).getAs[String]("right_context") shouldBe "is great"
+    rows(1).getAs[Long]("mention_index") shouldBe 1L
+  }
+
+  test("preprocess-aida drops --NME-- mentions and numbers the stream globally") {
+    val in = tmp("aida.conll"); val out = tmp("aida-out")
+    Files.writeString(java.nio.file.Paths.get(in),
+      "-DOCSTART- (1 EU)\nalpha\tB\talpha\tE0\nbeta\tB\tbeta\t--NME--\ngamma\n\n" +
+        "-DOCSTART- (2 T)\ndelta\tB\tdelta\tE1\nq7\n")
+    Cli.run(spark, "preprocess-aida", Map("input" -> in, "output" -> out))
+    val rows = spark.read.json(out).orderBy("mention_index").collect()
+    rows.map(_.getAs[String]("entity_id")).toSeq shouldBe Seq("E0", "E1") // --NME-- dropped
+    rows.map(_.getAs[Long]("mention_index")).toSeq shouldBe Seq(0L, 1L)
+    rows.map(_.getAs[String]("document_id")).toSeq shouldBe Seq("1 EU", "2 T")
+  }
+
+  test("preprocess-ecbplus parses an XML corpus under the gold-sentence CSV") {
+    val dir = tmp("ecb"); val out = tmp("ecb-out"); val goldCsv = tmp("gold.csv")
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    val xml =
+      """<Document doc_name="3_2ecb.xml">
+        |<token t_id="1" sentence="0" number="0">Officials</token>
+        |<token t_id="2" sentence="0" number="1">said</token>
+        |<token t_id="3" sentence="0" number="2">the</token>
+        |<token t_id="4" sentence="0" number="3">fire</token>
+        |<token t_id="5" sentence="1" number="0">It</token>
+        |<token t_id="6" sentence="1" number="1">burned</token>
+        |<Markables>
+        |<NON_HUMAN_PART m_id="2"><token_anchor t_id="3"/><token_anchor t_id="4"/></NON_HUMAN_PART>
+        |<HUMAN_PART m_id="5"><token_anchor t_id="5"/></HUMAN_PART>
+        |</Markables>
+        |<Relations>
+        |<CROSS_DOC_COREF r_id="r9"><source m_id="2"/><source m_id="5"/></CROSS_DOC_COREF>
+        |</Relations>
+        |</Document>""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(dir + "/3_2ecb.xml"), xml)
+    Files.writeString(java.nio.file.Paths.get(goldCsv),
+      "Topic,File,Sentence Number\n3,2ecb,0\n")
+    Cli.run(spark, "preprocess-ecbplus", Map(
+      "input" -> dir, "gold-csv" -> goldCsv, "output" -> out))
+    val rows = spark.read.json(out).collect()
+    // sentence-1 markable (m_id 5) is outside the gold sentences
+    rows.map(r => (r.getAs[String]("mention"), r.getAs[String]("entity_id"))).toSet shouldBe
+      Set(("the fire", "r9"))
+    rows.head.getAs[String]("document_id") shouldBe "3_2ecb.xml"
+  }
+
   test("E2 workflow: preprocess-pubtator -> embed -> nn-thresh -> eval-clusters") {
     // PubTator input with two entities, two mentions each (identical
     // surface strings so the hash encoder separates them perfectly)

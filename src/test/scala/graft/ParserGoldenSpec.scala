@@ -32,6 +32,25 @@ class ParserGoldenSpec extends SparkSpec {
     }
   }
 
+  // Blank lines between sentences: the reference processes them as
+  // empty tokens, so a sentence break becomes a DOUBLE space and a
+  // trailing blank line suppresses the last-two-tokens glue. Golden
+  // computed by executing preprocess_aida_yago2.parse on this fixture.
+  private val aidaBlankFixture = "-DOCSTART- (1 EU)\nalpha\tB\talpha\tE0_0\ndelta\tB\tdelta\tE0_1\nalpha\tI\t-\tE0_1\n\nalpha\nbeta\tB\tbeta\tE0_5\n\n-DOCSTART- (2 Test)\ndelta\tB\tdelta\tE1_0\nq7\n\ngamma\tB\tgamma\tE1_3\ndelta\tI\t-\tE1_3\n"
+  private val aidaBlankGolden: Seq[(String, String, Seq[(String, Int, Int)])] = Seq(
+    ("1 EU", "alpha delta alpha  alpha beta", Seq((("E0_0", 0, 5)), (("E0_1", 6, 17)), (("E0_5", 25, 29)))),
+    ("2 Test", "delta q7  gammadelta", Seq((("E1_0", 0, 5)), (("E1_3", 10, 20)))))
+
+  test("AIDA parser matches the reference on blank-line documents") {
+    val docs = Sources.aidaFromString(spark, aidaBlankFixture).collect().sortBy(_.docId)
+    docs.length shouldBe aidaBlankGolden.length
+    docs.zip(aidaBlankGolden.sortBy(_._1)).foreach { case (d, (docid, text, ms)) =>
+      d.docId shouldBe docid
+      d.text shouldBe text
+      d.mentions.map(m => (m.entityId, m.start, m.end)) shouldBe ms
+    }
+  }
+
   test("AIDA parser matches the reference parse exactly (incl. glue quirk)") {
     val docs = Sources.aidaFromString(spark, aidaFixture).collect().sortBy(_.docId)
     docs.length shouldBe aidaGolden.length
