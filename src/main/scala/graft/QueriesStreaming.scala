@@ -71,6 +71,46 @@ object QueriesStreaming {
        |  SELECT r.j, p.parent FROM r JOIN p ON r.cur = p.j WHERE p.parent <> r.cur)
        |SELECT j AS vec_id, min(cur) AS pred_cluster FROM r GROUP BY j ORDER BY vec_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("st1_streaming_greedy" -> st1StreamingGreedy)
+  /** st2 — GRINCH as a real streaming query (three micro-batches through
+    * flatMapGroupsWithState, replay-log state): the final (max-step)
+    * assignment per point. Rows-only like batch h1 — the tree automaton
+    * has no SQL form; streaming==batch parity is pinned in StreamingSpec
+    * against the reference-pinned golden fixture.
+    */
+  val st2StreamingGrinch: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingGrinch
+    import graft.streaming.StreamingGrinch.PointEvent
+    val events = Tables.load(s, dir, "embeddings")
+      .where(col("vec_id") < N)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id")
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) => PointEvent(0L, id, id, v) }
+
+    val input = MemoryStream[PointEvent]
+    val query = StreamingGrinch.flatCluster(
+      input.toDS(), graft.operators.Grinch.Params(sim = "dot", norm = "l2"), threshold = Theta)
+      .writeStream.format("memory").queryName("st2_sink").outputMode("append").start()
+    try {
+      events.grouped(events.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("step").desc)
+    s.table("st2_sink")
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("id").as("vec_id"), col("predCluster").as("pred_cluster"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "st1_streaming_greedy" -> st1StreamingGreedy,
+    "st2_streaming_grinch" -> st2StreamingGrinch)
   val oracles: Map[String, String] = Map("st1_streaming_greedy" -> st1StreamingGreedySql)
 }

@@ -479,12 +479,17 @@ object Grinch {
       pruningStrategy: String = "least_recent",
       pruningThreshold: Double = Double.NaN)
 
-  private def build(points: Array[Array[Float]], p: Params): Grinch = {
+  /** Build a tree by inserting `points` in order — the automaton's only
+    * construction path (also the streaming operator's replay restore).
+    */
+  def buildFrom(points: Array[Array[Float]], p: Params): Grinch = {
     val g = new Grinch(points, p.rotateCap, p.graftCap, p.sim, p.norm,
       p.activeLeafLimit, p.pruningStrategy, p.pruningThreshold)
     g.buildDendrogram()
     g
   }
+
+  private def build(points: Array[Array[Float]], p: Params): Grinch = buildFrom(points, p)
 
   /** Flat clustering of one stream at `threshold`: (id, pred_cluster). */
   def flatCluster(df: DataFrame, id: Column, vec: Column, order: Column,

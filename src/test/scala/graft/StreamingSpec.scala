@@ -50,6 +50,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming GRINCH matches the batch tree automaton on the golden fixture") {
+    import graft.operators.Grinch
+    import graft.streaming.StreamingGrinch
+    import graft.streaming.StreamingGrinch.PointEvent
+
+    val p = Grinch.Params(sim = "dot", norm = "l2")
+    val threshold = 0.25
+    // key 0: the 24-point reference-pinned fixture; key 1: a small
+    // independent stream proving keyed isolation
+    val evs =
+      GrinchGoldenFixture.pts.zipWithIndex.map { case (v, i) =>
+        PointEvent(0L, i.toLong, i.toLong, v)
+      }.toSeq ++ Seq(
+        PointEvent(1L, 100L, 0L, Array(1f, 0f, 0f, 0f)),
+        PointEvent(1L, 101L, 1L, Array(0.9f, 0.1f, 0f, 0f)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PointEvent]
+    val query = StreamingGrinch.flatCluster(input.toDS(), p, threshold)
+      .writeStream.format("memory").queryName("grinch_stream").outputMode("append").start()
+    try {
+      input.addData(evs.take(8))
+      query.processAllAvailable()
+      input.addData(evs.slice(8, 17))
+      query.processAllAvailable()
+      input.addData(evs.drop(17))
+      query.processAllAvailable()
+
+      // latest (max-step) assignment per (key, id)
+      val streamed = spark.table("grinch_stream")
+        .select("key", "id", "predCluster", "step").as[(Long, Long, Long, Long)]
+        .collect().groupBy(r => (r._1, r._2))
+        .map { case (k, rows) => (k._1, k._2, rows.maxBy(_._4)._3) }
+        .toSeq.sortBy(r => (r._1, r._2))
+
+      val batchDf = evs.map(e => (e.key, e.id, e.order, e.vec)).toDF("key", "id", "ord", "vec")
+      val batch = Grinch.flatClusterByKey(batchDf, col("key"), col("id"), col("vec"), col("ord"),
+        p, threshold)
+        .select("key", "id", "pred_cluster").as[(Long, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+
+      streamed shouldBe batch
+      // sanity: the fixture's three natural clusters survive streaming
+      streamed.filter(_._1 == 0L).map(_._3).distinct.size shouldBe 3
+    } finally query.stop()
+  }
+
   test("bounded state: diversity-cache strategy works under streaming with state snapshots") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[MentionEvent]
