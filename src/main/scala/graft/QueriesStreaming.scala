@@ -109,8 +109,52 @@ object QueriesStreaming {
       .orderBy("vec_id")
   }
 
+  /** st3 — dynamic entity vocabulary as a real streaming query: codes
+    * append across three micro-batches (`meercat/utils.py:46-51`), and
+    * the result hash-matches the BATCH first-occurrence dict encoding
+    * in SQL — streaming/batch/oracle three-way agreement like st1.
+    */
+  val st3StreamingVocab: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingVocab
+    import graft.streaming.StreamingVocab.TokenEvent
+    val events = Tables.load(s, dir, "events")
+      .where(col("user_id") < 50)
+      .select(col("event_id"), col("user_id").cast("string"))
+      .orderBy("event_id")
+      .as[(Long, String)]
+      .collect()
+      .map { case (ord, ent) => TokenEvent(0L, ord, ent) }
+
+    val input = MemoryStream[TokenEvent]
+    val query = StreamingVocab.dictEncode(input.toDS())
+      .writeStream.format("memory").queryName("st3_sink").outputMode("append").start()
+    try {
+      events.grouped(events.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    s.table("st3_sink")
+      .select(col("order").as("ord"), col("entity"), col("code"))
+      .orderBy("ord")
+  }
+
+  val st3StreamingVocabSql: String =
+    """WITH base AS (
+      |  SELECT event_id AS ord, cast(user_id AS VARCHAR) AS entity
+      |  FROM events WHERE user_id < 50),
+      |fo AS (SELECT entity, min(ord) AS first_seen FROM base GROUP BY entity),
+      |codes AS (SELECT entity, dense_rank() OVER (ORDER BY first_seen) - 1 AS code FROM fo)
+      |SELECT ord, entity, code FROM base JOIN codes USING (entity) ORDER BY ord""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st1_streaming_greedy" -> st1StreamingGreedy,
-    "st2_streaming_grinch" -> st2StreamingGrinch)
-  val oracles: Map[String, String] = Map("st1_streaming_greedy" -> st1StreamingGreedySql)
+    "st2_streaming_grinch" -> st2StreamingGrinch,
+    "st3_streaming_vocab" -> st3StreamingVocab)
+  val oracles: Map[String, String] = Map(
+    "st1_streaming_greedy" -> st1StreamingGreedySql,
+    "st3_streaming_vocab" -> st3StreamingVocabSql)
 }

@@ -97,6 +97,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming vocab appends codes for unseen entities and matches batch dictEncode") {
+    import graft.streaming.StreamingVocab
+    import graft.streaming.StreamingVocab.TokenEvent
+
+    val stream = Seq("b", "a", "b", "c", "a", "d", "c", "e")
+      .zipWithIndex.map { case (e, i) => TokenEvent(0L, i.toLong, e) }
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TokenEvent]
+    val query = StreamingVocab.dictEncode(input.toDS())
+      .writeStream.format("memory").queryName("vocab_stream").outputMode("append").start()
+    try {
+      input.addData(stream.take(3)) // b,a,b -> codes b=0, a=1
+      query.processAllAvailable()
+      input.addData(stream.slice(3, 6)) // c,a,d -> c appended as 2, a stays 1, d=3
+      query.processAllAvailable()
+      input.addData(stream.drop(6)) // c stays 2, e appended as 4
+      query.processAllAvailable()
+
+      val streamed = spark.table("vocab_stream")
+        .select("order", "entity", "code").as[(Long, String, Long)]
+        .collect().sortBy(_._1).toSeq
+      streamed.map(_._3) shouldBe Seq(0L, 1L, 0L, 2L, 1L, 3L, 2L, 4L)
+
+      // batch re-derivation equivalence: first-occurrence dictEncode of
+      // the whole stream assigns the same codes
+      val batchDf = stream.map(e => (e.order, e.entity)).toDF("ord", "entity")
+      val batch = graft.operators.Relational
+        .dictEncode(batchDf, col("entity"), col("ord"), "code")
+        .select("ord", "entity", "code").as[(Long, String, Int)]
+        .collect().sortBy(_._1).toSeq
+      streamed.map(r => (r._1, r._2, r._3)) shouldBe batch.map(r => (r._1, r._2, r._3.toLong))
+    } finally query.stop()
+  }
+
   test("bounded state: diversity-cache strategy works under streaming with state snapshots") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[MentionEvent]
