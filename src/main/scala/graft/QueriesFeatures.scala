@@ -48,8 +48,11 @@ object QueriesFeatures {
       |GROUP BY term ORDER BY term""".stripMargin
 
   // ---------------------------------------------------------------- m1
-  // Multimodal feature extraction over an inline binary fixture
-  // (rows-only: the decode is a stub; the batched plumbing is real).
+  // Multimodal feature extraction over an inline binary fixture. The
+  // decode STUB is a deterministic mod-p byte hash, so the oracle can
+  // recompute it from the same ASCII literals — the batched plumbing
+  // (binary columns, mapPartitions, per-partition init) is the real
+  // subject; a production decoder swaps in at the same signature.
   val m1MultimodalFeatures: Q = (s, _) => {
     import s.implicits._
     val media = Seq(
@@ -75,6 +78,30 @@ object QueriesFeatures {
       .select(col("id"), col("frame_idx"), length(col("frame")).cast("long").as("frame_len"))
       .orderBy("id", "frame_idx")
   }
+
+  val m1MultimodalFeaturesSql: String = {
+    val P = graft.functions.TextFunctions.P
+    s"""WITH media(id, s) AS (VALUES
+       |  (0, 'fake-jpeg-bytes-aaaa'), (1, 'fake-wav-bytes-bbbbbb'), (2, 'fake-mp4-bytes-cc')),
+       |h AS (
+       |  SELECT id, list_reduce(list_prepend(1::BIGINT,
+       |    list_transform(generate_series(1, length(s)),
+       |      ci -> ascii(substring(s, ci, 1))::BIGINT)),
+       |    (acc, x) -> (acc*31 + x) % $P) AS h0
+       |  FROM media)
+       |SELECT id::BIGINT AS id, 4 AS feat_dim,
+       |       (cast(h0 AS DOUBLE) / $P)::FLOAT::DOUBLE AS f0
+       |FROM h ORDER BY id""".stripMargin
+  }
+
+  // expected chunking of the 32- and 17-byte fixtures at frameBytes=4,
+  // stride=2 — pins the demux-stub plumbing (grouped + every-2nd frame,
+  // short final chunk kept)
+  val m2FrameSampleSql: String =
+    """SELECT * FROM (VALUES
+      |  (0::BIGINT, 0::BIGINT, 4::BIGINT), (0, 2, 4), (0, 4, 4), (0, 6, 4),
+      |  (1, 0, 4), (1, 2, 4), (1, 4, 1)) AS t(id, frame_idx, frame_len)
+      |ORDER BY id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------- f4
   // The embedding plug-in boundary's deterministic toy encoder: hashing
@@ -163,5 +190,7 @@ object QueriesFeatures {
     "x1_char_bigram_tf" -> x1CharBigramTfSql,
     "x2_word_df" -> x2WordDfSql,
     "f4_hash_embed" -> f4HashEmbedSql,
-    "a13_triplets" -> a13TripletsSql)
+    "a13_triplets" -> a13TripletsSql,
+    "m1_multimodal_features" -> m1MultimodalFeaturesSql,
+    "m2_frame_sample" -> m2FrameSampleSql)
 }
