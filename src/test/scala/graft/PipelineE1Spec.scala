@@ -73,6 +73,23 @@ class PipelineE1Spec extends SparkSpec {
     again.toSeq shouldBe out.toSeq
   }
 
+  test("batched-inference boundary matches the hashEmbed expression bit-for-bit") {
+    import graft.operators.BatchedInference
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "delta"), (2L, "x y z w v"),
+      (3L, "one two"), (4L, "alpha alpha"), (5L, "q"), (6L, "seven words in a row here now"))
+      .toDF("uid", "text")
+    val viaBoundary = BatchedInference.encodeMentions(
+      docs, col("uid"), TextFunctions.tokens(col("text")),
+      batchSize = 3, BatchedInference.hashEncoder(8))
+      .orderBy("uid").select("embedding").as[Array[Float]].collect()
+    val viaExpr = docs
+      .select(col("uid"), TextFunctions.hashEmbed(TextFunctions.tokens(col("text")), 8).as("e"))
+      .orderBy("uid").select("e").as[Array[Float]].collect()
+    viaBoundary.map(_.toSeq) shouldBe viaExpr.map(_.toSeq)
+  }
+
   test("P5 LaTeX escape + context ellipsis") {
     val df = Seq(("a_b & c%", "one two three four")).toDF("s", "ctx")
     val out = df.select(
