@@ -177,12 +177,120 @@ object QueriesSources {
       |AS t(mention_index, left_context, mention, right_context, entity_id, category, document_id)
       |ORDER BY mention_index""".stripMargin
 
+  // ------------------------------------------------- s1/s7/s9/s10/s11
+  // File-contract ROUNDTRIPS: each writes through the reference's file
+  // format and reads it back, and the oracle recomputes the expected
+  // relation from the parquet tables (or VALUES) directly — so the
+  // driver hash-checks the format encoding itself (float shortest-
+  // decimal, [PAD] prepend, 'None' null encoding, dd/MM/yyyy dates).
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/out"
+
+  // S1: mention JSONL write → schema'd read, incl. the date parse.
+  val s1MentionsJsonl: Q = (s, dir) => {
+    val out = tmpDir("s1")
+    Tables.load(s, dir, "documents")
+      .select(
+        lit("").as("left_context"), col("text").as("mention"),
+        lit("").as("right_context"), col("lang").as("entity_id"),
+        array(col("source")).as("type"),
+        col("doc_id").cast("string").as("document_id"),
+        col("doc_id").cast("long").as("document_index"),
+        col("doc_id").cast("long").as("mention_index"),
+        lit("15/03/2021").as("date"))
+      .write.mode("overwrite").json(out)
+    Sources.readMentionsJsonl(s, out)
+      .select(col("document_id"), col("entity_id"),
+        element_at(col("type"), 1).as("type0"),
+        col("mention_index"), col("date").cast("string").as("date"))
+      .orderBy("mention_index")
+  }
+
+  val s1MentionsJsonlSql: String =
+    """SELECT cast(doc_id AS VARCHAR) AS document_id, lang AS entity_id,
+      |       source AS type0, doc_id AS mention_index, '2021-03-15' AS date
+      |FROM documents ORDER BY mention_index""".stripMargin
+
+  // S7/S8: embedding TSV write → read, full-vector compare.
+  val s7EmbeddingTsv: Q = (s, dir) => {
+    val out = tmpDir("s7")
+    Sources.writeEmbeddingsTsv(
+      Tables.load(s, dir, "embeddings").where(col("vec_id") < 100)
+        .select(col("vec_id"), col("label").cast("string").as("entity"), col("embedding")),
+      "vec_id", "entity", "embedding", 64, out)
+    Sources.readEmbeddingsTsv(s, out)
+      .select(col("uid").as("vec_id"), col("entity_id"),
+        posexplode(col("embedding")).as(Seq("idx", "val")))
+      .select(col("vec_id"), col("entity_id"), col("idx").cast("long").as("idx"), col("val"))
+      .orderBy("vec_id", "idx")
+  }
+
+  val s7EmbeddingTsvSql: String =
+    """SELECT vec_id, cast(label AS VARCHAR) AS entity_id, i - 1 AS idx,
+      |       embedding[i]::FLOAT AS val
+      |FROM embeddings, generate_series(1, 64) AS t(i)
+      |WHERE vec_id < 100 ORDER BY vec_id, idx""".stripMargin
+
+  // S9: vocab CSV write ([PAD] prepend) → read.
+  val s9VocabCsv: Q = (s, dir) => {
+    val out = tmpDir("s9")
+    Sources.writeVocabCsv(
+      graft.operators.Relational.frequencyVocab(
+        Tables.load(s, dir, "events"), col("user_id")), out)
+    Sources.readVocabCsv(s, out).orderBy("entity", "cnt")
+  }
+
+  val s9VocabCsvSql: String =
+    """SELECT entity, cnt FROM (
+      |  SELECT '[PAD]' AS entity, 0::BIGINT AS cnt
+      |  UNION ALL
+      |  SELECT cast(user_id AS VARCHAR), cast(count(*) AS BIGINT) FROM events GROUP BY user_id)
+      |ORDER BY entity, cnt""".stripMargin
+
+  // S10: cluster-pairs CSV write → read.
+  val s10PairsCsv: Q = (s, dir) => {
+    val out = tmpDir("s10")
+    Sources.writeClusterPairs(
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+      "lang", "source", "doc_id", out)
+    Sources.readClusterPairs(s, out).orderBy("true_id", "pred_id")
+  }
+
+  val s10PairsCsvSql: String =
+    """SELECT lang AS true_id, source AS pred_id FROM documents
+      |ORDER BY true_id, pred_id""".stripMargin
+
+  // S11: dendrogram TSV roundtrip on a fixture tree — pins the 'None'
+  // null encoding for parent/label on both directions.
+  val s11DendrogramTsv: Q = (s, _) => {
+    import s.implicits._
+    val out = tmpDir("s11")
+    val tree = Seq(
+      ("4", null, null), ("3", "4", null),
+      ("0", "3", "x"), ("1", "3", "y"), ("2", "4", "x"))
+      .toDF("uid", "parent_uid", "label")
+    Sources.writeDendrogramTsv(tree, out)
+    Sources.readDendrogramTsv(s, out).orderBy("uid")
+  }
+
+  val s11DendrogramTsvSql: String =
+    """SELECT * FROM (VALUES
+      |  ('0', '3', 'x'), ('1', '3', 'y'), ('2', '4', 'x'),
+      |  ('3', '4', NULL), ('4', NULL, NULL))
+      |AS t(uid, parent_uid, label) ORDER BY uid""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s2_pubtator" -> s2PubTator,
     "s3_aida" -> s3Aida,
     "s4_zeshel" -> s4Zeshel,
     "s5_ecbplus" -> s5EcbPlus,
     "s6_kilt" -> s6Kilt,
+    "s1_mentions_jsonl" -> s1MentionsJsonl,
+    "s7_embedding_tsv" -> s7EmbeddingTsv,
+    "s9_vocab_csv" -> s9VocabCsv,
+    "s10_pairs_csv" -> s10PairsCsv,
+    "s11_dendrogram_tsv" -> s11DendrogramTsv,
     "p1_flatten" -> p1Flatten,
     "p2_context_window" -> p2ContextWindow)
 
@@ -192,6 +300,11 @@ object QueriesSources {
     "s4_zeshel" -> s4ZeshelSql,
     "s5_ecbplus" -> s5EcbPlusSql,
     "s6_kilt" -> s6KiltSql,
+    "s1_mentions_jsonl" -> s1MentionsJsonlSql,
+    "s7_embedding_tsv" -> s7EmbeddingTsvSql,
+    "s9_vocab_csv" -> s9VocabCsvSql,
+    "s10_pairs_csv" -> s10PairsCsvSql,
+    "s11_dendrogram_tsv" -> s11DendrogramTsvSql,
     "p1_flatten" -> p1FlattenSql,
     "p2_context_window" -> p2ContextWindowSql)
 }
