@@ -11,8 +11,10 @@ import graft.operators.GreedyClustering.Params
   * The backwards-unlimited variant has a closed relational form —
   * parent(j) = max{i < j : cos(i,j) > θ}, cluster = parent-chain root —
   * which a recursive CTE reproduces, so g1/g2 get full DuckDB oracles
-  * despite being sequential folds on the Spark side. Eviction strategies
-  * (g3) and bisection (g4) are inherently stateful/iterative → rows-only.
+  * despite being sequential folds on the Spark side — and even the g4
+  * bisection is oracle-exact (max-prior reformulation + scalar
+  * recursive CTE, see g4 below). Only the eviction strategies (g3) are
+  * genuinely state-dependent → rows-only, pinned by GreedySpec goldens.
   */
 object QueriesGreedy {
   import QueriesRelational.Q
@@ -95,6 +97,14 @@ object QueriesGreedy {
 
   // ---------------------------------------------------------------- g4
   // C8 threshold bisection targeting #labels clusters (capped).
+  //
+  // Oracle-able despite being iterative: for backwards-unlimited greedy
+  // clustering, a row roots a cluster iff NO prior row scores above θ,
+  // i.e. iff max_prior(j) = max{cos(i,j) : i<j} <= θ. One O(n²)
+  // aggregation computes max_prior per row, after which each bisection
+  // step is a trivial count — so the whole loop is a scalar recursive
+  // CTE mirroring the lo/hi updates, the ε = n/1000 stop, and the
+  // 12-iteration cap exactly.
   val g4FindThreshold: Q = (s, dir) => {
     val emb = Tables.load(s, dir, "embeddings")
     val target = emb.agg(countDistinct(col("label"))).collect().head.getLong(0)
@@ -106,6 +116,31 @@ object QueriesGreedy {
     Seq((theta, n)).toDF("threshold", "n_clusters")
   }
 
+  val g4FindThresholdSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |mp AS (
+       |  SELECT j.vec_id AS j,
+       |         max(${sqlDot("i.embedding", "j.embedding")} / (i.nrm * j.nrm)) AS max_prior
+       |  FROM e j LEFT JOIN e i ON i.vec_id < j.vec_id
+       |  GROUP BY j.vec_id),
+       |tgt AS (SELECT count(DISTINCT label) AS target, count(*) AS n FROM embeddings),
+       |iter(it, lo, hi, th, c) AS (
+       |  SELECT 0, 0.0::DOUBLE, 1.0::DOUBLE, NULL::DOUBLE, (-1)::BIGINT
+       |  UNION ALL
+       |  SELECT it + 1,
+       |         CASE WHEN nc < (SELECT target FROM tgt) THEN nth ELSE lo END,
+       |         CASE WHEN nc < (SELECT target FROM tgt) THEN hi ELSE nth END,
+       |         nth, nc
+       |  FROM (
+       |    SELECT it, lo, hi, (lo + hi) / 2 AS nth,
+       |           (SELECT count(*) FROM mp WHERE max_prior IS NULL OR max_prior <= (lo + hi) / 2) AS nc
+       |    FROM iter
+       |    WHERE it < 12 AND (c = -1 OR abs(c - (SELECT target FROM tgt)) > (SELECT n FROM tgt) / 1000.0)
+       |  ) s)
+       |SELECT th AS threshold, c AS n_clusters FROM iter
+       |WHERE th IS NOT NULL ORDER BY it DESC LIMIT 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "g1_greedy_nn" -> g1GreedyNn,
     "g2_greedy_by_label" -> g2GreedyByLabel,
@@ -114,5 +149,6 @@ object QueriesGreedy {
 
   val oracles: Map[String, String] = Map(
     "g1_greedy_nn" -> g1GreedyNnSql,
-    "g2_greedy_by_label" -> g2GreedyByLabelSql)
+    "g2_greedy_by_label" -> g2GreedyByLabelSql,
+    "g4_find_threshold" -> g4FindThresholdSql)
 }
