@@ -56,6 +56,11 @@ final class Grinch(
   private val parents = Array.fill(maxNodes)(-1)
   private val numDescendants = Array.fill(maxNodes)(-1.0)
   private val activeLeaves = new Array[Boolean](maxNodes)
+  // sorted mirror of activeLeaves: cknn / prune / the budget check scan
+  // O(active) ≤ leafLimit entries instead of every allocated node slot —
+  // the difference between O(n·limit) and O(n²) per stream. Ascending
+  // iteration preserves the reference's first-max (lowest id) tie-break.
+  private val activeSet = mutable.TreeSet.empty[Int]
   private val firstUsed = new Array[Int](maxNodes)
   private var nextNodeId = n
   private var currentStep = 0
@@ -124,10 +129,7 @@ final class Grinch(
         graft(parent)
       }
     }
-    var active = 0
-    var k = 0
-    while (k < nextNodeId) { if (activeLeaves(k)) active += 1; k += 1 }
-    if (active > leafLimit) prune()
+    if (activeSet.size > leafLimit) prune()
     currentStep += 1
   }
 
@@ -139,6 +141,7 @@ final class Grinch(
     computeCentroid(i)
     firstUsed(i) = currentStep
     activeLeaves(i) = true
+    activeSet += i
   }
 
   /** 1-NN among active leaves with off-limits masks (`:213-237`);
@@ -147,13 +150,11 @@ final class Grinch(
   private def cknn(vec: Array[Float], off1: Set[Int], off2: Set[Int]): Option[Int] = {
     var best = -1
     var bestSim = Double.NegativeInfinity
-    var k = 0
-    while (k < nextNodeId) {
-      if (activeLeaves(k) && !off1.contains(k) && !off2.contains(k)) {
+    activeSet.foreach { k =>
+      if (!off1.contains(k) && !off2.contains(k)) {
         val s = csim(vec, centroids(k))
         if (s > bestSim) { bestSim = s; best = k }
       }
-      k += 1
     }
     if (best >= 0) Some(best) else None
   }
@@ -282,11 +283,9 @@ final class Grinch(
     */
   private def prune(): Unit = {
     val counts = mutable.SortedMap.empty[Int, Int]
-    var k = 0
-    while (k < nextNodeId) {
-      if (activeLeaves(k) && parents(k) >= 0)
+    activeSet.foreach { k =>
+      if (parents(k) >= 0)
         counts.update(parents(k), counts.getOrElse(parents(k), 0) + 1)
-      k += 1
     }
     val candidates = counts.iterator.collect { case (p, 2) => p }.toArray
     if (candidates.isEmpty) return // reference assumes non-empty; guard instead of crash
@@ -305,10 +304,13 @@ final class Grinch(
     }
     if (needsUpdateModel(pruned)) singleUpdate(pruned)
     activeLeaves(pruned) = true
+    activeSet += pruned
     numDescendants(pruned) = 1
     descendants(pruned).clear()
     descendants(pruned) += pruned
-    children(pruned).foreach { c => activeLeaves(c) = false; numDescendants(c) = -1 }
+    children(pruned).foreach { c =>
+      activeLeaves(c) = false; activeSet -= c; numDescendants(c) = -1
+    }
     var cur = parents(pruned)
     while (cur != -1) { updatedFromChildren(cur); cur = parents(cur) }
   }
