@@ -30,6 +30,22 @@ class PuritySpec extends SparkSpec {
     }
   }
 
+  test("distributed roll-up handles a degenerate chain (height = rounds worst case)") {
+    // caterpillar: internal node k has leaf l_k and internal k+1 as
+    // children — every round completes exactly one node while the rest
+    // of the frontier waits, the roll-up's worst case.
+    val depth = 12
+    val nodes = (0 until depth).flatMap { k =>
+      val internal = Trees.TreeNode(s"n$k", if (k == 0) None else Some(s"n${k - 1}"), None)
+      val leaf = Trees.TreeNode(s"l$k", Some(s"n$k"), Some(if (k % 3 == 0) "a" else "b"))
+      Seq(internal, leaf)
+    } :+ Trees.TreeNode("lend", Some(s"n${depth - 1}"), Some("a"))
+    import spark.implicits._
+    val df = nodes.map(n => (n.uid, n.parentUid.orNull, n.label.orNull))
+      .toDF("uid", "parent_uid", "label")
+    Trees.dendrogramPurityDF(df) shouldBe Trees.dendrogramPurity(nodes) +- 1e-9
+  }
+
   cases.zipWithIndex.foreach { case ((tsv, labels, expected), i) =>
     test(s"distributed histogram roll-up matches the reference on random tree $i") {
       import spark.implicits._
