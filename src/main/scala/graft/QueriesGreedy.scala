@@ -85,8 +85,11 @@ object QueriesGreedy {
 
   // ---------------------------------------------------------------- g3
   // C5/C6/C7 eviction strategies: bounded store of 50, diversity-cache
-  // policy. Sequential state semantics → rows-only driver check; pinned
-  // by GreedySpec golden cases instead.
+  // policy. Even this stateful fold gets a full oracle: a recursive CTE
+  // carries the bounded store as a LIST of structs and replays the
+  // exact step semantics — last-link parent, per-link last_seen
+  // touches, the always-true cosine self-touch, most-similar eviction
+  // on link / first-min LRU otherwise, evict-at-exactly-limit quirk.
   val g3GreedyDiversityCache: Q = (s, dir) =>
     GreedyClustering.clusterSorted(
       Tables.load(s, dir, "embeddings"),
@@ -94,6 +97,62 @@ object QueriesGreedy {
       Params("diversity-cache", limit = 50, threshold = Theta, cosine = true))
       .select(col("id").as("vec_id"), col("pred_cluster"))
       .orderBy("vec_id")
+
+  val g3GreedyDiversityCacheSql: String = {
+    val Lim = 50
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
+        s"di -> $a[di] * $b[di])), (acc, x) -> acc + x)"
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+       |         list_transform(generate_series(1, $Dim), ei -> embedding[ei]::DOUBLE) AS v
+       |  FROM embeddings),
+       |e2 AS (SELECT vec_id, rn, v, sqrt(${dot("v", "v")}) AS nrm FROM e),
+       |cnt AS (SELECT count(*) AS n FROM e2),
+       |st(i, vec_id, cluster, store) AS (
+       |  SELECT 0::BIGINT, e2.vec_id, e2.vec_id,
+       |         [struct_pack(cluster := e2.vec_id, last_seen := 0::BIGINT, v := e2.v, nrm := e2.nrm)]
+       |  FROM e2 WHERE rn = 0
+       |  UNION ALL
+       |  SELECT i, cur_id, cluster,
+       |         CASE WHEN len(appended) = $Lim
+       |              THEN appended[1:ev_idx-1] || appended[ev_idx+1:len(appended)]
+       |              ELSE appended END AS store
+       |  FROM (
+       |    SELECT i, cur_id, cluster, appended,
+       |           CASE WHEN any_link THEN list_position(sims, list_max(sims))
+       |                ELSE list_position(ls, list_min(ls)) END AS ev_idx
+       |    FROM (
+       |      SELECT i, cur_id, cluster, sims, any_link,
+       |             list_append(updated, struct_pack(
+       |               cluster := cluster, last_seen := i, v := cv, nrm := cn)) AS appended,
+       |             list_transform(updated, u -> u.last_seen) AS ls
+       |      FROM (
+       |        SELECT i, cur_id, cv, cn, sims,
+       |               parent_idx > 0 AS any_link,
+       |               CASE WHEN parent_idx = 0 THEN cur_id ELSE store[parent_idx].cluster END AS cluster,
+       |               list_transform(generate_series(1, len(store)), ui -> struct_pack(
+       |                 cluster := store[ui].cluster,
+       |                 last_seen := CASE WHEN sims[ui] > $Theta THEN i ELSE store[ui].last_seen END,
+       |                 v := store[ui].v, nrm := store[ui].nrm)) AS updated
+       |      FROM (
+       |        SELECT i, cur_id, cv, cn, store, sims,
+       |               coalesce(list_reduce(list_prepend(0::BIGINT,
+       |                 list_transform(generate_series(1, len(sims)),
+       |                   si -> CASE WHEN sims[si] > $Theta THEN si ELSE 0 END)),
+       |                 (a2, x2) -> greatest(a2, x2)), 0) AS parent_idx
+       |        FROM (
+       |          SELECT st.i + 1 AS i, x.vec_id AS cur_id, x.v AS cv, x.nrm AS cn, st.store AS store,
+       |                 list_transform(st.store, s -> ${dot("s.v", "x.v")} / (s.nrm * x.nrm)) AS sims
+       |          FROM st JOIN e2 x ON x.rn = st.i + 1
+       |          WHERE st.i + 1 < (SELECT n FROM cnt)
+       |        ) s0
+       |      ) s1
+       |      ) s2
+       |    ) s3
+       |  ) s4)
+       |SELECT vec_id, cluster AS pred_cluster FROM st ORDER BY vec_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- g4
   // C8 threshold bisection targeting #labels clusters (capped).
@@ -150,5 +209,6 @@ object QueriesGreedy {
   val oracles: Map[String, String] = Map(
     "g1_greedy_nn" -> g1GreedyNnSql,
     "g2_greedy_by_label" -> g2GreedyByLabelSql,
+    "g3_greedy_diversity_cache" -> g3GreedyDiversityCacheSql,
     "g4_find_threshold" -> g4FindThresholdSql)
 }
