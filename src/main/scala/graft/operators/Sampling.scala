@@ -42,15 +42,24 @@ object Sampling {
       .groupBy(col("e")).agg(
         min(when(col("rk") === 1, col("rid"))).as("pos_1"),
         min(when(col("rk") === 2, col("rid"))).as("pos_2"))
-    // negative entity: hash-argmin over the other entities
+    // negative entity: hash-argmin over the other entities. The argmin
+    // over "all but me" is the GLOBAL top-2 by (hash, entity) — top-1
+    // unless that is the anchor itself — so this is a distributed
+    // top-k (TakeOrdered) + a broadcast 1-row cross join, O(#entities),
+    // never the O(E²) anchors×entities non-equi join.
     val ents = ranked.select(col("e")).distinct()
       .withColumn("eh",
         (graft.functions.TextFunctions.stringHash(col("e").cast("string")) + seed) % P)
-    val negPick = pos.select(col("e"))
-      .join(broadcast(ents.select(col("e").as("ne"), col("eh"))), col("e") =!= col("ne"))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("e")).orderBy(col("eh"), col("ne"))))
-      .where(col("rk") === 1)
-      .select(col("e"), col("ne"))
+    val top2 = ents.select(col("e").as("ne"), col("eh"))
+      .orderBy(col("eh"), col("ne")).limit(2)
+      .withColumn("rk", row_number().over(Window.orderBy(col("eh"), col("ne"))))
+      .groupBy().agg(
+        min(when(col("rk") === 1, col("ne"))).as("ne1"),
+        min(when(col("rk") === 2, col("ne"))).as("ne2"))
+    val negPick = pos.select(col("e")).crossJoin(broadcast(top2))
+      .select(col("e"),
+        when(col("e") =!= col("ne1"), col("ne1")).otherwise(col("ne2")).as("ne"))
+      .where(col("ne").isNotNull)
     // negative row: the bucket's rank-1 row
     val negRow = ranked.where(col("rk") === 1).select(col("e").as("ne"), col("rid").as("neg"))
     pos.join(negPick, "e").join(negRow, "ne")
