@@ -41,10 +41,21 @@ object QueriesGrinch {
     Seq(purity).toDF("purity")
   }
 
+  /** h4 — the scale path: one independent GRINCH tree per label key,
+    * built in parallel partitions (Grinch.flatClusterByKey). Rows-only
+    * like h1; per-key parity with single-stream trees is spec-pinned.
+    */
+  val h4GrinchByLabel: Q = (s, dir) =>
+    Grinch.flatClusterByKey(Tables.load(s, dir, "embeddings"),
+      col("label"), col("vec_id"), col("embedding"), col("vec_id"), P, threshold = 0.25)
+      .select(col("key").as("label"), col("id").as("vec_id"), col("pred_cluster"))
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
     "h1_grinch_flat" -> h1GrinchFlat,
     "h2_grinch_dendrogram" -> h2GrinchDendrogram,
-    "h3_grinch_purity" -> h3GrinchPurity)
+    "h3_grinch_purity" -> h3GrinchPurity,
+    "h4_grinch_by_label" -> h4GrinchByLabel)
 
   val oracles: Map[String, String] = Map.empty
 }

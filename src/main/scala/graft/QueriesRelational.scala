@@ -322,6 +322,20 @@ object QueriesRelational {
       |FROM documents JOIN worst ON lang = tt
       |ORDER BY doc_id LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------------- k1
+  // Skew-salted two-phase aggregation (the hot-key escape hatch from
+  // operators.Skew): exact integer cents, deterministic salt — so the
+  // salted plan is oracle-identical to the plain groupBy.
+  val k1SaltedSum: Q = (s, dir) =>
+    graft.operators.Skew.saltedSum(
+      t(s, dir, "events"), col("user_id"), cents(col("value")), col("event_id"), 16)
+      .orderBy("k")
+
+  val k1SaltedSumSql: String =
+    """SELECT user_id AS k,
+      |       cast(sum(cast(round(value*100, 0) as bigint)) as bigint) AS total
+      |FROM events GROUP BY user_id ORDER BY k""".stripMargin
+
   // ---------------------------------------------------------------- a11
   // Positional split routing (preprocess_medmentions.py:100-114).
   val a11SplitRouting: Q = (s, dir) => {
@@ -412,7 +426,8 @@ object QueriesRelational {
     "a6_census" -> a6Census,
     "a5_conflated_divided" -> a5ConflatedDivided,
     "a11_split_routing" -> a11SplitRouting,
-    "a12_user_running" -> a12UserRunning)
+    "a12_user_running" -> a12UserRunning,
+    "k1_salted_sum" -> k1SaltedSum)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
@@ -432,5 +447,6 @@ object QueriesRelational {
     "a6_census" -> a6CensusSql,
     "a5_conflated_divided" -> a5ConflatedDividedSql,
     "a11_split_routing" -> a11SplitRoutingSql,
-    "a12_user_running" -> a12UserRunningSql)
+    "a12_user_running" -> a12UserRunningSql,
+    "k1_salted_sum" -> k1SaltedSumSql)
 }
