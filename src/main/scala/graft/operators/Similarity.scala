@@ -125,7 +125,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val base = df.select(id.as("vid"), vec.as("v"))
       .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fv").setPredictionCol("cell")
+    // a coarse quantizer does not need converged centroids — 5 Lloyd
+    // iterations give stable cells at a fraction of the default-20 fit
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(base)
     val assigned = model.transform(base)
       .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
