@@ -21,6 +21,7 @@ import graft.sources.Sources
   *   embed                ≙ meercat/embed.py (deterministic hash encoder
   *                          standing in for the transformer)
   *   nn-thresh            ≙ meercat/nn_thresh.py
+  *   combo                ≙ meercat/combo.py
   *   string-match         ≙ meercat/string_match.py
   *   oracle-wd            ≙ meercat/oracle_wd.py
   *   grinch               ≙ meercat/cluster_w_grinch.py (+ write_tree)
@@ -262,6 +263,37 @@ object Cli {
           cosine = false) // dot of the concat IS the blended cosine
         val clusters = GreedyClustering.clusterSorted(encoded, col("uid"), col("embedding"), col("uid"), p)
         writePairs(spark, encoded.select(col("uid"), col("entity_id")), clusters, out)
+
+      case "combo" =>
+        // meercat/combo.py: w·(fitted char-bigram TF cosine) +
+        // (1−w)·(precomputed embedding dot) greedy clustering. The
+        // blend folds into one vector per mention — concat(√w·m,
+        // √(1−w)·c) — so a raw dot reproduces combo's score matrix
+        // row-for-row. --threshold clusters directly; otherwise the
+        // reference's bisection targets #distinct entities.
+        import org.apache.spark.ml.functions.vector_to_array
+        val w = flags.getOrElse("weight", "0.5").toDouble
+        val mentions = spark.read.json(in)
+        val emb = Sources.readEmbeddingsTsv(spark, flags("embeddings"))
+        val model = FeaturePipelines.charBigramTf("mention", "__mvec").fit(mentions)
+        val mv = model.transform(mentions)
+          .select(col("mention_index").cast("long").as("uid"), col("entity_id"),
+            vector_to_array(col("__mvec")).cast("array<float>").as("mvec"))
+        val joined = mv.join(emb.select(col("uid"), col("embedding").as("cvec")), "uid")
+        val scaled = concat(
+          transform(col("mvec"), x => (x * math.sqrt(w)).cast("float")),
+          transform(col("cvec"), x => (x * math.sqrt(1 - w)).cast("float")))
+        val encoded = joined.select(col("uid"), col("entity_id"), scaled.as("embedding")).persist()
+        val p = Params(strategy = "backwards", limit = -1, cosine = false)
+        val theta = flags.get("threshold").map(_.toDouble).getOrElse {
+          val target = encoded.agg(countDistinct(col("entity_id"))).collect().head.getLong(0)
+          GreedyClustering.findThreshold(
+            encoded, col("uid"), col("embedding"), col("uid"), p, target)._1
+        }
+        val clusters = GreedyClustering.clusterSorted(
+          encoded, col("uid"), col("embedding"), col("uid"), p.copy(threshold = theta))
+        writePairs(spark, encoded.select(col("uid"), col("entity_id")), clusters, out)
+        encoded.unpersist()
 
       case "split-unseen" =>
         // scripts/split_unseen.py: route test mentions by whether their

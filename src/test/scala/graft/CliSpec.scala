@@ -202,6 +202,39 @@ class CliSpec extends SparkSpec {
     report should include("n_pred_clusters 2")
   }
 
+  test("combo blends fitted bigram similarity with provided embeddings") {
+    val mentions = tmp("cm"); val embTsv = tmp("cemb.tsv"); val pairs = tmp("cp")
+    val rows = Seq(
+      """{"mention": "aardvark", "entity_id": "A", "mention_index": 0}""",
+      """{"mention": "zymurgy", "entity_id": "B", "mention_index": 1}""",
+      """{"mention": "aardvark", "entity_id": "A", "mention_index": 2}""",
+      """{"mention": "zymurgy", "entity_id": "B", "mention_index": 3}""")
+    Files.createDirectories(java.nio.file.Paths.get(mentions))
+    Files.writeString(java.nio.file.Paths.get(mentions + "/part.json"), rows.mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(embTsv),
+      """0	A	1.0	0.0
+        |1	B	0.0	1.0
+        |2	A	1.0	0.0
+        |3	B	0.0	1.0
+        |""".stripMargin)
+    Cli.run(spark, "combo", Map(
+      "input" -> mentions, "embeddings" -> embTsv, "output" -> pairs, "threshold" -> "0.6"))
+    val report = captureOut {
+      Cli.run(spark, "eval-clusters", Map("input" -> pairs))
+    }
+    report should include regex "muc_f1\\s+1\\.000000"
+    report should include("n_pred_clusters 2")
+
+    // bisection path: no --threshold, target = 2 entities
+    val pairs2 = tmp("cp2")
+    Cli.run(spark, "combo", Map(
+      "input" -> mentions, "embeddings" -> embTsv, "output" -> pairs2))
+    val report2 = captureOut {
+      Cli.run(spark, "eval-clusters", Map("input" -> pairs2))
+    }
+    report2 should include("n_pred_clusters 2")
+  }
+
   test("split-unseen routes by train-entity membership") {
     val train = tmp("tr"); val test = tmp("te")
     Files.createDirectories(java.nio.file.Paths.get(train))
