@@ -13,11 +13,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, parquet footers) so the first timed
-    // query doesn't absorb startup cost.
+    // Warm the session (codegen, parquet footers, streaming state
+    // store) so the first timed query doesn't absorb startup cost.
     Tables.names.foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
     }
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val warm = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = warm.toDS().groupByKey(identity).count()
+        .writeStream.format("memory").queryName("__warmup").outputMode("complete").start()
+      warm.addData(1L, 2L)
+      q.processAllAvailable()
+      q.stop()
+    } catch { case _: Throwable => () }
     // sorted-name order: Map iteration is hash-ordered, which shuffles
     // which query absorbs one-time warmup (codegen, streaming state
     // store) between runs — deterministic order makes rounds comparable
