@@ -150,11 +150,70 @@ object QueriesStreaming {
       |codes AS (SELECT entity, dense_rank() OVER (ORDER BY first_seen) - 1 AS code FROM fo)
       |SELECT ord, entity, code FROM base JOIN codes USING (entity) ORDER BY ord""".stripMargin
 
+  /** st4 — watermarked tumbling-window event aggregation as a real
+    * streaming query: ts-ascending micro-batches (so nothing is
+    * late-dropped), a far-future sentinel flushes the final windows
+    * past the watermark, and the Append-mode output hash-matches the
+    * batch GROUP BY oracle — the event-time analytics twin of w1.
+    * Cents stay integer (exact sum); the ns→µs timestamp floor cannot
+    * cross an hour boundary, so buckets agree with the ns oracle.
+    */
+  val st4StreamingWindows: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingAnalytics
+    val rows = Tables.load(s, dir, "events")
+      .where(col("user_id") < 30)
+      .select(col("ts").cast("long"), col("event_type"),
+        round(col("value") * 100, 0).cast("long"))
+      .orderBy("ts")
+      .as[(Long, String, Long)]
+      .collect()
+      .map { case (ns, et, cents) =>
+        val t = new java.sql.Timestamp(ns / 1000000L)
+        t.setNanos((ns % 1000000000L).toInt)
+        (t, et, cents)
+      }
+    val sentinel = {
+      val t = new java.sql.Timestamp(rows.last._1.getTime + 86400L * 1000L)
+      (t, "___flush", 0L)
+    }
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val query = StreamingAnalytics.windowedEventStats(
+      input.toDS().toDF("ts", "event_type", "cents"),
+      col("ts"), col("event_type"), col("cents"),
+      window = "1 hour", slide = "1 hour", watermark = "1 minute")
+      .writeStream.format("memory").queryName("st4_sink").outputMode("append").start()
+    try {
+      val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        input.addData(chunk.toSeq ++ (if (i == chunks.length - 1) Seq(sentinel) else Nil))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    s.table("st4_sink")
+      .where(col("key") =!= "___flush")
+      .select((col("win_start").cast("long") / 3600L).cast("long").as("hour_bucket"),
+        col("key").as("event_type"), col("n_events"), col("total").as("total_cents"))
+      .orderBy("hour_bucket", "event_type")
+  }
+
+  val st4StreamingWindowsSql: String =
+    """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+      |       count(*) AS n_events,
+      |       cast(sum(cast(round(value*100, 0) as bigint)) as bigint) AS total_cents
+      |FROM events WHERE user_id < 30
+      |GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st1_streaming_greedy" -> st1StreamingGreedy,
     "st2_streaming_grinch" -> st2StreamingGrinch,
-    "st3_streaming_vocab" -> st3StreamingVocab)
+    "st3_streaming_vocab" -> st3StreamingVocab,
+    "st4_streaming_windows" -> st4StreamingWindows)
   val oracles: Map[String, String] = Map(
     "st1_streaming_greedy" -> st1StreamingGreedySql,
-    "st3_streaming_vocab" -> st3StreamingVocabSql)
+    "st3_streaming_vocab" -> st3StreamingVocabSql,
+    "st4_streaming_windows" -> st4StreamingWindowsSql)
 }
