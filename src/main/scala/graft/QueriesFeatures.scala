@@ -79,6 +79,29 @@ object QueriesFeatures {
       .orderBy("id", "frame_idx")
   }
 
+  // ---------------------------------------------------------------- m3
+  // Metadata-level media resize: aspect-preserving integer-floor target
+  // dims, pure double arithmetic — oracle recomputes from the same
+  // literal dims.
+  val m3ResizeMeta: Q = (s, _) => {
+    import s.implicits._
+    val media = Seq((0L, 4000, 3000), (1L, 800, 600), (2L, 100, 2000))
+      .toDF("id", "width", "height")
+    Multimodal.resizeMeta(media, maxSide = 1024)
+      .select(col("id"), col("width"), col("height"),
+        col("out_width"), col("out_height"))
+      .orderBy("id")
+  }
+
+  val m3ResizeMetaSql: String =
+    """WITH media(id, width, height) AS (VALUES
+      |  (0::BIGINT, 4000, 3000), (1, 800, 600), (2, 100, 2000)),
+      |s AS (SELECT *, least(1.0::DOUBLE, 1024.0 / greatest(width, height)) AS sc FROM media)
+      |SELECT id, width, height,
+      |       cast(floor(width * sc) AS INTEGER) AS out_width,
+      |       cast(floor(height * sc) AS INTEGER) AS out_height
+      |FROM s ORDER BY id""".stripMargin
+
   val m1MultimodalFeaturesSql: String = {
     val P = graft.functions.TextFunctions.P
     s"""WITH media(id, s) AS (VALUES
@@ -184,7 +207,8 @@ object QueriesFeatures {
     "f4_hash_embed" -> f4HashEmbed,
     "a13_triplets" -> a13Triplets,
     "m1_multimodal_features" -> m1MultimodalFeatures,
-    "m2_frame_sample" -> m2FrameSample)
+    "m2_frame_sample" -> m2FrameSample,
+    "m3_resize_meta" -> m3ResizeMeta)
 
   val oracles: Map[String, String] = Map(
     "x1_char_bigram_tf" -> x1CharBigramTfSql,
@@ -192,5 +216,6 @@ object QueriesFeatures {
     "f4_hash_embed" -> f4HashEmbedSql,
     "a13_triplets" -> a13TripletsSql,
     "m1_multimodal_features" -> m1MultimodalFeaturesSql,
-    "m2_frame_sample" -> m2FrameSampleSql)
+    "m2_frame_sample" -> m2FrameSampleSql,
+    "m3_resize_meta" -> m3ResizeMetaSql)
 }

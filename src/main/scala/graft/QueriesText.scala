@@ -105,6 +105,19 @@ object QueriesText {
        |                   (acc, h) -> (acc*131 + h) % $P) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t4
+  // BPE-ish sub-word token count: RE2-compatible GPT-2-style
+  // pretokenizer regex, identical counts on both engines.
+  val t4BpeTokens: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  val t4BpeTokensSql: String =
+    s"""SELECT doc_id, len(regexp_extract_all(text, '${TextFunctions.bpeishPattern}')) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d1
   // Exact deduplication: canonical = min doc_id per identical text.
   val d1ExactDedup: Q = (s, dir) =>
@@ -232,6 +245,7 @@ object QueriesText {
     "t1_token_quality" -> t1TokenQuality,
     "t2_langid" -> t2LangId,
     "t3_fingerprint" -> t3Fingerprint,
+    "t4_bpe_tokens" -> t4BpeTokens,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_bands" -> d2MinhashBands,
     "d3_minhash_neardup" -> d3MinhashNeardup,
@@ -242,6 +256,7 @@ object QueriesText {
     "t1_token_quality" -> t1TokenQualitySql,
     "t2_langid" -> t2LangIdSql,
     "t3_fingerprint" -> t3FingerprintSql,
+    "t4_bpe_tokens" -> t4BpeTokensSql,
     "d1_exact_dedup" -> d1ExactDedupSql,
     "d2_minhash_bands" -> d2MinhashBandsSql,
     "d3_minhash_neardup" -> d3MinhashNeardupSql,

@@ -121,6 +121,16 @@ object TextFunctions {
       transform(sequence(lit(1), length(s) - 2),
         i => call_function("substring", s, i, lit(3))))
 
+  /** BPE-ish sub-word segmentation count: a GPT-2-style pretokenizer
+    * regex simplified to the RE2-compatible subset (no lookahead), so
+    * the same pattern runs on any engine — leading-space-attached
+    * letter runs, digit runs, punctuation runs, residual spaces.
+    */
+  val bpeishPattern: String = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
   /** Stopword list used by quality scoring and language-ID. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
