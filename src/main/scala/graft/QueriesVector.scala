@@ -170,6 +170,43 @@ object QueriesVector {
        |WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- v7
+  // Multi-table RHP-LSH ANN (3 independent hyperplane sets, union of
+  // bucket joins, dedupe, exact top-3): the recall knob over v2 —
+  // deterministic seeds, so the oracle recomputes every table.
+  val v7RhpMultiTable: Q = (s, dir) =>
+    Similarity.rhpAnnTopKMulti(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), AnnBits, Dim, 3, nTables = 3, Seed)
+      .orderBy("query_id", "rank")
+
+  val v7RhpMultiTableSql: String = {
+    // sqlRhpW with the per-table seed expression (42 + t*7919); the
+    // OUTER parens are load-bearing — without them the caller's
+    // `embedding[i] * …` binds before the `% p`
+    def rhpW(k: String, i: String): String =
+      s"((((42 + t*7919) + ($k)*$Dim + (($i)-1)) * 2654435761) % 1000000007 - 500000003)"
+    val bucket =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, ${AnnBits - 1}), k -> k::BIGINT)), " +
+        s"(acc, k) -> acc*2 + CASE WHEN " +
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
+        s"i -> embedding[i]::DOUBLE * ${rhpW("k", "i")}::DOUBLE)), (a2, x) -> a2 + x) > 0 THEN 1 ELSE 0 END)"
+    s"""WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, t, $bucket AS bucket
+       |  FROM e, generate_series(0, 2) AS ts(t)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+       |  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT qid, cid, ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
+       |  FROM cand JOIN e q ON q.vec_id = qid JOIN e c ON c.vec_id = cid),
+       |ranked AS (
+       |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank, sim
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- v6
   // IVF-style ANN (KMeans coarse quantizer, search own cell only) —
   // rows-only: the centroid fit's float math is not SQL-reproducible.
@@ -185,6 +222,7 @@ object QueriesVector {
     "v4_blend_scores" -> v4BlendScores,
     "v5_l2_normalize" -> v5L2Normalize,
     "v6_ivf_ann" -> v6IvfAnn,
+    "v7_rhp_multitable" -> v7RhpMultiTable,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
   val oracles: Map[String, String] = Map(
@@ -193,5 +231,6 @@ object QueriesVector {
     "v3_gram_pairs" -> v3GramPairsSql,
     "v4_blend_scores" -> v4BlendScoresSql,
     "v5_l2_normalize" -> v5L2NormalizeSql,
+    "v7_rhp_multitable" -> v7RhpMultiTableSql,
     "d6_embedding_neardup" -> d6EmbeddingNeardupSql)
 }

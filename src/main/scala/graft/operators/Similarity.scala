@@ -96,6 +96,34 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("sim"))
   }
 
+  /** Multi-table RHP-LSH ANN: `nTables` independent hyperplane sets
+    * (seed offsets), candidates = union of per-table bucket joins,
+    * deduped before the exact ranking — the standard LSH recall knob
+    * (probability a true neighbor shares ≥1 of L buckets →
+    * 1-(1-p^b)^L). Each table shuffles on its own bucket key; the
+    * union is linear in total bucket occupancy, never n².
+    */
+  def rhpAnnTopKMulti(df: DataFrame, id: Column, vec: Column, nBits: Int, dim: Int, k: Int,
+                      nTables: Int, seed: Long = 42L): DataFrame = {
+    val base = df.select(id.as("vid"), vec.as("v"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
+    val sigs = (0 until nTables).map { t =>
+      base.withColumn("bucket", VectorFunctions.rhpSignature(col("v"), nBits, dim, seed + t * 7919L))
+        .withColumn("tbl", lit(t))
+    }.reduce(_ unionByName _)
+    val a = sigs.select(col("tbl"), col("bucket"), col("vid").as("qid"), col("v").as("qvec"), col("nrm").as("qnrm"))
+    val b = sigs.select(col("tbl"), col("bucket"), col("vid").as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
+    val cand = a.join(b, Seq("tbl", "bucket")).where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qvec"), col("qnrm"), col("cid"), col("cvec"), col("cnrm"))
+      .distinct() // a pair may collide in several tables — rank it once
+      .withColumn("sim", cosOf(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: RHP-LSH bucket join, then
     * exact cosine ≥ threshold — the embedding lens of the dedup pack
     * (bucketed like nearDupPairs, cosine instead of Jaccard).

@@ -64,6 +64,17 @@ class VectorSpec extends SparkSpec {
     a should not be empty
   }
 
+  test("multi-table LSH finds at least the single-table candidates") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val single = Similarity.rhpAnnTopK(df, col("vec_id"), col("embedding"), 4, 3, 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.rhpAnnTopKMulti(df, col("vec_id"), col("embedding"), 4, 3, 4, nTables = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // table 0 of the multi variant IS the single table (same seed), and
+    // k exceeds the candidate counts here, so recall can only grow
+    single.subsetOf(multi) shouldBe true
+  }
+
   test("gramPairs emits each unordered pair once") {
     val df = vecs.toDF("vec_id", "embedding")
     val out = Similarity.gramPairs(df, col("vec_id"), col("embedding")).collect()
