@@ -207,13 +207,55 @@ object QueriesStreaming {
       |FROM events WHERE user_id < 30
       |GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
 
+  /** st5 — streaming exact dedup: Structured Streaming's stateful
+    * `dropDuplicates` keeps the first arrival per text across
+    * micro-batches (the d1 operator's streaming twin; state is one
+    * entry per DISTINCT text). Output is the deduped text-hash set —
+    * survivor identity within a duplicate group is arrival-order
+    * detail, the retained KEY set is deterministic and oracle-exact.
+    */
+  val st5StreamingDedup: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, String)]
+      .collect()
+
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDS().toDF("doc_id", "text")
+      .dropDuplicates("text")
+      .select(graft.functions.TextFunctions.stringHash(col("text")).as("text_hash"))
+      .writeStream.format("memory").queryName("st5_sink").outputMode("append").start()
+    try {
+      rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    s.table("st5_sink").orderBy("text_hash")
+  }
+
+  val st5StreamingDedupSql: String = {
+    val P = graft.functions.TextFunctions.P
+    s"""SELECT DISTINCT list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(generate_series(1, length(text)),
+       |    ci -> ascii(substring(text, ci, 1))::BIGINT)),
+       |  (acc, x) -> (acc*31 + x) % $P) AS text_hash
+       |FROM documents ORDER BY text_hash""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "st1_streaming_greedy" -> st1StreamingGreedy,
     "st2_streaming_grinch" -> st2StreamingGrinch,
     "st3_streaming_vocab" -> st3StreamingVocab,
-    "st4_streaming_windows" -> st4StreamingWindows)
+    "st4_streaming_windows" -> st4StreamingWindows,
+    "st5_streaming_dedup" -> st5StreamingDedup)
   val oracles: Map[String, String] = Map(
     "st1_streaming_greedy" -> st1StreamingGreedySql,
     "st3_streaming_vocab" -> st3StreamingVocabSql,
-    "st4_streaming_windows" -> st4StreamingWindowsSql)
+    "st4_streaming_windows" -> st4StreamingWindowsSql,
+    "st5_streaming_dedup" -> st5StreamingDedupSql)
 }

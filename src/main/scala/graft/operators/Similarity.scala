@@ -142,15 +142,19 @@ object Similarity {
   }
 
   /** IVF-style ANN: a spark.ml KMeans coarse quantizer assigns every
-    * vector to a cell; queries search only their own cell (nProbe=1
-    * analog). The centroid fit is the one global pass; the search join
-    * shuffles on cell id — the classic inverted-file trade of recall
-    * for candidate-set size, complementary to the RHP-LSH path.
+    * vector to a cell; queries probe their `nProbe` nearest cells
+    * (corpus side stays single-cell — the inverted file). The centroid
+    * fit is the one global pass; the search join shuffles on cell id;
+    * the query-side cell ranking is a broadcast of the (tiny) centroid
+    * table — the classic inverted-file trade of recall for
+    * candidate-set size, complementary to the RHP-LSH path.
     */
   def ivfTopK(df: DataFrame, id: Column, vec: Column, nCells: Int, k: Int,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, nProbe: Int = 1): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    import spark.implicits._
     val base = df.select(id.as("vid"), vec.as("v"))
       .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
     // a coarse quantizer does not need converged centroids — 5 Lloyd
@@ -161,9 +165,25 @@ object Similarity {
     val assigned = model.transform(base)
       .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
       .select(col("cell"), col("vid"), col("v"), col("nrm"))
-    val a = assigned.select(col("cell"), col("vid").as("qid"), col("v").as("qvec"), col("nrm").as("qnrm"))
     val b = assigned.select(col("cell"), col("vid").as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
+    val a =
+      if (nProbe <= 1)
+        assigned.select(col("cell"), col("vid").as("qid"), col("v").as("qvec"), col("nrm").as("qnrm"))
+      else {
+        val centers = broadcast(model.clusterCenters.toSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+          .toDF("pcell", "centroid"))
+        val wq = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("pcell"))
+        assigned.select(col("vid").as("qid"), col("v").as("qvec"), col("nrm").as("qnrm"))
+          .crossJoin(centers)
+          .withColumn("cdist", VectorFunctions.sqDist(col("qvec"), col("centroid")))
+          .withColumn("crk", row_number().over(wq))
+          .where(col("crk") <= nProbe)
+          .select(col("pcell").as("cell"), col("qid"), col("qvec"), col("qnrm"))
+      }
     val cand = a.join(b, Seq("cell")).where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qvec"), col("qnrm"), col("cid"), col("cvec"), col("cnrm"))
+      .distinct() // a neighbor may appear via several probed cells
       .withColumn("sim", cosOf(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     cand.withColumn("rank", row_number().over(w))

@@ -64,6 +64,18 @@ class VectorSpec extends SparkSpec {
     a should not be empty
   }
 
+  test("IVF nProbe=2 finds at least the nProbe=1 neighbors") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val one = Similarity.ivfTopK(df, col("vec_id"), col("embedding"), nCells = 2, k = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val two = Similarity.ivfTopK(df, col("vec_id"), col("embedding"), nCells = 2, k = 4, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // k exceeds candidate counts at this size, so probing more cells
+    // can only add neighbors
+    one.subsetOf(two) shouldBe true
+    two.size should be >= one.size
+  }
+
   test("multi-table LSH finds at least the single-table candidates") {
     val df = vecs.toDF("vec_id", "embedding")
     val single = Similarity.rhpAnnTopK(df, col("vec_id"), col("embedding"), 4, 3, 4)
