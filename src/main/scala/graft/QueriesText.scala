@@ -241,7 +241,53 @@ object QueriesText {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- st6
+  // Streaming MinHash-LSH candidate generation: documents band-hashed
+  // at ingest, bucket-keyed state emits pairs on arrival, streaming
+  // dropDuplicates collapses multi-band collisions. The emitted pair
+  // set hash-matches the batch d2-join oracle — streaming = batch = SQL
+  // for the dedup pack's candidate stage.
+  val st6StreamingNeardup: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingNearDup
+    import graft.streaming.StreamingNearDup.BandEvent
+    val bandRows = Dedup.minHashBands(
+      Tables.load(s, dir, "documents"), col("doc_id"), shingleSet, dedupK, dedupR)
+      .select(col("doc"), col("band"), col("band_hash"))
+      .orderBy("doc", "band")
+      .as[(Long, Int, Long)]
+      .collect()
+      .zipWithIndex
+      .map { case ((doc, band, bh), i) =>
+        BandEvent(band.toLong * 2000000011L + bh, doc, i.toLong)
+      }
+
+    val input = MemoryStream[BandEvent]
+    val query = StreamingNearDup.lshCandidates(input.toDS())
+      .toDF("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .writeStream.format("memory").queryName("st6_sink").outputMode("append").start()
+    try {
+      bandRows.grouped(bandRows.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    s.table("st6_sink").orderBy("doc_a", "doc_b")
+  }
+
+  val st6StreamingNeardupSql: String =
+    s"""WITH $sqlBandCtes
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st6_streaming_neardup" -> st6StreamingNeardup,
     "t1_token_quality" -> t1TokenQuality,
     "t2_langid" -> t2LangId,
     "t3_fingerprint" -> t3Fingerprint,
@@ -253,6 +299,7 @@ object QueriesText {
     "d5_ngram_jaccard" -> d5NgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    "st6_streaming_neardup" -> st6StreamingNeardupSql,
     "t1_token_quality" -> t1TokenQualitySql,
     "t2_langid" -> t2LangIdSql,
     "t3_fingerprint" -> t3FingerprintSql,
