@@ -157,9 +157,11 @@ object Similarity {
     import spark.implicits._
     val base = df.select(id.as("vid"), vec.as("v"))
       .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
-    // a coarse quantizer does not need converged centroids — 5 Lloyd
-    // iterations give stable cells at a fraction of the default-20 fit
+    // a coarse quantizer does not need converged centroids — random
+    // init (k-means|| costs several extra passes) + 5 Lloyd iterations
+    // give stable cells at a fraction of the default fit
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(base)
     val assigned = model.transform(base)
