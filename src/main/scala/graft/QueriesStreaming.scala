@@ -247,15 +247,49 @@ object QueriesStreaming {
        |FROM documents ORDER BY text_hash""".stripMargin
   }
 
+  /** st7 — the BOUNDED-memory streaming clusterer: diversity-cache
+    * eviction (store of 50) through three micro-batches; the identical
+    * state machine as batch g3, so it hash-matches g3's
+    * store-replaying recursive-CTE oracle — streaming + eviction =
+    * batch = SQL.
+    */
+  val st7StreamingDiversityCache: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val events = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id")
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) => MentionEvent(0L, id, id, v) }
+
+    val input = MemoryStream[MentionEvent]
+    val query = StreamingClustering.greedyCluster(
+      input.toDS(), Params("diversity-cache", limit = 50, threshold = Theta, cosine = true))
+      .writeStream.format("memory").queryName("st7_sink").outputMode("append").start()
+    try {
+      events.grouped(events.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    s.table("st7_sink")
+      .select(col("id").as("vec_id"), col("predCluster").as("pred_cluster"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "st1_streaming_greedy" -> st1StreamingGreedy,
     "st2_streaming_grinch" -> st2StreamingGrinch,
     "st3_streaming_vocab" -> st3StreamingVocab,
     "st4_streaming_windows" -> st4StreamingWindows,
-    "st5_streaming_dedup" -> st5StreamingDedup)
+    "st5_streaming_dedup" -> st5StreamingDedup,
+    "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
     "st1_streaming_greedy" -> st1StreamingGreedySql,
     "st3_streaming_vocab" -> st3StreamingVocabSql,
     "st4_streaming_windows" -> st4StreamingWindowsSql,
-    "st5_streaming_dedup" -> st5StreamingDedupSql)
+    "st5_streaming_dedup" -> st5StreamingDedupSql,
+    "st7_streaming_diversity_cache" -> QueriesGreedy.g3GreedyDiversityCacheSql)
 }
