@@ -30,6 +30,39 @@ class PuritySpec extends SparkSpec {
     }
   }
 
+  Seq(7L, 99L).foreach { seedVal =>
+    test(s"distributed roll-up matches the driver fold on a random binary tree (seed $seedVal)") {
+      // seeded random topology: grow by replacing a random leaf slot
+      // with an internal node holding two fresh leaves
+      val rnd = new scala.util.Random(seedVal)
+      val nodes = scala.collection.mutable.ArrayBuffer(
+        Trees.TreeNode("n0", None, None))
+      val open = scala.collection.mutable.ArrayBuffer("n0")
+      var next = 1
+      while (nodes.length < 120) {
+        val parent = open.remove(rnd.nextInt(open.length))
+        val kids = Seq(s"n$next", s"n${next + 1}")
+        next += 2
+        kids.foreach { k =>
+          if (rnd.nextBoolean() && nodes.length > 20) {
+            nodes += Trees.TreeNode(k, Some(parent), Some("L" + rnd.nextInt(5)))
+          } else {
+            nodes += Trees.TreeNode(k, Some(parent), None)
+            open += k
+          }
+        }
+      }
+      // close remaining open slots as labeled leaves
+      val closed = nodes.map { n =>
+        if (open.contains(n.uid)) n.copy(label = Some("L" + rnd.nextInt(5))) else n
+      }.toSeq
+      import spark.implicits._
+      val df = closed.map(n => (n.uid, n.parentUid.orNull, n.label.orNull))
+        .toDF("uid", "parent_uid", "label")
+      Trees.dendrogramPurityDF(df) shouldBe Trees.dendrogramPurity(closed) +- 1e-9
+    }
+  }
+
   test("distributed roll-up handles a degenerate chain (height = rounds worst case)") {
     // caterpillar: internal node k has leaf l_k and internal k+1 as
     // children — every round completes exactly one node while the rest
