@@ -204,6 +204,15 @@ object QueriesRelational {
       |      FROM events)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- p7b
+  // The vocabulary-scale dict encoding: range-partitioned sort +
+  // zipWithIndex ranking instead of the single-partition window — same
+  // codes (unique order column), same oracle.
+  val p7bDictEncodeDistributed: Q = (s, dir) =>
+    Relational.dictEncodeDistributed(t(s, dir, "events"), col("user_id"), col("event_id"), "code")
+      .select(col("event_id"), col("user_id"), col("code"))
+      .orderBy("event_id")
+
   // ---------------------------------------------------------------- c9
   // Exact string-match clustering (string_match.py:20-28).
   val c9StringMatch: Q = (s, dir) => {
@@ -419,6 +428,7 @@ object QueriesRelational {
     "a7_seen_customers" -> a7SeenCustomers,
     "a7_unseen_customers" -> a7UnseenCustomers,
     "p7_dict_encode" -> p7DictEncode,
+    "p7b_dict_encode_distributed" -> p7bDictEncodeDistributed,
     "c9_string_match" -> c9StringMatch,
     "c10_oracle_wd" -> c10OracleWd,
     "a8_max_active" -> a8MaxActive,
@@ -440,6 +450,7 @@ object QueriesRelational {
     "a7_seen_customers" -> a7SeenCustomersSql,
     "a7_unseen_customers" -> a7UnseenCustomersSql,
     "p7_dict_encode" -> p7DictEncodeSql,
+    "p7b_dict_encode_distributed" -> p7DictEncodeSql,
     "c9_string_match" -> c9StringMatchSql,
     "c10_oracle_wd" -> c10OracleWdSql,
     "a8_max_active" -> a8MaxActiveSql,

@@ -36,6 +36,28 @@ object Relational {
     df.join(if (broadcastCodes) broadcast(codes) else codes, key === col("_k")).drop("_k")
   }
 
+  /** P7 at vocabulary scale: when the key cardinality rivals the fact
+    * table, the single-partition ranking window in [[dictEncode]] is
+    * the bottleneck — this variant ranks the aggregated dictionary
+    * with a RANGE-PARTITIONED sort + per-partition index offsets
+    * (`zipWithIndex`: one extra job to count partitions), so no single
+    * task ever holds the dictionary. Same codes as [[dictEncode]] when
+    * `orderCol` is globally unique (the mention-index contract — with
+    * unique order values dense_rank ≡ row_number ≡ sorted position).
+    */
+  def dictEncodeDistributed(df: DataFrame, key: Column, orderCol: Column, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val codes = df.groupBy(key.as("_k")).agg(min(orderCol).as("_first_seen"))
+    val keyField = codes.schema.head
+    val rankedRdd = codes.orderBy(col("_first_seen")).rdd.zipWithIndex()
+      .map { case (row, idx) => org.apache.spark.sql.Row(row.get(0), idx) }
+    val ranked = spark.createDataFrame(rankedRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        keyField.copy(name = "_k"),
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType, nullable = false))))
+    df.join(ranked, key === col("_k")).drop("_k")
+  }
+
   /** P6 — composite key (`meercat/oracle_wd.py:31`). Null-propagating
     * like SQL `a || '::' || b` (a null input nulls the key), unlike
     * concat_ws which silently skips nulls and can conflate ("x", null)

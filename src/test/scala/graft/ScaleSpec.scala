@@ -53,6 +53,17 @@ class ScaleSpec extends SparkSpec {
     out(1).toSeq shouldBe Seq(10f, 0f)
   }
 
+  test("distributed dictEncode ranks without a single-partition window and matches the window form") {
+    val df = (1 to 5000).map(i => (s"k${i % 700}", i.toLong)).toDF("k", "ord").repartition(8)
+    val win = graft.operators.Relational.dictEncode(df, col("k"), col("ord"), "code")
+      .select(col("k"), col("ord"), col("code").cast("long").as("code"))
+      .orderBy("ord").collect().map(_.toSeq).toSeq
+    val dist = graft.operators.Relational.dictEncodeDistributed(df, col("k"), col("ord"), "code")
+      .select(col("k"), col("ord"), col("code"))
+      .orderBy("ord").collect().map(_.toSeq).toSeq
+    dist shouldBe win
+  }
+
   test("distributed dendrogram purity rolls up a 131k-leaf tree without collecting it") {
     // heap-numbered balanced binary tree: node i has parent i/2; leaves
     // are the bottom level, labeled cyclically. Built with spark.range —
