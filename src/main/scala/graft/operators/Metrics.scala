@@ -96,8 +96,11 @@ object Metrics {
       .select(col("t").cast("string"), col("p").cast("string"), col("c"), col("ts"), col("ps"))
       .collect()
 
-    val trueIds = triples.map(_.getString(0)).distinct.zipWithIndex.toMap
-    val predIds = triples.map(_.getString(1)).distinct.zipWithIndex.toMap
+    // sorted ids: collect order varies with partitioning, and the final
+    // total sums matched weights in column order — sorting makes the
+    // float-sum order (hence the last ULP) run-deterministic
+    val trueIds = triples.map(_.getString(0)).distinct.sorted.zipWithIndex.toMap
+    val predIds = triples.map(_.getString(1)).distinct.sorted.zipWithIndex.toMap
     val nT = trueIds.size
     val nP = predIds.size
     val phi = Array.ofDim[Double](nT, nP)
