@@ -207,6 +207,34 @@ object QueriesVector {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- v8
+  // Int8 scalar quantization of the embedding table (the 100 TB storage
+  // path): per-row max-abs scale, codes exploded for exact comparison.
+  val v8QuantizeInt8: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings").where(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.quantizeScale(col("embedding")).as("scale"))
+    e.select(col("vec_id"), col("scale"),
+        posexplode(VectorFunctions.quantizeInt8(col("embedding"), col("scale"))).as(Seq("idx", "q")))
+      .select(col("vec_id"), col("idx").cast("long").as("idx"), col("q"), col("scale"))
+      .orderBy("vec_id", "idx")
+  }
+
+  val v8QuantizeInt8Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         list_reduce(list_prepend(0.0::DOUBLE,
+       |           list_transform(generate_series(1, $Dim), mi -> abs(embedding[mi]::DOUBLE))),
+       |           (acc, x) -> greatest(acc, x)) AS maxabs
+       |  FROM embeddings WHERE vec_id < 200),
+       |sc AS (SELECT vec_id, embedding,
+       |              CASE WHEN maxabs = 0 THEN 1.0::DOUBLE ELSE maxabs / 127.0 END AS scale
+       |       FROM e)
+       |SELECT vec_id, i - 1 AS idx,
+       |       cast(round(embedding[i]::DOUBLE / scale) AS INTEGER) AS q, scale
+       |FROM sc, generate_series(1, $Dim) AS t(i)
+       |ORDER BY vec_id, idx""".stripMargin
+
   // ---------------------------------------------------------------- v6
   // IVF-style ANN (KMeans coarse quantizer, search own cell only) —
   // rows-only: the centroid fit's float math is not SQL-reproducible.
@@ -223,6 +251,7 @@ object QueriesVector {
     "v5_l2_normalize" -> v5L2Normalize,
     "v6_ivf_ann" -> v6IvfAnn,
     "v7_rhp_multitable" -> v7RhpMultiTable,
+    "v8_quantize_int8" -> v8QuantizeInt8,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
   val oracles: Map[String, String] = Map(
@@ -232,5 +261,6 @@ object QueriesVector {
     "v4_blend_scores" -> v4BlendScoresSql,
     "v5_l2_normalize" -> v5L2NormalizeSql,
     "v7_rhp_multitable" -> v7RhpMultiTableSql,
+    "v8_quantize_int8" -> v8QuantizeInt8Sql,
     "d6_embedding_neardup" -> d6EmbeddingNeardupSql)
 }

@@ -59,6 +59,28 @@ object VectorFunctions {
   def sqDist(a: Column, b: Column): Column =
     Shim.column(SqDistExpr(Shim.expression(a), Shim.expression(b)))
 
+  /** Per-row int8 quantization scale: max(|v|)/127 (1.0 for the zero
+    * vector). At 100 TB the embedding table IS the storage bill —
+    * symmetric scalar quantization cuts it 4× while dot products stay
+    * computable as (int dot) · scaleA · scaleB. Max-selection is exact
+    * (no float accumulation), so the scale is engine-portable.
+    */
+  def quantizeScale(vec: Column): Column = {
+    val maxAbs = aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+    when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+  }
+
+  /** Quantize to int8 codes with a precomputed [[quantizeScale]]:
+    * q_i = round(v_i / scale) ∈ [−127, 127]. Spark's HALF_UP and
+    * DuckDB's round both round halves away from zero — oracle-exact.
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast("double") / scale).cast("int"))
+
+  /** Dequantize int8 codes back to float: q_i · scale. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => (x.cast("double") * scale).cast("float"))
+
   /** Deterministic pseudo-random hyperplane component: integer-exact
     * (Knuth multiplicative hash mod p, shifted to be sign-balanced), so
     * any engine reproduces the same plane bit-for-bit — unlike

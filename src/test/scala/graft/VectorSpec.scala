@@ -64,6 +64,21 @@ class VectorSpec extends SparkSpec {
     a should not be empty
   }
 
+  test("int8 quantize/dequantize roundtrip bounds the error by scale/2") {
+    val df = Seq((0L, Array(0.5f, -1.0f, 0.003f)), (1L, Array(0f, 0f, 0f))).toDF("id", "v")
+      .select(col("id"), col("v"), VectorFunctions.quantizeScale(col("v")).as("s"))
+    val out = df.select(col("id"), col("v"), col("s"),
+      VectorFunctions.dequantizeInt8(
+        VectorFunctions.quantizeInt8(col("v"), col("s")), col("s")).as("d"))
+      .as[(Long, Array[Float], Double, Array[Float])].collect().sortBy(_._1)
+    out.foreach { case (_, v, s, d) =>
+      v.zip(d).foreach { case (a, b) =>
+        math.abs(a.toDouble - b.toDouble) should be <= (s / 2 + 1e-9)
+      }
+    }
+    out(1)._4.toSeq shouldBe Seq(0f, 0f, 0f) // zero vector survives (scale 1)
+  }
+
   test("IVF nProbe=2 finds at least the nProbe=1 neighbors") {
     val df = vecs.toDF("vec_id", "embedding")
     val one = Similarity.ivfTopK(df, col("vec_id"), col("embedding"), nCells = 2, k = 4)
