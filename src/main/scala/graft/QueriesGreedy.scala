@@ -200,15 +200,56 @@ object QueriesGreedy {
        |SELECT th AS threshold, c AS n_clusters FROM iter
        |WHERE th IS NOT NULL ORDER BY it DESC LIMIT 1""".stripMargin
 
+  // ---------------------------------------------------------------- g5
+  // The baseline/combo SCALAR clustering variant (baseline.py:64-69):
+  // unmasked link-set — later rows relabel earlier ones. The oracle
+  // carries the full label vector through a recursive CTE, one step
+  // per row, reading the step's own label once (numpy's vectorized
+  // assignment) and the rest from the pre-step vector.
+  val g5ScalarCluster: Q = (s, dir) =>
+    GreedyClustering.clusterScalarSorted(
+      Tables.load(s, dir, "embeddings").where(col("vec_id") < 150),
+      col("vec_id"), col("embedding"), col("vec_id"),
+      Params("backwards", limit = -1, threshold = Theta, cosine = true))
+      .select(col("id").as("vec_id"), col("pred_cluster"))
+      .orderBy("vec_id")
+
+  val g5ScalarClusterSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm,
+       |         row_number() OVER (ORDER BY vec_id) AS rn
+       |  FROM embeddings WHERE vec_id < 150),
+       |cnt AS (SELECT count(*) AS n FROM e),
+       |srows AS (
+       |  SELECT a.rn AS i,
+       |         list(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) ORDER BY b.rn) AS sims
+       |  FROM e a JOIN e b ON true GROUP BY a.rn),
+       |st(i, labels) AS (
+       |  SELECT 0::BIGINT, list_transform(generate_series(1, (SELECT n FROM cnt)), x -> x)
+       |  UNION ALL
+       |  SELECT st.i + 1,
+       |         list_transform(generate_series(1, (SELECT n FROM cnt)),
+       |           jj -> CASE WHEN s.sims[jj] > $Theta THEN st.labels[st.i + 1]
+       |                      ELSE st.labels[jj] END)
+       |  FROM st JOIN srows s ON s.i = st.i + 1
+       |  WHERE st.i < (SELECT n FROM cnt)),
+       |final AS (SELECT labels FROM st WHERE i = (SELECT n FROM cnt))
+       |SELECT e.vec_id AS vec_id, e2.vec_id AS pred_cluster
+       |FROM e, final, e e2
+       |WHERE e2.rn = final.labels[e.rn]
+       |ORDER BY e.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "g1_greedy_nn" -> g1GreedyNn,
     "g2_greedy_by_label" -> g2GreedyByLabel,
     "g3_greedy_diversity_cache" -> g3GreedyDiversityCache,
-    "g4_find_threshold" -> g4FindThreshold)
+    "g4_find_threshold" -> g4FindThreshold,
+    "g5_scalar_cluster" -> g5ScalarCluster)
 
   val oracles: Map[String, String] = Map(
     "g1_greedy_nn" -> g1GreedyNnSql,
     "g2_greedy_by_label" -> g2GreedyByLabelSql,
     "g3_greedy_diversity_cache" -> g3GreedyDiversityCacheSql,
-    "g4_find_threshold" -> g4FindThresholdSql)
+    "g4_find_threshold" -> g4FindThresholdSql,
+    "g5_scalar_cluster" -> g5ScalarClusterSql)
 }

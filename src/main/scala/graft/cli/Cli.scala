@@ -261,7 +261,10 @@ object Cli {
           strategy = "backwards", limit = -1,
           threshold = flags.getOrElse("threshold", "0.76").toDouble,
           cosine = false) // dot of the concat IS the blended cosine
-        val clusters = GreedyClustering.clusterSorted(encoded, col("uid"), col("embedding"), col("uid"), p)
+        // baseline.py:64-69 clusters with the UNMASKED scalar loop
+        // (later rows relabel earlier ones), not the nn_thresh fold
+        val clusters = GreedyClustering.clusterScalarSorted(
+          encoded, col("uid"), col("embedding"), col("uid"), p)
         writePairs(spark, encoded.select(col("uid"), col("entity_id")), clusters, out)
 
       case "combo" =>
@@ -285,14 +288,25 @@ object Cli {
           transform(col("cvec"), x => (x * math.sqrt(1 - w)).cast("float")))
         val encoded = joined.select(col("uid"), col("entity_id"), scaled.as("embedding")).persist()
         val p = Params(strategy = "backwards", limit = -1, cosine = false)
+        // combo.py clusters with the UNMASKED scalar loop; its
+        // find_threshold (combo.py:43-59) bisects over that same
+        // clusterer (iteration-capped here — the reference's copy can
+        // loop forever, SURVEY §7.4)
+        def scalarAt(th: Double) = GreedyClustering.clusterScalarSorted(
+          encoded, col("uid"), col("embedding"), col("uid"), p.copy(threshold = th))
         val theta = flags.get("threshold").map(_.toDouble).getOrElse {
           val target = encoded.agg(countDistinct(col("entity_id"))).collect().head.getLong(0)
-          GreedyClustering.findThreshold(
-            encoded, col("uid"), col("embedding"), col("uid"), p, target)._1
+          val eps = encoded.count() / 1000.0
+          var lo = 0.0; var hi = 1.0; var th = 0.5; var nc = -1L; var it = 0
+          while (math.abs(nc - target) > eps && it < 12) {
+            th = (lo + hi) / 2
+            nc = scalarAt(th).agg(countDistinct(col("pred_cluster"))).collect().head.getLong(0)
+            if (nc < target) lo = th else hi = th
+            it += 1
+          }
+          th
         }
-        val clusters = GreedyClustering.clusterSorted(
-          encoded, col("uid"), col("embedding"), col("uid"), p.copy(threshold = theta))
-        writePairs(spark, encoded.select(col("uid"), col("entity_id")), clusters, out)
+        writePairs(spark, encoded.select(col("uid"), col("entity_id")), scalarAt(theta), out)
         encoded.unpersist()
 
       case "split-unseen" =>

@@ -183,6 +183,51 @@ object GreedyClustering {
       .toDF("id", "pred_cluster")
   }
 
+  /** The SCALAR clustering variant (`meercat/baseline.py:64-69`,
+    * `meercat/combo.py:63-68`): unlike the nn_thresh fold, the
+    * link-set is UNMASKED — at step i every row j (earlier ones too)
+    * with S[i,j] > θ is rewritten to clusters[i]'s current value, so
+    * later rows can relabel earlier ones. Inherently whole-matrix
+    * (the reference materializes S); one sorted partition computes the
+    * n·d-memory fold with n² similarity evaluations — bounded inputs
+    * only, like the reference. Output: (id, pred_cluster = the row id
+    * of the final cluster index), matching clusterSorted's contract.
+    */
+  def clusterScalarSorted(df: DataFrame, id: Column, vec: Column, order: Column,
+                          p: Params): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("_1"), vec.cast("array<float>").as("_2"), order.cast("long").as("_3"))
+      .as[(Long, Array[Float], Long)]
+      .repartition(1).sortWithinPartitions(col("_3"))
+      .mapPartitions { it =>
+        val rows = it.toArray
+        val n = rows.length
+        def dot(a: Array[Float], b: Array[Float]): Double = {
+          var s = 0.0; var k = 0
+          while (k < a.length) { s += a(k).toDouble * b(k).toDouble; k += 1 }
+          s
+        }
+        val nrm = rows.map(r => math.sqrt(dot(r._2, r._2)))
+        val cl = Array.tabulate(n)(identity)
+        var i = 0
+        while (i < n) {
+          val ci = cl(i) // read once — numpy's vectorized assignment
+          var j = 0
+          while (j < n) {
+            val s =
+              if (p.cosine) dot(rows(i)._2, rows(j)._2) / (nrm(i) * nrm(j))
+              else dot(rows(i)._2, rows(j)._2)
+            if (s > p.threshold) cl(j) = ci
+            j += 1
+          }
+          i += 1
+        }
+        rows.iterator.zipWithIndex.map { case ((rid, _, _), j) => (rid, rows(cl(j))._1) }
+      }
+      .toDF("id", "pred_cluster")
+  }
+
   /** Scale-out variant: independent streams per key, clustered in
     * parallel — repartition by key, sort each partition by (key, order),
     * run one State per contiguous key run. Output adds the key column.
