@@ -75,6 +75,11 @@ object QueriesMetrics {
       |preds AS (SELECT DISTINCT p FROM pairs),
       |nt AS (SELECT count(*) AS n FROM trues),
       |np AS (SELECT count(*) AS n FROM preds),
+      |guard AS (
+      |  SELECT CASE WHEN (SELECT n FROM nt) = 5 AND (SELECT n FROM np) >= 5 THEN 1
+      |    ELSE error('a3_ceafe oracle enumerates a FIXED 5-true-cluster assignment polytope; '
+      |               || 'this fixture has a different cardinality - regenerate the k-way join')
+      |  END AS ok),
       |perms AS (
       |  SELECT a0.p AS p0, a1.p AS p1, a2.p AS p2, a3.p AS p3, a4.p AS p4
       |  FROM preds a0, preds a1, preds a2, preds a3, preds a4
@@ -102,7 +107,7 @@ object QueriesMetrics {
       |       total / (SELECT n FROM np) AS ceafe_r,
       |       2.0 * (total / (SELECT n FROM nt)) * (total / (SELECT n FROM np))
       |         / ((total / (SELECT n FROM nt)) + (total / (SELECT n FROM np))) AS ceafe_f1
-      |FROM best""".stripMargin
+      |FROM best, guard""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "a1_muc" -> a1Muc,

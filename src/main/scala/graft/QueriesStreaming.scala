@@ -16,6 +16,21 @@ import graft.streaming.StreamingClustering.MentionEvent
 object QueriesStreaming {
   import QueriesRelational.Q
 
+  /** Run `body` with a reduced shuffle-partition count. Stateful
+    * streaming operators open one state store per shuffle partition per
+    * micro-batch; at the harness's data sizes 32 partitions means mostly
+    * EMPTY stores whose checkpoint upkeep dominates wall time. Results
+    * are partition-invariant (every query orders its output). The conf
+    * is restored afterwards; streams capture it at start.
+    */
+  private[graft] def withShufflePartitions[T](
+      s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private val Theta = 0.25
   private val Dim = 64
   private val N = 50L
@@ -31,16 +46,18 @@ object QueriesStreaming {
       .collect()
       .map { case (id, v) => MentionEvent(0L, id, id, v) }
 
-    val input = MemoryStream[MentionEvent]
-    val query = StreamingClustering.greedyCluster(
-      input.toDS(), Params("backwards", limit = -1, threshold = Theta, cosine = true))
-      .writeStream.format("memory").queryName("st1_sink").outputMode("append").start()
-    try {
-      events.grouped(events.length / 3 + 1).foreach { chunk =>
-        input.addData(chunk.toSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    withShufflePartitions(s, 4) {
+      val input = MemoryStream[MentionEvent]
+      val query = StreamingClustering.greedyCluster(
+        input.toDS(), Params("backwards", limit = -1, threshold = Theta, cosine = true))
+        .writeStream.format("memory").queryName("st1_sink").outputMode("append").start()
+      try {
+        events.grouped(events.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
 
     s.table("st1_sink")
       .select(col("id").as("vec_id"), col("predCluster").as("pred_cluster"))
@@ -90,16 +107,18 @@ object QueriesStreaming {
       .collect()
       .map { case (id, v) => PointEvent(0L, id, id, v) }
 
-    val input = MemoryStream[PointEvent]
-    val query = StreamingGrinch.flatCluster(
-      input.toDS(), graft.operators.Grinch.Params(sim = "dot", norm = "l2"), threshold = Theta)
-      .writeStream.format("memory").queryName("st2_sink").outputMode("append").start()
-    try {
-      events.grouped(events.length / 3 + 1).foreach { chunk =>
-        input.addData(chunk.toSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    withShufflePartitions(s, 4) {
+      val input = MemoryStream[PointEvent]
+      val query = StreamingGrinch.flatCluster(
+        input.toDS(), graft.operators.Grinch.Params(sim = "dot", norm = "l2"), threshold = Theta)
+        .writeStream.format("memory").queryName("st2_sink").outputMode("append").start()
+      try {
+        events.grouped(events.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("step").desc)
@@ -127,15 +146,17 @@ object QueriesStreaming {
       .collect()
       .map { case (ord, ent) => TokenEvent(0L, ord, ent) }
 
-    val input = MemoryStream[TokenEvent]
-    val query = StreamingVocab.dictEncode(input.toDS())
-      .writeStream.format("memory").queryName("st3_sink").outputMode("append").start()
-    try {
-      events.grouped(events.length / 3 + 1).foreach { chunk =>
-        input.addData(chunk.toSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    withShufflePartitions(s, 4) {
+      val input = MemoryStream[TokenEvent]
+      val query = StreamingVocab.dictEncode(input.toDS())
+        .writeStream.format("memory").queryName("st3_sink").outputMode("append").start()
+      try {
+        events.grouped(events.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
 
     s.table("st3_sink")
       .select(col("order").as("ord"), col("entity"), col("code"))
@@ -179,19 +200,21 @@ object QueriesStreaming {
       (t, "___flush", 0L)
     }
 
-    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
-    val query = StreamingAnalytics.windowedEventStats(
-      input.toDS().toDF("ts", "event_type", "cents"),
-      col("ts"), col("event_type"), col("cents"),
-      window = "1 hour", slide = "1 hour", watermark = "1 minute")
-      .writeStream.format("memory").queryName("st4_sink").outputMode("append").start()
-    try {
-      val chunks = rows.grouped(rows.length / 3 + 1).toSeq
-      chunks.zipWithIndex.foreach { case (chunk, i) =>
-        input.addData(chunk.toSeq ++ (if (i == chunks.length - 1) Seq(sentinel) else Nil))
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    withShufflePartitions(s, 4) {
+      val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+      val query = StreamingAnalytics.windowedEventStats(
+        input.toDS().toDF("ts", "event_type", "cents"),
+        col("ts"), col("event_type"), col("cents"),
+        window = "1 hour", slide = "1 hour", watermark = "1 minute")
+        .writeStream.format("memory").queryName("st4_sink").outputMode("append").start()
+      try {
+        val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+        chunks.zipWithIndex.foreach { case (chunk, i) =>
+          input.addData(chunk.toSeq ++ (if (i == chunks.length - 1) Seq(sentinel) else Nil))
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
 
     s.table("st4_sink")
       .where(col("key") =!= "___flush")
@@ -223,17 +246,19 @@ object QueriesStreaming {
       .as[(Long, String)]
       .collect()
 
-    val input = MemoryStream[(Long, String)]
-    val query = input.toDS().toDF("doc_id", "text")
-      .dropDuplicates("text")
-      .select(graft.functions.TextFunctions.stringHash(col("text")).as("text_hash"))
-      .writeStream.format("memory").queryName("st5_sink").outputMode("append").start()
-    try {
-      rows.grouped(rows.length / 3 + 1).foreach { chunk =>
-        input.addData(chunk.toSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    withShufflePartitions(s, 4) {
+      val input = MemoryStream[(Long, String)]
+      val query = input.toDS().toDF("doc_id", "text")
+        .dropDuplicates("text")
+        .select(graft.functions.TextFunctions.stringHash(col("text")).as("text_hash"))
+        .writeStream.format("memory").queryName("st5_sink").outputMode("append").start()
+      try {
+        rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
 
     s.table("st5_sink").orderBy("text_hash")
   }
@@ -263,16 +288,18 @@ object QueriesStreaming {
       .collect()
       .map { case (id, v) => MentionEvent(0L, id, id, v) }
 
-    val input = MemoryStream[MentionEvent]
-    val query = StreamingClustering.greedyCluster(
-      input.toDS(), Params("diversity-cache", limit = 50, threshold = Theta, cosine = true))
-      .writeStream.format("memory").queryName("st7_sink").outputMode("append").start()
-    try {
-      events.grouped(events.length / 3 + 1).foreach { chunk =>
-        input.addData(chunk.toSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    withShufflePartitions(s, 4) {
+      val input = MemoryStream[MentionEvent]
+      val query = StreamingClustering.greedyCluster(
+        input.toDS(), Params("diversity-cache", limit = 50, threshold = Theta, cosine = true))
+        .writeStream.format("memory").queryName("st7_sink").outputMode("append").start()
+      try {
+        events.grouped(events.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
 
     s.table("st7_sink")
       .select(col("id").as("vec_id"), col("predCluster").as("pred_cluster"))

@@ -241,6 +241,36 @@ object QueriesText {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d7
+  // Duplicate-group assembly: connected components over the verified
+  // near-dup pairs (d3's output graph); canonical doc = min id per
+  // component. The oracle replays min-label propagation as a recursive
+  // CTE (propagating only shrinking labels — the component min always
+  // reaches every member).
+  val d7CcDedup: Q = (s, dir) => {
+    val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)
+    val bands = Dedup.minHashBandsFromSets(sets, dedupK, dedupR)
+    val pairs = Dedup.nearDupPairsFromSets(sets, bands, 1, 2).select("doc_a", "doc_b")
+    Dedup.connectedComponents(pairs, col("doc_a"), col("doc_b"))
+      .select(col("node").as("doc_id"), col("comp").as("component"),
+        (col("node") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  val d7CcDedupSql: String =
+    s"""WITH RECURSIVE $sqlBandCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |ndp AS (SELECT doc_a, doc_b FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+       |  WHERE len(list_intersect(x.hs, y.hs)) * 2 >= (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 1),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ndp UNION SELECT doc_b, doc_a FROM ndp),
+       |cc(node, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.node = e.src WHERE cc.comp < e.dst)
+       |SELECT node AS doc_id, min(comp) AS component, node = min(comp) AS is_canonical
+       |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- st6
   // Streaming MinHash-LSH candidate generation: documents band-hashed
   // at ingest, bucket-keyed state emits pairs on arrival, streaming
@@ -264,17 +294,19 @@ object QueriesText {
         BandEvent(band.toLong * 2000000011L + bh, doc, i.toLong)
       }
 
-    val input = MemoryStream[BandEvent]
-    val query = StreamingNearDup.lshCandidates(input.toDS())
-      .toDF("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-      .writeStream.format("memory").queryName("st6_sink").outputMode("append").start()
-    try {
-      bandRows.grouped(bandRows.length / 3 + 1).foreach { chunk =>
-        input.addData(chunk.toSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    QueriesStreaming.withShufflePartitions(s, 4) {
+      val input = MemoryStream[BandEvent]
+      val query = StreamingNearDup.lshCandidates(input.toDS())
+        .toDF("doc_a", "doc_b")
+        .dropDuplicates("doc_a", "doc_b")
+        .writeStream.format("memory").queryName("st6_sink").outputMode("append").start()
+      try {
+        bandRows.grouped(bandRows.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
 
     s.table("st6_sink").orderBy("doc_a", "doc_b")
   }
@@ -296,7 +328,8 @@ object QueriesText {
     "d2_minhash_bands" -> d2MinhashBands,
     "d3_minhash_neardup" -> d3MinhashNeardup,
     "d4_simhash" -> d4Simhash,
-    "d5_ngram_jaccard" -> d5NgramJaccard)
+    "d5_ngram_jaccard" -> d5NgramJaccard,
+    "d7_cc_dedup" -> d7CcDedup)
 
   val oracles: Map[String, String] = Map(
     "st6_streaming_neardup" -> st6StreamingNeardupSql,
@@ -308,5 +341,6 @@ object QueriesText {
     "d2_minhash_bands" -> d2MinhashBandsSql,
     "d3_minhash_neardup" -> d3MinhashNeardupSql,
     "d4_simhash" -> d4SimhashSql,
-    "d5_ngram_jaccard" -> d5NgramJaccardSql)
+    "d5_ngram_jaccard" -> d5NgramJaccardSql,
+    "d7_cc_dedup" -> d7CcDedupSql)
 }

@@ -34,7 +34,12 @@ object BatchedInference {
   def hashEncoder(dim: Int, seed: Long = 42L): () => TextEncoder = () => new TextEncoder {
     private val P = HashExpressions.P
     def encodeBatch(batch: Seq[Array[String]]): Seq[Array[Float]] = batch.map { toks =>
-      val th = toks.map(s => HashExpressions.polyHashChars(s, 0, s.length, 0L))
+      // null tokens hash as "" — HashEmbedExpr's null handling, kept
+      // bit-identical across the plug-in boundary
+      val th = toks.map { s0 =>
+        val s = if (s0 == null) "" else s0
+        HashExpressions.polyHashChars(s, 0, s.length, 0L)
+      }
       Array.tabulate(dim) { k =>
         var sum = 0L
         var i = 0

@@ -85,6 +85,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair relation (the
+    * canonical-document grouping a dedup pipeline runs AFTER near-dup
+    * pair detection: transitively linked docs form one duplicate group;
+    * the group's min id is its canonical representative).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own label and its neighbors' labels; converged when no
+    * label changes. Rounds = component diameter — duplicate clusters
+    * are shallow (near-clique collision groups), so a handful of keyed
+    * shuffles; each round is groupBy(node) + one join, nothing driver-
+    * side. `localCheckpoint` per round keeps the plan O(1) (persist
+    * alone grows the lineage exponentially with rounds). 100 TB shape:
+    * state is one (node, label) row per doc in the pair graph — linear,
+    * shuffled on node id; the classic large-star/small-star refinement
+    * drops in here if diameters ever get deep.
+    *
+    * Returns (node, comp): comp = min node id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, a: Column, b: Column,
+                          maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(a.cast("long").as("src"), b.cast("long").as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    var changed = labels.count() // enter the loop iff the graph is non-empty
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src").as("n2")).agg(min(col("comp")).as("nbr_min"))
+      val next = labels.join(nbrMin, col("node") === col("n2"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
+        .where(col("comp") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    sym.unpersist()
+    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
+    labels
+  }
+
   /** Verified near-duplicate pairs: LSH candidates whose exact Jaccard
     * over the materialized (doc, hs) sets meets
     * `num/den ≥ threshNum/threshDen` (integer cross-multiplied — exact).

@@ -49,7 +49,9 @@ object Relational {
     val spark = df.sparkSession
     val codes = df.groupBy(key.as("_k")).agg(min(orderCol).as("_first_seen"))
     val keyField = codes.schema.head
-    val rankedRdd = codes.orderBy(col("_first_seen")).rdd.zipWithIndex()
+    // key as sort tie-break: with a non-unique orderCol the rank order
+    // (and thus the codes) would otherwise vary run to run
+    val rankedRdd = codes.orderBy(col("_first_seen"), col("_k")).rdd.zipWithIndex()
       .map { case (row, idx) => org.apache.spark.sql.Row(row.get(0), idx) }
     val ranked = spark.createDataFrame(rankedRdd,
       org.apache.spark.sql.types.StructType(Seq(

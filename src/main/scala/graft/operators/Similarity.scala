@@ -19,6 +19,8 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Pair similarity columns given precomputed norms. */
   private def cosOf(va: Column, vb: Column, na: Column, nb: Column): Column =
     VectorFunctions.dotProduct(va, vb) / (na * nb)
@@ -37,8 +39,17 @@ object Similarity {
                  maxBroadcastRows: Long = 100000L, nBits: Int = 8, dim: Int = 64,
                  seed: Long = 42L): DataFrame = {
     // bounded existence check: CollectLimit stops after cap+1 rows
-    val over = queries.limit(maxBroadcastRows.toInt + 1).count() > maxBroadcastRows
-    if (over) return rhpTopKForQueries(corpus, queries, id, vec, nBits, dim, k, seed)
+    // (cap clamped so the +1 can't overflow Int)
+    val cap = math.min(maxBroadcastRows, Int.MaxValue - 1L).toInt
+    val over = queries.limit(cap + 1).count() > cap
+    // surface the exact→approximate routing decision: past the cap the
+    // caller gets LSH-recall neighbors, not exact ones
+    if (over) {
+      log.warn(s"cosineTopK: query side exceeds broadcast cap $cap — routing to " +
+        "approximate RHP-LSH (bucket recall, no broadcast)")
+      return rhpTopKForQueries(corpus, queries, id, vec, nBits, dim, k, seed)
+    }
+    log.info(s"cosineTopK: query side within broadcast cap $cap — exact broadcast path")
     val c = corpus.select(id.as("cid"), vec.as("cvec"))
       .withColumn("cnrm", VectorFunctions.l2Norm(col("cvec")))
     val q = queries.select(id.as("qid"), vec.as("qvec"))
@@ -192,6 +203,73 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** Deterministic INTEGER IVF ANN — the oracle-checkable twin of
+    * [[ivfTopK]]: spark.ml KMeans' float fit can never be reproduced by
+    * another engine (sum order changes every centroid ULP), so this
+    * variant does the whole inverted-file build in integer arithmetic:
+    *
+    *  1. int8-quantize all vectors under one GLOBAL symmetric scale
+    *     (max|x|/127 — max-selection is exact, no float accumulation);
+    *  2. initial centroids = the `nCells` smallest-id code vectors;
+    *  3. one Lloyd round: assign = argmin of the INTEGER squared
+    *     distance (ties → smallest cell), update = element-wise
+    *     truncating integer mean (`s - s%n) / n`, = DuckDB's `//`);
+    *  4. final assignment, then per-cell top-k by INTEGER dot product.
+    *
+    * Every step is order-independent integer math, so any engine
+    * replays it bit-for-bit — the IVF scale path stops being a
+    * rows-only check. Scale shape: centroids are a broadcast `nCells`-
+    * row table, assignment is a map-side cross product (n·C rows, no
+    * shuffle), the update is one keyed aggregation, and the search join
+    * shuffles on cell id — same skeleton as [[ivfTopK]].
+    *
+    * `isQuery` filters which rows get neighbors (the probe subset).
+    */
+  def intIvfTopK(df: DataFrame, id: Column, vec: Column, nCells: Int, k: Int,
+                 isQuery: Column => Column): DataFrame = {
+    val base = df.select(id.cast("long").as("vid"), vec.as("v"))
+    val maxAbs = base.agg(max(aggregate(col("v"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    val qv = base.select(col("vid"),
+      transform(col("v"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"))
+      .persist()
+    val c0 = qv.orderBy("vid").limit(nCells)
+      .select((row_number().over(Window.orderBy("vid")) - 1).cast("long").as("cell"),
+        col("q").as("cent"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val dist = aggregate(zip_with(col("q"), col("cent"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val w = Window.partitionBy("vid").orderBy(col("dist"), col("cell"))
+      qv.crossJoin(broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn("_rk", row_number().over(w)).where(col("_rk") === 1)
+        .select(col("vid"), col("q"), col("cell"))
+    }
+    // element-wise truncating integer mean per cell; (s - s%n)/n is an
+    // exact multiple so the double division below is exact too
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", ((col("s") - col("s") % col("n")) / col("n")).cast("long"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ps"))
+        .select(col("cell"), expr("transform(ps, p -> p.c)").as("cent"))
+
+    val fin = assign(update(assign(c0))).persist()
+    val qs = fin.where(isQuery(col("vid")))
+      .select(col("cell"), col("vid").as("qid"), col("q").as("qq"))
+    val cs = fin.select(col("cell"), col("vid").as("cid"), col("q").as("cq"))
+    val idot = aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("qid").orderBy(col("idot").desc, col("cid"))
+    qs.join(cs, Seq("cell")).where(col("qid") =!= col("cid"))
+      .withColumn("idot", idot)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("idot"))
   }
 
   /** C1 — all-pairs Gram similarities (i < j) over a bounded subset:

@@ -60,6 +60,8 @@ object Trees {
     var summand = 0.0
     order.reverseIterator.foreach { uid =>
       val kids = children.getOrElse(uid, Nil)
+      require(kids.size <= 2,
+        s"dendrogramPurity requires a binary tree; node $uid has ${kids.size} children")
       if (kids.nonEmpty) {
         val h = histOf(uid)
         kids.foreach { k => histOf(k).foreach { case (l, c) => h.update(l, h.getOrElse(l, 0L) + c) } }
@@ -109,6 +111,14 @@ object Trees {
       col("label").cast("string").as("label")).persist()
     val childCounts = nodes.where(col("parent_uid").isNotNull)
       .groupBy(col("parent_uid").as("p")).agg(count(lit(1)).as("n_children")).persist()
+    // The pairs term below (min·max over a (parent,label) group of
+    // exactly 2 rows) is only the reference's h_left[l]·h_right[l] on a
+    // BINARY tree — fail loudly on anything else instead of silently
+    // diverging from the driver fold.
+    val maxKidsRow = childCounts.agg(max(col("n_children"))).collect()(0)
+    val maxKids = if (maxKidsRow.isNullAt(0)) 0L else maxKidsRow.getLong(0)
+    require(maxKids <= 2,
+      s"dendrogramPurityDF requires a binary tree; found a node with $maxKids children")
     val leaves = nodes.join(childCounts, nodes("uid") === childCounts("p"), "left_anti")
 
     val pStarRow = leaves.where(col("label").isNotNull)
