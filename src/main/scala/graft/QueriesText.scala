@@ -318,6 +318,50 @@ object QueriesText {
        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- st8
+  // Streaming duplicate-group assembly: the verified near-dup pairs
+  // fold into a keyed union-find (min-root union) across three
+  // micro-batches. Min-root union is order-independent, so the final
+  // assignment equals batch d7 — st8 hash-matches the SAME
+  // recursive-CTE oracle: streaming = batch = SQL for the dedup
+  // pipeline's grouping stage too.
+  val st8StreamingCc: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingComponents
+    import graft.streaming.StreamingComponents.EdgeEvent
+    val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)
+    val bands = Dedup.minHashBandsFromSets(sets, dedupK, dedupR)
+    val pairRows = Dedup.nearDupPairsFromSets(sets, bands, 1, 2)
+      .select(col("doc_a"), col("doc_b"))
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long)]
+      .collect()
+      .zipWithIndex
+      .map { case ((a, b), i) => EdgeEvent(0L, i.toLong, a, b) }
+
+    QueriesStreaming.withShufflePartitions(s, 4) {
+      val input = MemoryStream[EdgeEvent]
+      val query = StreamingComponents.connectedComponents(input.toDS())
+        .writeStream.format("memory").queryName("st8_sink").outputMode("append").start()
+      try {
+        pairRows.grouped(pairRows.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("step").desc)
+    s.table("st8_sink")
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("node").as("doc_id"), col("comp").as("component"),
+        (col("node") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "st6_streaming_neardup" -> st6StreamingNeardup,
     "t1_token_quality" -> t1TokenQuality,
@@ -329,7 +373,8 @@ object QueriesText {
     "d3_minhash_neardup" -> d3MinhashNeardup,
     "d4_simhash" -> d4Simhash,
     "d5_ngram_jaccard" -> d5NgramJaccard,
-    "d7_cc_dedup" -> d7CcDedup)
+    "d7_cc_dedup" -> d7CcDedup,
+    "st8_streaming_cc" -> st8StreamingCc)
 
   val oracles: Map[String, String] = Map(
     "st6_streaming_neardup" -> st6StreamingNeardupSql,
@@ -342,5 +387,6 @@ object QueriesText {
     "d3_minhash_neardup" -> d3MinhashNeardupSql,
     "d4_simhash" -> d4SimhashSql,
     "d5_ngram_jaccard" -> d5NgramJaccardSql,
-    "d7_cc_dedup" -> d7CcDedupSql)
+    "d7_cc_dedup" -> d7CcDedupSql,
+    "st8_streaming_cc" -> d7CcDedupSql)
 }

@@ -243,6 +243,68 @@ object QueriesVector {
       col("vec_id"), col("embedding"), nCells = 16, k = 3, Seed)
       .orderBy("query_id", "rank")
 
+  // ---------------------------------------------------------------- v9
+  // Deterministic INTEGER IVF ANN: one global int8 scale, centroid init
+  // = the 16 smallest-id code vectors, one Lloyd round in pure integer
+  // arithmetic (truncating element-wise mean), final per-cell top-3 by
+  // integer dot product. Unlike v6's KMeans float fit, every step is
+  // engine-replayable, so the IVF family gets a full hash-checked
+  // oracle: the SQL below unrolls the identical build.
+  private val IvfCells = 16
+
+  val v9IntIvf: Q = (s, dir) =>
+    Similarity.intIvfTopK(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), nCells = IvfCells, k = 3,
+      isQuery = v => v % 50 === 0)
+      .orderBy("query_id", "rank")
+
+  val v9IntIvfSql: String = {
+    // integer squared distance / dot product between two BIGINT lists
+    def isq(a: String, b: String): String =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $Dim), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+    def idot(a: String, b: String): String =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $Dim), " +
+        s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+    s"""WITH gs AS (
+       |  SELECT max(list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(1, $Dim), mi -> abs(embedding[mi]::DOUBLE))),
+       |    (acc, x) -> greatest(acc, x))) AS maxabs
+       |  FROM embeddings),
+       |sc AS (SELECT CASE WHEN maxabs = 0 THEN 1.0::DOUBLE ELSE maxabs / 127.0 END AS scale FROM gs),
+       |qv AS (
+       |  SELECT vec_id, list_transform(generate_series(1, $Dim),
+       |    i -> cast(round(embedding[i]::DOUBLE / scale) AS BIGINT)) AS q
+       |  FROM embeddings, sc),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS cent
+       |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $IvfCells)),
+       |a1 AS (
+       |  SELECT vec_id, q, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ${isq("q", "cent")}, cell) AS rk
+       |  FROM qv, c0),
+       |m1 AS (SELECT vec_id, q, cell FROM a1 WHERE rk = 1),
+       |upd AS (
+       |  SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+       |  FROM m1, generate_series(1, $Dim) AS t(i) GROUP BY cell, i),
+       |c1 AS (
+       |  SELECT cell, list((s // n)::BIGINT ORDER BY i) AS cent FROM upd GROUP BY cell),
+       |a2 AS (
+       |  SELECT vec_id, q, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ${isq("q", "cent")}, cell) AS rk
+       |  FROM qv, c1),
+       |m2 AS (SELECT vec_id, q, cell FROM a2 WHERE rk = 1),
+       |cand AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid, ${idot("a.q", "b.q")} AS idot
+       |  FROM m2 a JOIN m2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 50 = 0),
+       |ranked AS (
+       |  SELECT qid, cid, idot, row_number() OVER (PARTITION BY qid ORDER BY idot DESC, cid) AS rank
+       |  FROM cand)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank, idot
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_rhp_ann" -> v2RhpAnn,
@@ -252,9 +314,11 @@ object QueriesVector {
     "v6_ivf_ann" -> v6IvfAnn,
     "v7_rhp_multitable" -> v7RhpMultiTable,
     "v8_quantize_int8" -> v8QuantizeInt8,
+    "v9_int_ivf" -> v9IntIvf,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
   val oracles: Map[String, String] = Map(
+    "v9_int_ivf" -> v9IntIvfSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_rhp_ann" -> v2RhpAnnSql,
     "v3_gram_pairs" -> v3GramPairsSql,

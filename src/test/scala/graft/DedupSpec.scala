@@ -8,6 +8,32 @@ import graft.operators.Dedup
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("connectedComponents: transitive chains collapse to the min id") {
+    // components: {1,2,3,9} via 1-2, 2-3, 3-9; {5,7}; {10,11,12} via a
+    // triangle (cycle safety); 20-21 isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, col("doc_a"), col("doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)
+  }
+
+  test("connectedComponents: empty pair relation yields empty result") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    Dedup.connectedComponents(pairs, col("doc_a"), col("doc_b")).count() shouldBe 0L
+  }
+
+  test("connectedComponents: long path needs diameter rounds, still converges") {
+    // path 0-1-2-...-12: worst case for min-label propagation
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, col("doc_a"), col("doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc.values.toSet shouldBe Set(0L)
+    cc.keySet shouldBe (0L to 12L).toSet
+  }
+
   test("stringHash: pinned cross-engine constant and empty-string guard") {
     val df = Seq("hello world", "").toDF("s")
       .select(TextFunctions.stringHash(col("s")).as("h"))

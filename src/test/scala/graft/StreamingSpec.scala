@@ -152,4 +152,33 @@ class StreamingSpec extends SparkSpec {
       streamed shouldBe batch
     } finally query.stop()
   }
+
+  test("streaming connected components: cross-batch merges match batch CC") {
+    import graft.streaming.StreamingComponents
+    import graft.streaming.StreamingComponents.EdgeEvent
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1 creates {1,2} and {3,9}; batch 2's (2,3) MERGES them —
+    // nodes 3 and 9 must relabel from 3 to 1 — and adds {5,7}
+    val b1 = Seq(EdgeEvent(0L, 0L, 1L, 2L), EdgeEvent(0L, 1L, 3L, 9L))
+    val b2 = Seq(EdgeEvent(0L, 2L, 2L, 3L), EdgeEvent(0L, 3L, 5L, 7L))
+    val input = MemoryStream[EdgeEvent]
+    val query = StreamingComponents.connectedComponents(input.toDS())
+      .writeStream.format("memory").queryName("cc_sink").outputMode("append").start()
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("step").desc)
+      val streamed = spark.table("cc_sink")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select("node", "comp").as[(Long, Long)].collect().toMap
+
+      val batchPairs = (b1 ++ b2).map(e => (e.a, e.b)).toDF("doc_a", "doc_b")
+      val batch = graft.operators.Dedup
+        .connectedComponents(batchPairs, col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect().toMap
+      streamed shouldBe batch
+      streamed(9L) shouldBe 1L // the cross-batch relabel actually happened
+    } finally query.stop()
+  }
 }

@@ -133,4 +133,28 @@ class VectorSpec extends SparkSpec {
       rows.map(_._3).sorted.toSeq shouldBe (1L to rows.length).toSeq
     }
   }
+
+  test("intIvfTopK groups parallel vectors and ranks by integer dot") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.intIvfTopK(df, col("vec_id"), col("embedding"),
+      nCells = 2, k = 2, isQuery = _ => lit(true))
+      .select("query_id", "neighbor_id", "rank", "idot")
+      .as[(Long, Long, Long, Long)].collect()
+    out.foreach { case (q, n, r, _) =>
+      q should not be n
+      r should be >= 1L
+      r should be <= 2L
+    }
+    // 0 and 1 are near-parallel: if 0 gets any neighbor, 1 ranks first
+    val q0 = out.filter(_._1 == 0L).sortBy(_._3)
+    if (q0.nonEmpty) q0.head._2 shouldBe 1L
+  }
+
+  test("intIvfTopK is deterministic across runs (integer build)") {
+    val df = vecs.toDF("vec_id", "embedding")
+    def run() = Similarity.intIvfTopK(df, col("vec_id"), col("embedding"),
+      nCells = 2, k = 2, isQuery = _ => lit(true))
+      .collect().map(_.toSeq).toSet
+    run() shouldBe run()
+  }
 }
