@@ -241,6 +241,92 @@ object QueriesText {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t6
+  // Repetition detection (degenerate-text quality signal): the most
+  // frequent token trigram's share of all trigram occurrences. A
+  // looping generator or boilerplate-heavy doc scores near 1; natural
+  // text stays low. Shingle hashes (NOT distinct) explode to rows, one
+  // keyed count per (doc, shingle), max share per doc — all partial-agg
+  // friendly, no windows over raw text.
+  val t6Repetition: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val tris = docs.select(col("doc_id"),
+      explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("tri"))
+    val counts = tris.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_tris"))
+      .select(col("doc_id"), col("max_rep"), col("n_tris"),
+        (col("max_rep").cast("double") / col("n_tris").cast("double")).as("rep_ratio"),
+        (col("max_rep") * 10 >= col("n_tris")).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val t6RepetitionSql: String =
+    s"""WITH tris AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len($sqlToks)-2, 0)),
+       |    i -> array_to_string(list_slice($sqlToks, i, i+2), ' '))) AS tri
+       |  FROM documents),
+       |counts AS (SELECT doc_id, tri, count(*) AS c FROM tris GROUP BY doc_id, tri)
+       |SELECT doc_id, max(c) AS max_rep, cast(sum(c) as bigint) AS n_tris,
+       |       cast(max(c) as double) / cast(sum(c) as double) AS rep_ratio,
+       |       max(c) * 10 >= cast(sum(c) as bigint) AS repetitive
+       |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- p10
+  // Deterministic stratified sampling (data mixing): per-language keep
+  // rates applied by seeded integer hash of the row id — reproducible
+  // across runs, partitionings, and engines; a pure map-side filter.
+  private val sampleRates = Map("en" -> 60, "de" -> 40, "zh" -> 25)
+
+  val p10StratifiedSample: Q = (s, dir) =>
+    graft.operators.Sampling.stratifiedSample(
+      Tables.load(s, dir, "documents"), col("lang"), col("doc_id"),
+      sampleRates, defaultRate = 10)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val p10StratifiedSampleSql: String = {
+    val rateCase = "CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40 WHEN 'zh' THEN 25 ELSE 10 END"
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ((((doc_id % $P) * 2654435761 + 42) % $P + $P) % $P) % 100 < $rateCase
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t5
+  // Benchmark decontamination: every corpus doc's max shingle-set
+  // overlap against a (small, broadcast) benchmark set, argmax bench
+  // doc with min-id tie-break; contaminated = overlap >= 3 shingles.
+  // The benchmark side is constant-sized, so at scale this is a
+  // map-side broadcast cross product — linear in the corpus.
+  val t5Decontamination: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)
+    val bench = sets.where(col("doc") < 20).select(col("doc").as("bench_id"), col("hs").as("bh"))
+    val corpus = sets.where(col("doc") >= 20)
+    val w = Window.partitionBy(col("doc")).orderBy(col("overlap_n").desc, col("bench_id"))
+    corpus.crossJoin(broadcast(bench))
+      .withColumn("overlap_n", size(array_intersect(col("hs"), col("bh"))).cast("long"))
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("doc").as("doc_id"), col("bench_id"), col("overlap_n"),
+        (col("overlap_n") >= 3).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val t5DecontaminationSql: String =
+    s"""WITH sh AS (SELECT doc_id, $sqlHs AS hs FROM documents),
+       |bench AS (SELECT doc_id AS bench_id, hs AS bh FROM sh WHERE doc_id < 20),
+       |corpus AS (SELECT doc_id, hs FROM sh WHERE doc_id >= 20),
+       |ov AS (
+       |  SELECT c.doc_id, b.bench_id, len(list_intersect(c.hs, b.bh))::BIGINT AS overlap_n
+       |  FROM corpus c, bench b),
+       |rk AS (
+       |  SELECT doc_id, bench_id, overlap_n,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY overlap_n DESC, bench_id) AS rn
+       |  FROM ov)
+       |SELECT doc_id, bench_id, overlap_n, overlap_n >= 3 AS contaminated
+       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d7
   // Duplicate-group assembly: connected components over the verified
   // near-dup pairs (d3's output graph); canonical doc = min id per
@@ -374,7 +460,10 @@ object QueriesText {
     "d4_simhash" -> d4Simhash,
     "d5_ngram_jaccard" -> d5NgramJaccard,
     "d7_cc_dedup" -> d7CcDedup,
-    "st8_streaming_cc" -> st8StreamingCc)
+    "st8_streaming_cc" -> st8StreamingCc,
+    "p10_stratified_sample" -> p10StratifiedSample,
+    "t5_decontamination" -> t5Decontamination,
+    "t6_repetition" -> t6Repetition)
 
   val oracles: Map[String, String] = Map(
     "st6_streaming_neardup" -> st6StreamingNeardupSql,
@@ -388,5 +477,8 @@ object QueriesText {
     "d4_simhash" -> d4SimhashSql,
     "d5_ngram_jaccard" -> d5NgramJaccardSql,
     "d7_cc_dedup" -> d7CcDedupSql,
-    "st8_streaming_cc" -> d7CcDedupSql)
+    "st8_streaming_cc" -> d7CcDedupSql,
+    "p10_stratified_sample" -> p10StratifiedSampleSql,
+    "t5_decontamination" -> t5DecontaminationSql,
+    "t6_repetition" -> t6RepetitionSql)
 }

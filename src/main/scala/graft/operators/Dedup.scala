@@ -115,13 +115,16 @@ object Dedup {
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src").as("n2")).agg(min(col("comp")).as("nbr_min"))
+      // carry a per-row "shrank this round" flag through the (eager)
+      // checkpoint so convergence detection is a cheap count on the
+      // materialized round, not an extra join against the old labels
       val next = labels.join(nbrMin, col("node") === col("n2"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp2"),
+          (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .where(col("comp") =!= col("prev")).count()
-      labels = next
+      changed = next.where(col("chg")).count()
+      labels = next.select(col("node"), col("comp2").as("comp"))
       rounds += 1
     }
     sym.unpersist()

@@ -29,6 +29,27 @@ import org.apache.spark.sql.functions._
 object Sampling {
   private val P = 1000000007L
 
+  /** Deterministic stratified sampling — the data-mixing primitive of a
+    * training-data pipeline: each stratum (domain/language/source) keeps
+    * a configured percentage of its rows, selected by a seeded integer
+    * hash of the row id rather than an RNG, so the sample is
+    * reproducible across runs, partitionings, AND engines (the oracle
+    * recomputes the same hash). keep ⇔ hash(id) mod 100 < rate(stratum).
+    *
+    * Scale: a pure map-side filter — no shuffle, no state; the rate
+    * table is a literal CASE. At 100 TB this is the difference between
+    * sampling-by-scan and sampling-by-sort.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+                       rates: Map[String, Int], defaultRate: Int,
+                       seed: Long = 42L): DataFrame = {
+    val h = ((((id.cast("long") % P) * 2654435761L + seed) % P + P) % P) % 100L
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(stratum === k, lit(r)).otherwise(acc)
+    }
+    df.where(h < rate)
+  }
+
   def tripletSample(df: DataFrame, entity: Column, id: Column, seed: Long = 42L): DataFrame = {
     // reduce rid mod P before the multiply so the product stays well
     // inside int64 — DuckDB errors on bigint overflow where Spark wraps
