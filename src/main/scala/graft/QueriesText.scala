@@ -245,19 +245,29 @@ object QueriesText {
   // Repetition detection (degenerate-text quality signal): the most
   // frequent token trigram's share of all trigram occurrences. A
   // looping generator or boilerplate-heavy doc scores near 1; natural
-  // text stays low. Shingle hashes (NOT distinct) explode to rows, one
-  // keyed count per (doc, shingle), max share per doc — all partial-agg
-  // friendly, no windows over raw text.
+  // text stays low.
+  //
+  // Scale shape: the ratio is a PER-DOCUMENT quantity, so it never
+  // leaves the row — sort the trigram array and fold the longest run
+  // (O(d log d) per row, zero shuffles; an exploded (doc, trigram)
+  // aggregation would shuffle the whole reshingled corpus twice). The
+  // oracle computes the same counts by unnest+GROUP BY — max run of a
+  // sorted list == max group count, engine-trivially equal.
   val t6Repetition: Q = (s, dir) => {
-    val docs = Tables.load(s, dir, "documents")
-    val tris = docs.select(col("doc_id"),
-      explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("tri"))
-    val counts = tris.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
-    counts.groupBy(col("doc_id"))
-      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_tris"))
-      .select(col("doc_id"), col("max_rep"), col("n_tris"),
-        (col("max_rep").cast("double") / col("n_tris").cast("double")).as("rep_ratio"),
-        (col("max_rep") * 10 >= col("n_tris")).as("repetitive"))
+    val tris = sort_array(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("n"))
+    val folded = aggregate(tris, zero, (acc, x) => {
+      val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run).as("best"),
+        (acc.getField("n") + 1L).as("n"))
+    })
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), folded.as("f"))
+      .where(col("f.n") > 0)
+      .select(col("doc_id"), col("f.best").as("max_rep"), col("f.n").as("n_tris"),
+        (col("f.best").cast("double") / col("f.n").cast("double")).as("rep_ratio"),
+        (col("f.best") * 10 >= col("f.n")).as("repetitive"))
       .orderBy("doc_id")
   }
 

@@ -305,6 +305,79 @@ object QueriesVector {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- v10
+  // Product quantization top-3 (M=8 sub-codebooks × 16 codes — a 64-dim
+  // vector stored in 8 bytes, 32×): codebook training (one integer
+  // Lloyd round per subspace), encoding, and the symmetric-distance
+  // search all in integer arithmetic, so the full build+search replays
+  // bit-for-bit in the SQL below (the v9 exactness argument extended to
+  // the PQ family).
+  private val PqM = 8
+  private val PqSub = Dim / PqM
+  private val PqK = 16
+
+  val v10PqTopk: Q = (s, dir) =>
+    Similarity.pqTopK(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), m = PqM, subDim = PqSub, k = PqK,
+      topK = 3, isQuery = v => v % 50 === 0)
+      .orderBy("query_id", "rank")
+
+  val v10PqTopkSql: String = {
+    def isq(a: String, b: String): String =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $PqSub), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+    s"""WITH gs AS (
+       |  SELECT max(list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(1, $Dim), mi -> abs(embedding[mi]::DOUBLE))),
+       |    (acc, x) -> greatest(acc, x))) AS maxabs
+       |  FROM embeddings),
+       |sc AS (SELECT CASE WHEN maxabs = 0 THEN 1.0::DOUBLE ELSE maxabs / 127.0 END AS scale FROM gs),
+       |qv AS (
+       |  SELECT vec_id, list_transform(generate_series(1, $Dim),
+       |    i -> cast(round(embedding[i]::DOUBLE / scale) AS BIGINT)) AS q
+       |  FROM embeddings, sc),
+       |sv AS (
+       |  SELECT vec_id, m, list_slice(q, m*$PqSub+1, m*$PqSub+$PqSub) AS sub
+       |  FROM qv, generate_series(0, ${PqM - 1}) AS tm(m)),
+       |init AS (
+       |  SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+       |  FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT $PqK)),
+       |c0 AS (SELECT s0.m, init.cell, s0.sub AS cent
+       |       FROM sv s0 JOIN init ON s0.vec_id = init.cvid),
+       |a1 AS (
+       |  SELECT s1.vec_id, s1.m, s1.sub, c0.cell,
+       |         row_number() OVER (PARTITION BY s1.vec_id, s1.m
+       |                            ORDER BY ${isq("s1.sub", "c0.cent")}, c0.cell) AS rk
+       |  FROM sv s1 JOIN c0 ON s1.m = c0.m),
+       |m1 AS (SELECT vec_id, m, sub, cell FROM a1 WHERE rk = 1),
+       |upd AS (
+       |  SELECT m, cell, i, sum(sub[i]) AS s, count(*) AS n
+       |  FROM m1, generate_series(1, $PqSub) AS t(i) GROUP BY m, cell, i),
+       |c1 AS (SELECT m, cell, list((s // n)::BIGINT ORDER BY i) AS cent FROM upd GROUP BY m, cell),
+       |a2 AS (
+       |  SELECT s2.vec_id, s2.m, c1.cell,
+       |         row_number() OVER (PARTITION BY s2.vec_id, s2.m
+       |                            ORDER BY ${isq("s2.sub", "c1.cent")}, c1.cell) AS rk
+       |  FROM sv s2 JOIN c1 ON s2.m = c1.m),
+       |m2 AS (SELECT vec_id, m, cell FROM a2 WHERE rk = 1),
+       |dtab AS (
+       |  SELECT da.m, da.cell AS ca, db.cell AS cb2, ${isq("da.cent", "db.cent")} AS d
+       |  FROM c1 da JOIN c1 db ON da.m = db.m),
+       |dist AS (
+       |  SELECT mq.vec_id AS qid, mc.vec_id AS cid, cast(sum(dtab.d) AS BIGINT) AS pq_dist
+       |  FROM m2 mq
+       |  JOIN m2 mc ON mq.m = mc.m AND mq.vec_id <> mc.vec_id
+       |  JOIN dtab ON dtab.m = mq.m AND dtab.ca = mq.cell AND dtab.cb2 = mc.cell
+       |  WHERE mq.vec_id % 50 = 0
+       |  GROUP BY qid, cid),
+       |ranked AS (
+       |  SELECT qid, cid, pq_dist,
+       |         row_number() OVER (PARTITION BY qid ORDER BY pq_dist, cid) AS rank
+       |  FROM dist)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank, pq_dist
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_rhp_ann" -> v2RhpAnn,
@@ -315,10 +388,12 @@ object QueriesVector {
     "v7_rhp_multitable" -> v7RhpMultiTable,
     "v8_quantize_int8" -> v8QuantizeInt8,
     "v9_int_ivf" -> v9IntIvf,
+    "v10_pq_topk" -> v10PqTopk,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
   val oracles: Map[String, String] = Map(
     "v9_int_ivf" -> v9IntIvfSql,
+    "v10_pq_topk" -> v10PqTopkSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_rhp_ann" -> v2RhpAnnSql,
     "v3_gram_pairs" -> v3GramPairsSql,

@@ -169,9 +169,9 @@ object Similarity {
     val base = df.select(id.as("vid"), vec.as("v"))
       .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
     // a coarse quantizer does not need converged centroids — random
-    // init (k-means|| costs several extra passes) + 5 Lloyd iterations
+    // init (k-means|| costs several extra passes) + 3 Lloyd iterations
     // give stable cells at a fraction of the default fit
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(3)
       .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(base)
@@ -270,6 +270,88 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("idot"))
+  }
+
+  /** Product quantization top-k — the classic memory-for-recall ANN
+    * trade (M sub-codebooks of k codes: a 64-dim float vector becomes M
+    * bytes, 32× smaller), built and searched ENTIRELY in deterministic
+    * integer arithmetic like [[intIvfTopK]], so the whole thing — Lloyd
+    * rounds included — replays bit-for-bit in SQL.
+    *
+    * Fully relational, nothing collected:
+    *  1. int8-quantize under one global scale, explode each vector into
+    *     M subvector rows (vid, m, sub);
+    *  2. per-subspace codebooks: init = the `k` smallest-id rows'
+    *     subvectors, one integer Lloyd round (same argmin/truncating-
+    *     mean as intIvfTopK), all M subspaces trained in ONE pipeline
+    *     keyed by m;
+    *  3. encode: final per-(vid, m) code cell;
+    *  4. search: the M·k² code-pair distance TABLE (a few thousand
+    *     rows, broadcast) joins the query and corpus code relations;
+    *     PQ distance = sum of the M looked-up sub-distances, ranked
+    *     per query (symmetric distance computation).
+    *
+    * Scale: codebooks/distance table are broadcast-sized; the scan is
+    * rows × M narrow code rows — the relational form of the PQ linear
+    * scan. `isQuery` bounds the query side exactly as in intIvfTopK.
+    */
+  def pqTopK(df: DataFrame, id: Column, vec: Column, m: Int, subDim: Int, k: Int,
+             topK: Int, isQuery: Column => Column): DataFrame = {
+    val base = df.select(id.cast("long").as("vid"), vec.as("v"))
+    val maxAbs = base.agg(max(aggregate(col("v"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    // (vid, m, sub): the m-th subvector of the int8 code vector
+    val qv = base.select(col("vid"),
+      transform(col("v"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"))
+      .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("m"), col("q"))
+      .select(col("vid"), col("m"),
+        slice(col("q"), col("m") * subDim + 1, lit(subDim)).as("sub"))
+      .persist()
+    val c0 = qv.join(
+        qv.select(col("vid")).distinct().orderBy("vid").limit(k)
+          .select((row_number().over(Window.orderBy("vid")) - 1).cast("long").as("cell"),
+            col("vid").as("cvid")),
+        col("vid") === col("cvid"))
+      .select(col("m"), col("cell"), col("sub").as("cent"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val dist = aggregate(zip_with(col("sub"), col("cent"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val w = Window.partitionBy("vid", "m").orderBy(col("dist"), col("cell"))
+      qv.join(broadcast(cents), Seq("m"))
+        .withColumn("dist", dist)
+        .withColumn("_rk", row_number().over(w)).where(col("_rk") === 1)
+        .select(col("vid"), col("m"), col("sub"), col("cell"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("m"), col("cell"), posexplode(col("sub")).as(Seq("i", "x")))
+        .groupBy("m", "cell", "i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", ((col("s") - col("s") % col("n")) / col("n")).cast("long"))
+        .groupBy("m", "cell").agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ps"))
+        .select(col("m"), col("cell"), expr("transform(ps, p -> p.c)").as("cent"))
+
+    val cb = update(assign(c0)).persist() // trained codebooks (m, cell, cent)
+    val enc = assign(cb).select(col("vid"), col("m"), col("cell")).persist()
+
+    // symmetric distance table over code pairs: m · k² rows, broadcast
+    val dtab = cb.select(col("m"), col("cell").as("ca"), col("cent").as("centa"))
+      .join(cb.select(col("m"), col("cell").as("cb2"), col("cent").as("centb")), Seq("m"))
+      .withColumn("d", aggregate(
+        zip_with(col("centa"), col("centb"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("m"), col("ca"), col("cb2"), col("d"))
+
+    val qenc = enc.where(isQuery(col("vid")))
+      .select(col("vid").as("qid"), col("m"), col("cell").as("ca"))
+    val cenc = enc.select(col("vid").as("cid"), col("m"), col("cell").as("cb2"))
+    val w = Window.partitionBy("qid").orderBy(col("pq_dist"), col("cid"))
+    qenc.join(cenc, Seq("m")).where(col("qid") =!= col("cid"))
+      .join(broadcast(dtab), Seq("m", "ca", "cb2"))
+      .groupBy(col("qid"), col("cid")).agg(sum(col("d")).as("pq_dist"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("pq_dist"))
   }
 
   /** C1 — all-pairs Gram similarities (i < j) over a bounded subset:

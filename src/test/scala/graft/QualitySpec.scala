@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Specs for the training-data hygiene operators (p10 stratified
+  * sampling, t5 decontamination, t6 repetition — the query-level logic
+  * lives in QueriesText; the parts with reusable operator surface are
+  * exercised here directly).
+  */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedSample: deterministic across runs and partitionings") {
+    val df = (0L until 1000L).map(i => (i, if (i % 3 == 0) "en" else "de")).toDF("id", "lang")
+    def run(parts: Int) = Sampling.stratifiedSample(
+      df.repartition(parts), col("lang"), col("id"), Map("en" -> 50), defaultRate = 20)
+      .select("id").as[Long].collect().toSet
+    val a = run(2)
+    a shouldBe run(7) // partitioning-invariant
+    a shouldBe run(2) // run-invariant
+  }
+
+  test("stratifiedSample: per-stratum rates roughly honored, zero rate excludes all") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zz")).toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(
+      df, col("lang"), col("id"), Map("en" -> 50, "zz" -> 0), defaultRate = 0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    kept.getOrElse("zz", 0L) shouldBe 0L
+    // hash-uniformity: 50% of 1000 within a loose band
+    kept("en") should be > 350L
+    kept("en") should be < 650L
+  }
+
+  test("stratifiedSample: rate 100 keeps every row") {
+    val df = (0L until 100L).map(i => (i, "en")).toDF("id", "lang")
+    Sampling.stratifiedSample(df, col("lang"), col("id"), Map.empty, defaultRate = 100)
+      .count() shouldBe 100L
+  }
+
+  test("t6 repetition flags a looping document, passes natural text") {
+    val docs = Seq(
+      (0L, "spam ham eggs " * 20 + "spam ham eggs"), // one trigram dominates
+      (1L, (0 until 60).map(i => s"w$i").mkString(" "))) // all trigrams distinct
+      .toDF("doc_id", "text")
+    // run the same aggregation shape as the t6 query
+    val tris = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.shingles(
+        graft.functions.TextFunctions.tokens(col("text")), 3)).as("tri"))
+    val out = tris.groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_rep"), sum("c").as("n_tris"))
+      .withColumn("repetitive", col("max_rep") * 10 >= col("n_tris"))
+      .select("doc_id", "repetitive").as[(Long, Boolean)].collect().toMap
+    out(0L) shouldBe true
+    out(1L) shouldBe false
+  }
+}

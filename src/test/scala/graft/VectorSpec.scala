@@ -157,4 +157,24 @@ class VectorSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     run() shouldBe run()
   }
+
+  test("pqTopK ranks near-parallel vectors closest and is deterministic") {
+    val df = vecs.toDF("vec_id", "embedding")
+    def run() = Similarity.pqTopK(df, col("vec_id"), col("embedding"),
+      m = 3, subDim = 1, k = 2, topK = 2, isQuery = _ => lit(true))
+      .select("query_id", "neighbor_id", "rank", "pq_dist")
+      .as[(Long, Long, Long, Long)].collect()
+    val out = run()
+    out.foreach { case (q, n, r, d) =>
+      q should not be n
+      r should be >= 1L
+      r should be <= 2L
+      d should be >= 0L
+    }
+    // ranks dense per query from 1
+    out.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._3).sorted.toSeq shouldBe (1L to rows.length).toSeq
+    }
+    out.toSet shouldBe run().toSet // deterministic integer build
+  }
 }
