@@ -417,7 +417,54 @@ object QueriesRelational {
       |FROM events
       |GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- j4
+  // As-of join: every event picks up the LATEST order (by order day,
+  // then highest orderkey among same-day ties) that its user placed
+  // at-or-before the event's day — the temporal-dimension lookup, run
+  // as union + one keyed window (one shuffle, no range join). The
+  // oracle recomputes the same pick as a groupwise argmax. Day buckets
+  // are exact integer division of the nanosecond timestamps.
+  val j4AsofJoin: Q = (s, dir) => {
+    val dayNs = 86400L * 1000000000L
+    val ev = t(s, dir, "events").where(col("user_id") < 100)
+      .select(col("event_id"), col("user_id"), expr(s"ts div ${dayNs}L").as("ev_day"))
+    // o_orderdate is µs-precision (plain TIMESTAMP → TIMESTAMP_NTZ, the
+    // nanosAsLong long-read only applies to NANOS columns): day number
+    // via date difference from the epoch, exact integers on both engines
+    val ord = t(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01")).cast("long").as("o_day"))
+    graft.operators.Relational.asofJoin(
+      ev, ord, "user_id", col("ev_day"), col("o_day"), col("o_orderkey"),
+      payload = Seq("o_orderkey", "o_day"))
+      .select(col("event_id"), col("user_id"), col("ev_day"),
+        col("asof_o_orderkey"), col("asof_o_day"))
+      .orderBy("event_id")
+  }
+
+  val j4AsofJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 86400000000000 AS ev_day
+      |  FROM events WHERE user_id < 100),
+      |ord AS (
+      |  SELECT o_custkey AS user_id, o_orderkey,
+      |         (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS o_day
+      |  FROM orders),
+      |best AS (
+      |  SELECT e.event_id, max(o.o_day) AS asof_o_day
+      |  FROM ev e LEFT JOIN ord o ON o.user_id = e.user_id AND o.o_day <= e.ev_day
+      |  GROUP BY e.event_id),
+      |pick AS (
+      |  SELECT e.event_id, e.user_id, e.ev_day, b.asof_o_day,
+      |         max(o.o_orderkey) AS asof_o_orderkey
+      |  FROM ev e JOIN best b USING (event_id)
+      |  LEFT JOIN ord o ON o.user_id = e.user_id AND o.o_day = b.asof_o_day
+      |  GROUP BY e.event_id, e.user_id, e.ev_day, b.asof_o_day)
+      |SELECT event_id, user_id, ev_day, asof_o_orderkey, asof_o_day
+      |FROM pick ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "j4_asof_join" -> j4AsofJoin,
     "q1_pricing" -> q1Pricing,
     "q5_local_supplier" -> q5LocalSupplier,
     "w1_event_windows" -> w1EventWindows,
@@ -440,6 +487,7 @@ object QueriesRelational {
     "k1_salted_sum" -> k1SaltedSum)
 
   val oracles: Map[String, String] = Map(
+    "j4_asof_join" -> j4AsofJoinSql,
     "q1_pricing" -> q1PricingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
     "w1_event_windows" -> w1EventWindowsSql,

@@ -90,6 +90,53 @@ object Relational {
   def unseen(df: DataFrame, allowed: DataFrame, key: String): DataFrame =
     df.join(allowed.select(key).distinct(), Seq(key), "left_anti")
 
+  /** As-of join — for every left row, the payload of the LATEST right
+    * row with the same key whose time is at-or-before the left row's
+    * time (the temporal-dimension lookup Spark has no built-in operator
+    * for). Composed from existing ops, scale-first: both sides union
+    * into one relation (right rows tagged 0, left rows 1), ONE window
+    * partitioned by key and ordered by (time, tag, tie) carries the
+    * payload forward with `last(..., ignoreNulls)`, left rows filter
+    * back out. One shuffle on the key — never a per-row range join, and
+    * no broadcast requirement on either side. Ties at equal time:
+    * right rows sort before left rows (at-or-before semantics) and the
+    * LARGEST `tie` value wins among simultaneous right rows, making
+    * results deterministic and engine-reproducible.
+    *
+    * Payload columns come back as `asof_<name>`, null when no right row
+    * precedes the left row (left-outer semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: Column, rightTime: Column, tie: Column,
+               payload: Seq[String]): DataFrame = {
+    val lcols = left.columns.toSeq
+    val meta = Seq("_t", "_tag", "_tie")
+    val l = payload.foldLeft(
+      left.withColumn("_t", leftTime.cast("long"))
+        .withColumn("_tag", lit(1))
+        .withColumn("_tie", lit(Long.MaxValue))) { (df, p) =>
+      df.withColumn(s"_p_$p", lit(null).cast(right.schema(p).dataType))
+    }
+    val r = lcols.filterNot(_ == key).foldLeft(
+      payload.foldLeft(
+        right.withColumn("_t", rightTime.cast("long"))
+          .withColumn("_tag", lit(0))
+          .withColumn("_tie", tie.cast("long"))) { (df, p) =>
+        df.withColumn(s"_p_$p", col(p))
+      }) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val cols = (Seq(key) ++ lcols.filterNot(_ == key) ++ meta ++ payload.map("_p_" + _)).map(col)
+    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_tag"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.select(cols: _*).unionByName(r.select(cols: _*))
+    payload.foldLeft(joined) { (df, p) =>
+        df.withColumn(s"asof_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w))
+      }
+      .where(col("_tag") === 1)
+      .select((lcols ++ payload.map("asof_" + _)).map(col): _*)
+  }
+
   /** A11 — positional split routing (60/20/20 by a global sort —
     * `scripts/preprocess_medmentions.py:100-114`). Emits a `split`
     * column. The global sort is a range-partitioned exchange; at scale

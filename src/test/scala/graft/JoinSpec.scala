@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class JoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin: latest at-or-before row per key, null when none precedes") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 5L), (3L, 20L, 50L))
+      .toDF("lid", "k", "lt") // (left id, key, left time)
+    val right = Seq((10L, 40L, 7L), (10L, 90L, 9L), (20L, 60L, 8L))
+      .toDF("k", "rt", "payload")
+    val out = Relational.asofJoin(left, right, "k",
+      col("lt"), col("rt"), tie = col("payload"), payload = Seq("payload"))
+      .select("lid", "asof_payload").as[(Long, Option[Long])].collect().toMap
+    out(1L) shouldBe Some(9L) // both right rows precede t=100 → latest (rt=90)
+    out(2L) shouldBe None     // nothing at-or-before t=5
+    out(3L) shouldBe None     // key 20's row is at t=60 > 50
+  }
+
+  test("asofJoin: at-or-before includes equal time; ties pick max tie value") {
+    val left = Seq((1L, 10L, 50L)).toDF("lid", "k", "lt")
+    val right = Seq((10L, 50L, 3L), (10L, 50L, 7L), (10L, 40L, 1L))
+      .toDF("k", "rt", "payload")
+    val out = Relational.asofJoin(left, right, "k",
+      col("lt"), col("rt"), tie = col("payload"), payload = Seq("payload"))
+      .select("lid", "asof_payload").as[(Long, Long)].collect().toMap
+    // rt=50 rows are eligible (at-or-before), and among the two
+    // simultaneous rows the larger tie value wins deterministically
+    out(1L) shouldBe 7L
+  }
+
+  test("asofJoin: multiple payload columns come from the same picked row") {
+    val left = Seq((1L, 10L, 100L)).toDF("lid", "k", "lt")
+    val right = Seq((10L, 40L, 7L, "a"), (10L, 90L, 9L, "b"))
+      .toDF("k", "rt", "pk", "tag")
+    val out = Relational.asofJoin(left, right, "k",
+      col("lt"), col("rt"), tie = col("pk"), payload = Seq("pk", "tag"))
+      .select("asof_pk", "asof_tag").as[(Long, String)].collect().head
+    out shouldBe ((9L, "b"))
+  }
+}
