@@ -463,8 +463,69 @@ object QueriesRelational {
       |SELECT event_id, user_id, ev_day, asof_o_orderkey, asof_o_day
       |FROM pick ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- w2
+  // Sessionization: gap-based session assignment (new session when >1h
+  // since the user's previous event). One keyed window (lag + running
+  // sum of the new-session flags) — a single shuffle on user_id, the
+  // canonical large-scale event-log op. All-integer ns arithmetic.
+  val w2Sessionize: Q = (s, dir) => {
+    val gapNs = 3600L * 1000000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts"))
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("ts") - col("_prev") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .select(col("event_id"), col("user_id"), col("session_id").cast("long").as("session_id"))
+      .orderBy("event_id")
+  }
+
+  val w2SessionizeSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events),
+      |l AS (SELECT event_id, user_id, ts,
+      |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |      FROM e),
+      |f AS (SELECT event_id, user_id, ts,
+      |             CASE WHEN prev IS NULL OR ts - prev > 3600000000000 THEN 1 ELSE 0 END AS nf
+      |      FROM l)
+      |SELECT event_id, user_id,
+      |       cast(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) as bigint) - 1 AS session_id
+      |FROM f ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- w3
+  // Rolling 7-day revenue per user: daily integer-cents aggregation,
+  // then a RANGE frame over the day number — the frame is over the
+  // (user, day) aggregate, never the raw events.
+  val w3Rolling: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), expr("ts div 86400000000000L").as("day"))
+      .agg(sum(cents(col("value"))).as("dc"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rolling_7d_cents", sum(col("dc")).over(w))
+      .select(col("user_id"), col("day").cast("long").as("day"),
+        col("dc").cast("long").as("day_cents"),
+        col("rolling_7d_cents").cast("long").as("rolling_7d_cents"))
+      .orderBy("user_id", "day")
+  }
+
+  val w3RollingSql: String =
+    """WITH d AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+      |         cast(sum(cast(round(value*100, 0) as bigint)) as bigint) AS day_cents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day, day_cents,
+      |       cast(sum(day_cents) OVER (PARTITION BY user_id ORDER BY day
+      |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) as bigint) AS rolling_7d_cents
+      |FROM d ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "j4_asof_join" -> j4AsofJoin,
+    "w2_sessionize" -> w2Sessionize,
+    "w3_rolling" -> w3Rolling,
     "q1_pricing" -> q1Pricing,
     "q5_local_supplier" -> q5LocalSupplier,
     "w1_event_windows" -> w1EventWindows,
@@ -488,6 +549,8 @@ object QueriesRelational {
 
   val oracles: Map[String, String] = Map(
     "j4_asof_join" -> j4AsofJoinSql,
+    "w2_sessionize" -> w2SessionizeSql,
+    "w3_rolling" -> w3RollingSql,
     "q1_pricing" -> q1PricingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
     "w1_event_windows" -> w1EventWindowsSql,
