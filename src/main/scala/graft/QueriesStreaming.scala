@@ -306,7 +306,44 @@ object QueriesStreaming {
       .orderBy("vec_id")
   }
 
+  /** st9 — sessionization as a real streaming query: per-user (lastTs,
+    * sessionIdx) state through three ts-ordered micro-batches. Session
+    * ids are prefix-stable, so the appended stream equals the batch
+    * window recompute and st9 hash-matches w2's SQL oracle —
+    * streaming = batch = SQL for the event-analytics pack too.
+    */
+  val st9StreamingSessions: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.SessionEvent
+    val rows = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long"))
+      .orderBy("ts", "event_id")
+      .as[(Long, Long, Long)]
+      .collect()
+      .map { case (u, e, ts) => SessionEvent(u, e, ts) }
+
+    withShufflePartitions(s, 4) {
+      val input = MemoryStream[SessionEvent]
+      val query = StreamingSessions.sessionize(input.toDS(), gapNs = 3600L * 1000000000L)
+        .writeStream.format("memory").queryName("st9_sink").outputMode("append").start()
+      try {
+        rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    s.table("st9_sink")
+      .select(col("eventId").as("event_id"), col("userId").as("user_id"),
+        col("sessionId").as("session_id"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st9_streaming_sessions" -> st9StreamingSessions,
     "st1_streaming_greedy" -> st1StreamingGreedy,
     "st2_streaming_grinch" -> st2StreamingGrinch,
     "st3_streaming_vocab" -> st3StreamingVocab,
@@ -314,6 +351,7 @@ object QueriesStreaming {
     "st5_streaming_dedup" -> st5StreamingDedup,
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
+    "st9_streaming_sessions" -> QueriesRelational.w2SessionizeSql,
     "st1_streaming_greedy" -> st1StreamingGreedySql,
     "st3_streaming_vocab" -> st3StreamingVocabSql,
     "st4_streaming_windows" -> st4StreamingWindowsSql,

@@ -181,4 +181,27 @@ class StreamingSpec extends SparkSpec {
       streamed(9L) shouldBe 1L // the cross-batch relabel actually happened
     } finally query.stop()
   }
+
+  test("streaming sessionization: sessions continue and split across micro-batches") {
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 100L
+    // user 1: batch boundary INSIDE a session (e2 within gap of e1),
+    // then a gap inside batch 2 (e3 starts session 1); user 2: the
+    // cross-batch gap itself splits (e11 → session 1)
+    val b1 = Seq(SessionEvent(1L, 1L, 1000L), SessionEvent(2L, 10L, 1000L))
+    val b2 = Seq(SessionEvent(1L, 2L, 1050L), SessionEvent(1L, 3L, 2000L),
+      SessionEvent(2L, 11L, 5000L))
+    val input = MemoryStream[SessionEvent]
+    val query = StreamingSessions.sessionize(input.toDS(), gapNs = gap)
+      .writeStream.format("memory").queryName("sess_sink").outputMode("append").start()
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val out = spark.table("sess_sink")
+        .select("eventId", "sessionId").as[(Long, Long)].collect().toMap
+      out shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 0L, 11L -> 1L)
+    } finally query.stop()
+  }
 }
