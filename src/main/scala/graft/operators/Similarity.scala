@@ -278,22 +278,21 @@ object Similarity {
     * integer arithmetic like [[intIvfTopK]], so the whole thing — Lloyd
     * rounds included — replays bit-for-bit in SQL.
     *
-    * Fully relational, nothing collected:
     *  1. int8-quantize under one global scale, explode each vector into
     *     M subvector rows (vid, m, sub);
     *  2. per-subspace codebooks: init = the `k` smallest-id rows'
     *     subvectors, one integer Lloyd round (same argmin/truncating-
     *     mean as intIvfTopK), all M subspaces trained in ONE pipeline
     *     keyed by m;
-    *  3. encode: final per-(vid, m) code cell;
-    *  4. search: the M·k² code-pair distance TABLE (a few thousand
-    *     rows, broadcast) joins the query and corpus code relations;
-    *     PQ distance = sum of the M looked-up sub-distances, ranked
-    *     per query (symmetric distance computation).
+    *  3. encode: final per-(vid, m) code cell, pivoted to one M-code
+    *     array per vector;
+    *  4. search: the M·k² symmetric code-pair distances become a
+    *     LITERAL lookup array (the codebooks are broadcast-sized fitted
+    *     metadata), so scoring a candidate pair is M array reads and
+    *     the scan is a map-side broadcast of the bounded query side —
+    *     no join keyed on the M values, no shuffle of the scan.
     *
-    * Scale: codebooks/distance table are broadcast-sized; the scan is
-    * rows × M narrow code rows — the relational form of the PQ linear
-    * scan. `isQuery` bounds the query side exactly as in intIvfTopK.
+    * `isQuery` bounds the query side exactly as in intIvfTopK.
     */
   def pqTopK(df: DataFrame, id: Column, vec: Column, m: Int, subDim: Int, k: Int,
              topK: Int, isQuery: Column => Column): DataFrame = {
@@ -332,23 +331,43 @@ object Similarity {
         .select(col("m"), col("cell"), expr("transform(ps, p -> p.c)").as("cent"))
 
     val cb = update(assign(c0)).persist() // trained codebooks (m, cell, cent)
-    val enc = assign(cb).select(col("vid"), col("m"), col("cell")).persist()
+    val enc = assign(cb).select(col("vid"), col("m"), col("cell"))
 
-    // symmetric distance table over code pairs: m · k² rows, broadcast
-    val dtab = cb.select(col("m"), col("cell").as("ca"), col("cent").as("centa"))
-      .join(cb.select(col("m"), col("cell").as("cb2"), col("cent").as("centb")), Seq("m"))
-      .withColumn("d", aggregate(
-        zip_with(col("centa"), col("centb"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-      .select(col("m"), col("ca"), col("cb2"), col("d"))
+    // wide form: one M-element code array per vector (struct sort keys
+    // by m first, so codes land in subspace order)
+    val codes = enc.groupBy("vid")
+      .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("mc"))
+      .select(col("vid"), expr("transform(mc, x -> x.cell)").as("codes"))
+      .persist()
 
-    val qenc = enc.where(isQuery(col("vid")))
-      .select(col("vid").as("qid"), col("m"), col("cell").as("ca"))
-    val cenc = enc.select(col("vid").as("cid"), col("m"), col("cell").as("cb2"))
+    // The M·k² symmetric code-pair distance table collapses to a
+    // LITERAL array (codebooks are broadcast-sized metadata, like a
+    // fitted model's centroids): the search then needs NO join at all —
+    // PQ distance is M array lookups per candidate pair. Joining the
+    // narrow (vid, m, code) relations on m instead would key the whole
+    // scan on m's handful of distinct values — a skewed shuffle of
+    // rows × M.
+    val cbRows = cb.collect()
+    def mOf(r: org.apache.spark.sql.Row) = r.getAs[Number](0).intValue
+    def cellOf(r: org.apache.spark.sql.Row) = r.getAs[Number](1).intValue
+    val dvals = Array.fill(m * k * k)(0L)
+    for (ra <- cbRows; rb <- cbRows if mOf(ra) == mOf(rb)) {
+      val ea = ra.getSeq[Long](2); val eb = rb.getSeq[Long](2)
+      dvals(mOf(ra) * k * k + cellOf(ra) * k + cellOf(rb)) =
+        ea.zip(eb).map { case (x, y) => (x - y) * (x - y) }.sum
+    }
+    val dlit = typedLit(dvals.toSeq)
+
+    // bounded query side broadcast against the corpus code relation —
+    // same containment contract as cosineTopK's query side
+    val qcodes = codes.where(isQuery(col("vid")))
+      .select(col("vid").as("qid"), col("codes").as("qc"))
+    val pqDist = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, mi) =>
+      acc + get(dlit, (mi * (k * k) + get(col("qc"), mi) * k + get(col("cc"), mi)).cast("int")))
     val w = Window.partitionBy("qid").orderBy(col("pq_dist"), col("cid"))
-    qenc.join(cenc, Seq("m")).where(col("qid") =!= col("cid"))
-      .join(broadcast(dtab), Seq("m", "ca", "cb2"))
-      .groupBy(col("qid"), col("cid")).agg(sum(col("d")).as("pq_dist"))
+    codes.select(col("vid").as("cid"), col("codes").as("cc"))
+      .crossJoin(broadcast(qcodes)).where(col("qid") =!= col("cid"))
+      .withColumn("pq_dist", pqDist)
       .withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("pq_dist"))
