@@ -463,6 +463,28 @@ object QueriesRelational {
       |SELECT event_id, user_id, ev_day, asof_o_orderkey, asof_o_day
       |FROM pick ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- j5
+  // Grouping-sets rollup: per-(event_type, day) revenue plus subtotal
+  // and grand-total rows (GROUP BY ROLLUP). Spark expands grouping
+  // sets before the (partial-agg friendly) aggregation; the ANSI null
+  // indicator rows agree across engines, with NULLS FIRST ordering
+  // aligned explicitly (Spark's asc default vs DuckDB's NULLS LAST).
+  val j5Rollup: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("day", expr("ts div 86400000000000L"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(cents(col("value"))).cast("long").as("total_cents"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+
+  val j5RollupSql: String =
+    """SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |       count(*) AS n_events,
+      |       cast(sum(cast(round(value*100, 0) as bigint)) as bigint) AS total_cents
+      |FROM events
+      |GROUP BY ROLLUP(event_type, day)
+      |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- w2
   // Sessionization: gap-based session assignment (new session when >1h
   // since the user's previous event). One keyed window (lag + running
@@ -524,6 +546,7 @@ object QueriesRelational {
 
   val queries: Map[String, Q] = Map(
     "j4_asof_join" -> j4AsofJoin,
+    "j5_rollup" -> j5Rollup,
     "w2_sessionize" -> w2Sessionize,
     "w3_rolling" -> w3Rolling,
     "q1_pricing" -> q1Pricing,
@@ -549,6 +572,7 @@ object QueriesRelational {
 
   val oracles: Map[String, String] = Map(
     "j4_asof_join" -> j4AsofJoinSql,
+    "j5_rollup" -> j5RollupSql,
     "w2_sessionize" -> w2SessionizeSql,
     "w3_rolling" -> w3RollingSql,
     "q1_pricing" -> q1PricingSql,
