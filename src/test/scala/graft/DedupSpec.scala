@@ -34,6 +34,28 @@ class DedupSpec extends SparkSpec {
     cc.keySet shouldBe (0L to 12L).toSet
   }
 
+  test("connectedComponents: seeded random graphs match a local union-find") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n) { (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong) }
+        .filter { case (a, b) => a != b }
+      // local reference union-find (min-root)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.connectedComponents(
+        edges.toDF("doc_a", "doc_b"), col("doc_a"), col("doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe expected
+    }
+  }
+
   test("stringHash: pinned cross-engine constant and empty-string guard") {
     val df = Seq("hello world", "").toDF("s")
       .select(TextFunctions.stringHash(col("s")).as("h"))
