@@ -65,6 +65,71 @@ case class SqNormExpr(child: Expression) extends UnaryExpression with CodegenFal
     copy(child = newChild)
 }
 
+private object IntVecEval {
+  def read(a: ArrayData, et: DataType, i: Int): Long = et match {
+    case LongType => a.getLong(i)
+    case IntegerType => a.getInt(i).toLong
+    case other => throw new IllegalArgumentException(s"unsupported integer element type $other")
+  }
+}
+
+/** Σ (aᵢ−bᵢ)² as LONG — the exact integer kernel of the quantized ANN
+  * builds (intIvfTopK / pqTopK Lloyd assignment). Integer arithmetic is
+  * order-independent, so this is trivially oracle-exact; the native
+  * loop replaces a per-element interpreted zip_with/aggregate HOF.
+  */
+case class IntSqDistExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ivec_sq_dist"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = IntVecEval.read(a, ta, i) - IntVecEval.read(b, tb, i)
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntSqDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ aᵢ·bᵢ as LONG — integer-dot ranking kernel of the quantized ANN. */
+case class IntDotExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ivec_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += IntVecEval.read(a, ta, i) * IntVecEval.read(b, tb, i); i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Σ (aᵢ−bᵢ)² as double, left fold. */
 case class SqDistExpr(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {

@@ -59,6 +59,14 @@ object VectorFunctions {
   def sqDist(a: Column, b: Column): Column =
     Shim.column(SqDistExpr(Shim.expression(a), Shim.expression(b)))
 
+  /** Exact integer squared distance over code vectors (native). */
+  def intSqDist(a: Column, b: Column): Column =
+    Shim.column(IntSqDistExpr(Shim.expression(a), Shim.expression(b)))
+
+  /** Exact integer dot product over code vectors (native). */
+  def intDot(a: Column, b: Column): Column =
+    Shim.column(IntDotExpr(Shim.expression(a), Shim.expression(b)))
+
   /** Per-row int8 quantization scale: max(|v|)/127 (1.0 for the zero
     * vector). At 100 TB the embedding table IS the storage bill —
     * symmetric scalar quantization cuts it 4× while dot products stay

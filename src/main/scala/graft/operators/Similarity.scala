@@ -241,8 +241,7 @@ object Similarity {
         col("q").as("cent"))
 
     def assign(cents: DataFrame): DataFrame = {
-      val dist = aggregate(zip_with(col("q"), col("cent"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      val dist = VectorFunctions.intSqDist(col("q"), col("cent"))
       val w = Window.partitionBy("vid").orderBy(col("dist"), col("cell"))
       qv.crossJoin(broadcast(cents))
         .withColumn("dist", dist)
@@ -262,8 +261,7 @@ object Similarity {
     val qs = fin.where(isQuery(col("vid")))
       .select(col("cell"), col("vid").as("qid"), col("q").as("qq"))
     val cs = fin.select(col("cell"), col("vid").as("cid"), col("q").as("cq"))
-    val idot = aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    val idot = VectorFunctions.intDot(col("qq"), col("cq"))
     val w = Window.partitionBy("qid").orderBy(col("idot").desc, col("cid"))
     qs.join(cs, Seq("cell")).where(col("qid") =!= col("cid"))
       .withColumn("idot", idot)
@@ -315,8 +313,7 @@ object Similarity {
       .select(col("m"), col("cell"), col("sub").as("cent"))
 
     def assign(cents: DataFrame): DataFrame = {
-      val dist = aggregate(zip_with(col("sub"), col("cent"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      val dist = VectorFunctions.intSqDist(col("sub"), col("cent"))
       val w = Window.partitionBy("vid", "m").orderBy(col("dist"), col("cell"))
       qv.join(broadcast(cents), Seq("m"))
         .withColumn("dist", dist)
