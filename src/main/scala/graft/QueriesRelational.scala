@@ -463,6 +463,101 @@ object QueriesRelational {
       |SELECT event_id, user_id, ev_day, asof_o_orderkey, asof_o_day
       |FROM pick ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- k2
+  // Deterministic HyperLogLog: approximate distinct users per event
+  // type from a 64-register sketch whose hash is the engine-portable
+  // mod-p multiplicative mix — so, unlike builtin approx_count_distinct
+  // (implementation-defined hashing), the APPROXIMATE estimate itself
+  // is bit-for-bit reproducible by another engine. Register fold runs
+  // in fixed bucket order (2^-reg terms are exact powers of two), and
+  // the exact distinct count rides along for calibration. Sketch
+  // merging is max-per-register — partial-agg friendly, the classic
+  // 100 TB cardinality pattern.
+  val k2HllDistinct: Q = (s, dir) => {
+    val P = 1000000007L
+    val M = 64
+    val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+    // affine + two quadratic rounds mod p: pure multiply-mod stays
+    // AFFINE on sequential ids (structured buckets, 2× estimate bias —
+    // measured); squaring adds the nonlinearity, keeps every
+    // intermediate < p² < 2^63, and is exactly replayable in SQL
+    val hashed = ev
+      .withColumn("h0", (col("user_id") * 2654435761L + 12345L) % P)
+      .withColumn("h1", (col("h0") * col("h0") + 17L) % P)
+      .withColumn("hv", (col("h1") * col("h1") + col("h1") + 3L) % P)
+    // v < p/64 < 2^24; rho = (leading zeros in 24-bit v) + 1 = 25 - bitlen
+    val b = hashed.select(col("event_type"),
+      (col("hv") % M).as("bucket"),
+      expr(s"hv div $M").as("v"))
+    val rho = when(col("v") > 0, lit(25L) - length(bin(col("v"))).cast("long"))
+      .otherwise(lit(25L))
+    val r = b.select(col("event_type"), col("bucket"), rho.as("rho"))
+      .groupBy("event_type", "bucket").agg(max(col("rho")).as("reg"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(s.range(0, M).toDF("bucket"))
+    val regs = grid.join(r, Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("reg"))
+    val arr = regs.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("bucket"), col("reg")))).as("rl"))
+    val sInv = aggregate(expr("transform(rl, x -> x.reg)"), lit(0.0),
+      (acc, x) => acc + pow(lit(2.0), -x.cast("double")))
+    // small-range (linear counting) correction below 2.5m: transcendental
+    // ln is NOT cross-engine stable, so ln(m/V) comes from a 64-entry
+    // literal table generated HERE and embedded in both engines' plans
+    // (shortest-decimal double literals round-trip exactly)
+    val raw = lit(0.709).cast("double") * lit(M * M).cast("double") / sInv
+    val zeroes = expr("size(filter(transform(rl, x -> x.reg), r -> r = 0))")
+    val lnTable = typedLit((1 to M).map(v => math.log(M.toDouble / v)))
+    val est = arr.select(col("event_type"),
+      when(raw <= lit(2.5 * M) && zeroes > 0,
+        lit(M.toDouble) * element_at(lnTable, zeroes))
+        .otherwise(raw).as("hll_est"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).cast("long").as("exact_distinct"))
+    est.join(exact, "event_type").orderBy("event_type")
+  }
+
+  val k2HllDistinctSql: String = {
+    // same ln(m/V) literal table as the Spark side — shortest-decimal
+    // double literals parse back to the identical bits
+    val lnList = (1 to 64).map(v => math.log(64.0 / v).toString).mkString("[", ", ", "]")
+    s"""WITH b AS (
+       |  SELECT event_type, hv % 64 AS bucket, hv // 64 AS v FROM (
+       |    SELECT event_type, (h1*h1 + h1 + 3) % 1000000007 AS hv FROM (
+       |      SELECT event_type, (h0*h0 + 17) % 1000000007 AS h1 FROM (
+       |        SELECT event_type, (user_id * 2654435761 + 12345) % 1000000007 AS h0
+       |        FROM events)))),
+       |r AS (
+       |  SELECT event_type, bucket,
+       |         max(CASE WHEN v > 0 THEN 25 - length(bin(v)) ELSE 25 END) AS reg
+       |  FROM b GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT event_type, b2 AS bucket
+       |  FROM (SELECT DISTINCT event_type FROM events), generate_series(0, 63) t(b2)),
+       |regs AS (
+       |  SELECT grid.event_type, grid.bucket, coalesce(r.reg, 0) AS reg
+       |  FROM grid LEFT JOIN r ON r.event_type = grid.event_type AND r.bucket = grid.bucket),
+       |arr AS (SELECT event_type, list(reg ORDER BY bucket) AS rl FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT event_type,
+       |         0.709::DOUBLE * 4096.0::DOUBLE
+       |           / list_reduce(list_prepend(0.0::DOUBLE,
+       |               list_transform(rl, x -> power(2.0::DOUBLE, -x::DOUBLE))),
+       |             (acc, y) -> acc + y) AS raw,
+       |         len(list_filter(rl, x -> x = 0)) AS zeroes
+       |  FROM arr),
+       |corr AS (
+       |  SELECT event_type,
+       |         CASE WHEN raw <= 160.0 AND zeroes > 0
+       |              THEN 64.0::DOUBLE * ($lnList::DOUBLE[])[zeroes]
+       |              ELSE raw END AS hll_est
+       |  FROM est),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1)
+       |SELECT corr.event_type AS event_type, hll_est, exact_distinct
+       |FROM corr JOIN ex ON corr.event_type = ex.event_type
+       |ORDER BY corr.event_type""".stripMargin
+  }
+
   // ---------------------------------------------------------------- j5
   // Grouping-sets rollup: per-(event_type, day) revenue plus subtotal
   // and grand-total rows (GROUP BY ROLLUP). Spark expands grouping
@@ -568,7 +663,8 @@ object QueriesRelational {
     "a5_conflated_divided" -> a5ConflatedDivided,
     "a11_split_routing" -> a11SplitRouting,
     "a12_user_running" -> a12UserRunning,
-    "k1_salted_sum" -> k1SaltedSum)
+    "k1_salted_sum" -> k1SaltedSum,
+    "k2_hll_distinct" -> k2HllDistinct)
 
   val oracles: Map[String, String] = Map(
     "j4_asof_join" -> j4AsofJoinSql,
@@ -594,5 +690,6 @@ object QueriesRelational {
     "a5_conflated_divided" -> a5ConflatedDividedSql,
     "a11_split_routing" -> a11SplitRoutingSql,
     "a12_user_running" -> a12UserRunningSql,
-    "k1_salted_sum" -> k1SaltedSumSql)
+    "k1_salted_sum" -> k1SaltedSumSql,
+    "k2_hll_distinct" -> k2HllDistinctSql)
 }
