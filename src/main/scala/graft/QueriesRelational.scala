@@ -558,6 +558,44 @@ object QueriesRelational {
        |ORDER BY corr.event_type""".stripMargin
   }
 
+  /** k2's sketch WITHOUT the exact-count calibration join — the oracle
+    * for the streaming twin (st10), whose bounded state can't hold the
+    * exact distinct set.
+    */
+  val k2HllSketchOnlySql: String = {
+    val lnList = (1 to 64).map(v => math.log(64.0 / v).toString).mkString("[", ", ", "]")
+    s"""WITH b AS (
+       |  SELECT event_type, hv % 64 AS bucket, hv // 64 AS v FROM (
+       |    SELECT event_type, (h1*h1 + h1 + 3) % 1000000007 AS hv FROM (
+       |      SELECT event_type, (h0*h0 + 17) % 1000000007 AS h1 FROM (
+       |        SELECT event_type, (user_id * 2654435761 + 12345) % 1000000007 AS h0
+       |        FROM events)))),
+       |r AS (
+       |  SELECT event_type, bucket,
+       |         max(CASE WHEN v > 0 THEN 25 - length(bin(v)) ELSE 25 END) AS reg
+       |  FROM b GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT event_type, b2 AS bucket
+       |  FROM (SELECT DISTINCT event_type FROM events), generate_series(0, 63) t(b2)),
+       |regs AS (
+       |  SELECT grid.event_type, grid.bucket, coalesce(r.reg, 0) AS reg
+       |  FROM grid LEFT JOIN r ON r.event_type = grid.event_type AND r.bucket = grid.bucket),
+       |arr AS (SELECT event_type, list(reg ORDER BY bucket) AS rl FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT event_type,
+       |         0.709::DOUBLE * 4096.0::DOUBLE
+       |           / list_reduce(list_prepend(0.0::DOUBLE,
+       |               list_transform(rl, x -> power(2.0::DOUBLE, -x::DOUBLE))),
+       |             (acc, y) -> acc + y) AS raw,
+       |         len(list_filter(rl, x -> x = 0)) AS zeroes
+       |  FROM arr)
+       |SELECT event_type,
+       |       CASE WHEN raw <= 160.0 AND zeroes > 0
+       |            THEN 64.0::DOUBLE * ($lnList::DOUBLE[])[zeroes]
+       |            ELSE raw END AS hll_est
+       |FROM est ORDER BY event_type""".stripMargin
+  }
+
   // ---------------------------------------------------------------- j5
   // Grouping-sets rollup: per-(event_type, day) revenue plus subtotal
   // and grand-total rows (GROUP BY ROLLUP). Spark expands grouping

@@ -342,7 +342,50 @@ object QueriesStreaming {
       .orderBy("event_id")
   }
 
+  /** st10 — the deterministic HLL sketch as a real streaming query:
+    * per-event-type registers (BOUNDED state) fold across three
+    * micro-batches; max-per-register merge is order-independent, so the
+    * final estimate equals batch k2 and hash-matches the same sketch
+    * SQL. The mod-p hash mix runs relationally before the stream feed.
+    */
+  val st10StreamingHll: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.HashEvent
+    val P = 1000000007L
+    val rows = Tables.load(s, dir, "events")
+      .withColumn("h0", (col("user_id") * 2654435761L + 12345L) % P)
+      .withColumn("h1", (col("h0") * col("h0") + 17L) % P)
+      .withColumn("hv", (col("h1") * col("h1") + col("h1") + 3L) % P)
+      .select(col("event_type"), col("hv"), col("event_id"))
+      .orderBy("event_id")
+      .as[(String, Long, Long)]
+      .collect()
+      .map { case (et, hv, _) => HashEvent(et, hv) }
+
+    withShufflePartitions(s, 4) {
+      val input = MemoryStream[HashEvent]
+      val query = StreamingSketch.hllDistinct(input.toDS())
+        .writeStream.format("memory").queryName("st10_sink").outputMode("append").start()
+      try {
+        rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("step").desc)
+    s.table("st10_sink")
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("key").as("event_type"), col("hllEst").as("hll_est"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st10_streaming_hll" -> st10StreamingHll,
     "st9_streaming_sessions" -> st9StreamingSessions,
     "st1_streaming_greedy" -> st1StreamingGreedy,
     "st2_streaming_grinch" -> st2StreamingGrinch,
@@ -351,6 +394,7 @@ object QueriesStreaming {
     "st5_streaming_dedup" -> st5StreamingDedup,
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
+    "st10_streaming_hll" -> QueriesRelational.k2HllSketchOnlySql,
     "st9_streaming_sessions" -> QueriesRelational.w2SessionizeSql,
     "st1_streaming_greedy" -> st1StreamingGreedySql,
     "st3_streaming_vocab" -> st3StreamingVocabSql,

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming deterministic HyperLogLog — the k2 sketch as an
+  * INGEST-TIME operator: per-key state is exactly the 64 registers
+  * (BOUNDED, the whole point of sketching a stream — counting distinct
+  * users exactly would need unbounded per-key state), merged by
+  * max-per-register, which is order- and batching-independent, so the
+  * final streamed estimate equals the batch k2 computation bit-for-bit
+  * and st10 hash-matches the same SQL oracle.
+  *
+  * Events carry the pre-mixed mod-p hash (the k2 affine+quadratic
+  * rounds, computed relationally upstream); the register math here
+  * replays the batch formulas exactly: rho = 25 − bitlength(v), the
+  * 2^−reg fold runs in bucket order, and the linear-counting branch
+  * uses the same `math.log` values the batch side embeds as literals.
+  */
+object StreamingSketch {
+
+  /** One observation: `hv` is the k2 mod-p mixed hash of the member. */
+  final case class HashEvent(key: String, hv: Long)
+
+  /** Keyed state: the m registers + a batch step counter. */
+  final case class Registers(regs: Seq[Long], step: Long)
+
+  /** Per-batch estimate snapshot for `key` (readers take max step). */
+  final case class Estimate(step: Long, key: String, hllEst: Double)
+
+  implicit private val stateEnc: Encoder[Registers] = Encoders.product[Registers]
+  implicit private val outEnc: Encoder[Estimate] = Encoders.product[Estimate]
+
+  def hllDistinct(events: Dataset[HashEvent], m: Int = 64): Dataset[Estimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[HashEvent], state: GroupState[Registers]) =>
+          val regs = state.getOption.map(_.regs.toArray).getOrElse(Array.fill(m)(0L))
+          batch.foreach { e =>
+            val b = (e.hv % m).toInt
+            val v = e.hv / m
+            // = the batch side's 25 - length(bin(v)) (bin has no leading zeros)
+            val rho = if (v > 0) 25L - (64 - java.lang.Long.numberOfLeadingZeros(v)) else 25L
+            if (rho > regs(b)) regs(b) = rho
+          }
+          val step = state.getOption.map(_.step).getOrElse(0L) + 1
+          state.update(Registers(regs.toSeq, step))
+          // bucket-order fold of exact powers of two — same order as the
+          // batch aggregate over the bucket-sorted register array
+          val sInv = regs.foldLeft(0.0)((acc, r) => acc + math.pow(2.0, -r.toDouble))
+          val raw = 0.709 * (m * m).toDouble / sInv
+          val zeroes = regs.count(_ == 0L)
+          val est =
+            if (raw <= 2.5 * m && zeroes > 0) m.toDouble * math.log(m.toDouble / zeroes)
+            else raw
+          Iterator(Estimate(step, key, est))
+      }
+  }
+}

@@ -204,4 +204,30 @@ class StreamingSpec extends SparkSpec {
       out shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 0L, 11L -> 1L)
     } finally query.stop()
   }
+
+  test("streaming HLL: final sketch is independent of micro-batch boundaries") {
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.HashEvent
+    implicit val sqlCtx = spark.sqlContext
+    val P = 1000000007L
+    val evts = (0L until 200L).map { u =>
+      val h0 = (u * 2654435761L + 12345L) % P
+      val h1 = (h0 * h0 + 17L) % P
+      HashEvent("k", (h1 * h1 + h1 + 3L) % P)
+    }
+    def run(chunks: Seq[Seq[HashEvent]], sink: String): Double = {
+      val input = MemoryStream[HashEvent]
+      val query = StreamingSketch.hllDistinct(input.toDS())
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      } finally query.stop()
+      spark.table(sink).orderBy(col("step").desc)
+        .select("hllEst").as[Double].collect().head
+    }
+    val oneShot = run(Seq(evts), "hll_one")
+    val split = run(evts.grouped(37).toSeq, "hll_many")
+    oneShot shouldBe split // max-merge is batching-independent, bit-for-bit
+    oneShot shouldBe (200.0 +- 60.0) // and in the right ballpark
+  }
 }
