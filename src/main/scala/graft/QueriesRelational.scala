@@ -519,8 +519,11 @@ object QueriesRelational {
 
   val k2HllDistinctSql: String = {
     // same ln(m/V) literal table as the Spark side — shortest-decimal
-    // double literals parse back to the identical bits
-    val lnList = (1 to 64).map(v => math.log(64.0 / v).toString).mkString("[", ", ", "]")
+    // double literals parse back to the identical bits; per-element
+    // ::DOUBLE casts (see k2HllSketchOnlySql) keep the list literal
+    // from rounding through a common DECIMAL type
+    val lnList = (1 to 64).map(v => math.log(64.0 / v).toString + "::DOUBLE")
+      .mkString("[", ", ", "]")
     s"""WITH b AS (
        |  SELECT event_type, hv % 64 AS bucket, hv // 64 AS v FROM (
        |    SELECT event_type, (h1*h1 + h1 + 3) % 1000000007 AS hv FROM (
@@ -563,7 +566,11 @@ object QueriesRelational {
     * exact distinct set.
     */
   val k2HllSketchOnlySql: String = {
-    val lnList = (1 to 64).map(v => math.log(64.0 / v).toString).mkString("[", ", ", "]")
+    // per-element ::DOUBLE casts: a bare [..]::DOUBLE[] literal funnels
+    // all 64 mixed-scale elements through one common DECIMAL type,
+    // which rounds some entries' last ulp before the cast
+    val lnList = (1 to 64).map(v => math.log(64.0 / v).toString + "::DOUBLE")
+      .mkString("[", ", ", "]")
     s"""WITH b AS (
        |  SELECT event_type, hv % 64 AS bucket, hv // 64 AS v FROM (
        |    SELECT event_type, (h1*h1 + h1 + 3) % 1000000007 AS hv FROM (
