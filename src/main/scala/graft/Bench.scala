@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,22 +29,38 @@ object Bench {
       q.processAllAvailable()
       q.stop()
     } catch { case _: Throwable => () }
+    // One-shot timings under a shared JVM are dominated by GC/JIT/run-order
+    // noise (round-4 showed 3-18x swings on unchanged code). Protocol:
+    // run each query `iters` times, report the MEDIAN (and track min).
+    // A throwing query is reported as -1 with its name in "errors" —
+    // never as a plausible wall-time.
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
     // sorted-name order: Map iteration is hash-ordered, which shuffles
     // which query absorbs one-time warmup (codegen, streaming state
     // store) between runs — deterministic order makes rounds comparable
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    var errors = List.empty[String]
+    val results = ordered.map { case (name, fn) =>
+      val times = (0 until iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      if (times.isEmpty) { errors ::= name; name -> -1.0 }
+      else name -> medianOf(times)
     }.toMap
-    // Millisecond precision keeps the one-line JSON short enough for the
-    // driver's bounded tail capture (76 queries at full double precision
-    // overflowed it and the line became unparseable).
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"%.3f" is locale-sensitive and a comma decimal
+    // separator would emit invalid JSON. Millisecond precision keeps the
+    // one-line JSON short enough for the driver's bounded tail capture.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -248,26 +248,19 @@ object QueriesText {
   // text stays low.
   //
   // Scale shape: the ratio is a PER-DOCUMENT quantity, so it never
-  // leaves the row — sort the trigram array and fold the longest run
-  // (O(d log d) per row, zero shuffles; an exploded (doc, trigram)
-  // aggregation would shuffle the whole reshingled corpus twice). The
-  // oracle computes the same counts by unnest+GROUP BY — max run of a
-  // sorted list == max group count, engine-trivially equal.
+  // leaves the row — one compiled pass over the token array counts each
+  // n-tuple in a hash map ([[graft.functions.RepetitionStats]]; O(d) per
+  // row, zero shuffles; an exploded (doc, trigram) aggregation would
+  // shuffle the whole reshingled corpus twice). The oracle computes the
+  // same counts by unnest+GROUP BY — max map count == max group count.
   val t6Repetition: Q = (s, dir) => {
-    val tris = sort_array(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))
-    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("n"))
-    val folded = aggregate(tris, zero, (acc, x) => {
-      val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
-      struct(x.as("prev"), run.as("run"),
-        greatest(acc.getField("best"), run).as("best"),
-        (acc.getField("n") + 1L).as("n"))
-    })
+    val folded = TextFunctions.repetitionStats(TextFunctions.tokens(col("text")), 3)
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), folded.as("f"))
-      .where(col("f.n") > 0)
-      .select(col("doc_id"), col("f.best").as("max_rep"), col("f.n").as("n_tris"),
-        (col("f.best").cast("double") / col("f.n").cast("double")).as("rep_ratio"),
-        (col("f.best") * 10 >= col("f.n")).as("repetitive"))
+      .where(col("f.n_tris") > 0)
+      .select(col("doc_id"), col("f.max_rep").as("max_rep"), col("f.n_tris").as("n_tris"),
+        (col("f.max_rep").cast("double") / col("f.n_tris").cast("double")).as("rep_ratio"),
+        (col("f.max_rep") * 10 >= col("f.n_tris")).as("repetitive"))
       .orderBy("doc_id")
   }
 
@@ -309,17 +302,22 @@ object QueriesText {
   // doc with min-id tie-break; contaminated = overlap >= 3 shingles.
   // The benchmark side is constant-sized, so at scale this is a
   // map-side broadcast cross product — linear in the corpus.
+  // Argmax as max_by partial aggregation (not a window): the corpus×bench
+  // cross product collapses to one row per doc MAP-SIDE before any
+  // shuffle. (overlap_n, -bench_id) struct ordering keeps the exact
+  // max-overlap-then-min-bench_id tie-break.
   val t5Decontamination: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)
     val bench = sets.where(col("doc") < 20).select(col("doc").as("bench_id"), col("hs").as("bh"))
     val corpus = sets.where(col("doc") >= 20)
-    val w = Window.partitionBy(col("doc")).orderBy(col("overlap_n").desc, col("bench_id"))
     corpus.crossJoin(broadcast(bench))
       .withColumn("overlap_n", size(array_intersect(col("hs"), col("bh"))).cast("long"))
-      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select(col("doc").as("doc_id"), col("bench_id"), col("overlap_n"),
-        (col("overlap_n") >= 3).as("contaminated"))
+      .groupBy(col("doc"))
+      .agg(max_by(struct(col("bench_id"), col("overlap_n")),
+        struct(col("overlap_n"), (-col("bench_id")).as("nb"))).as("b"))
+      .select(col("doc").as("doc_id"), col("b.bench_id").as("bench_id"),
+        col("b.overlap_n").as("overlap_n"),
+        (col("b.overlap_n") >= 3).as("contaminated"))
       .orderBy("doc_id")
   }
 

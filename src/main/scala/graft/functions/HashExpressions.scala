@@ -184,6 +184,54 @@ case class HashEmbedExpr(child: Expression, dim: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Repetition statistics of a token array: (max multiplicity of any
+  * n-token shingle, total shingle count) in one compiled pass — the
+  * per-document kernel of the degenerate-text detector. Counts by the
+  * actual token n-tuple (UTF8String equality, no hashing-with-collisions),
+  * so the result is exactly max-group-count == max-run-of-sorted used by
+  * the oracle's unnest+GROUP BY. Replaces a sort_array + interpreted
+  * Catalyst `aggregate` HOF fold that cost ~3 ms/doc of pure interpreter
+  * overhead (round-4 "What's wrong" #1).
+  */
+case class RepetitionStats(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_rep", LongType, nullable = false),
+    StructField("n_tris", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val total = len - n + 1
+    if (total <= 0) return InternalRow(0L, 0L)
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    // Key by the token n-tuple: tokens come from split(text, ' ') so they
+    // contain no spaces, making tuple equality identical to equality of
+    // the space-joined shingle string the oracle groups by.
+    val counts = new java.util.HashMap[java.util.List[UTF8String], Long](total * 2)
+    var best = 0L
+    var start = 0
+    while (start < total) {
+      val key = java.util.Arrays.asList(java.util.Arrays.copyOfRange(toks, start, start + n): _*)
+      val c = counts.merge(key, 1L, (a, b) => a + b)
+      if (c > best) best = c
+      start += 1
+    }
+    InternalRow(best, total.toLong)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 /** Distinct hashed character n-grams of a string, first-occurrence
   * order — poly_hash over each length-n char window, one compiled pass.
   */

@@ -59,6 +59,12 @@ object TextFunctions {
   def shingleHashes(toks: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashSet(ExpressionUtils.expression(toks), n))
 
+  /** (max shingle multiplicity, total shingle count) of a token array —
+    * struct(max_rep, n_tris), one compiled pass ([[RepetitionStats]]).
+    */
+  def repetitionStats(toks: Column, n: Int): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(toks), n))
+
   /** Distinct character-n-gram hash set (char-shingle analog of the
     * reference's char-bigram vectorizer, `fit_vectorizer.py:20-21`).
     * Native one-pass expression.

@@ -240,12 +240,17 @@ object Similarity {
       .select((row_number().over(Window.orderBy("vid")) - 1).cast("long").as("cell"),
         col("q").as("cent"))
 
+    // argmin as min_by partial aggregation, not a window: the n·C
+    // candidate relation collapses to n rows MAP-SIDE before the one
+    // (vid)-keyed shuffle (a row_number window would hash-shuffle all
+    // n·C rows first). (dist, cell) struct ordering keeps the exact
+    // smallest-dist-then-smallest-cell tie-break.
     def assign(cents: DataFrame): DataFrame = {
       val dist = VectorFunctions.intSqDist(col("q"), col("cent"))
-      val w = Window.partitionBy("vid").orderBy(col("dist"), col("cell"))
       qv.crossJoin(broadcast(cents))
         .withColumn("dist", dist)
-        .withColumn("_rk", row_number().over(w)).where(col("_rk") === 1)
+        .groupBy(col("vid"), col("q"))
+        .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
         .select(col("vid"), col("q"), col("cell"))
     }
     // element-wise truncating integer mean per cell; (s - s%n)/n is an
@@ -312,12 +317,15 @@ object Similarity {
         col("vid") === col("cvid"))
       .select(col("m"), col("cell"), col("sub").as("cent"))
 
+    // Same min_by-over-window rewrite as intIvfTopK.assign: map-side
+    // partial agg collapses n·M·k candidate rows to n·M before the
+    // keyed shuffle; (dist, cell) ordering keeps the tie-break.
     def assign(cents: DataFrame): DataFrame = {
       val dist = VectorFunctions.intSqDist(col("sub"), col("cent"))
-      val w = Window.partitionBy("vid", "m").orderBy(col("dist"), col("cell"))
       qv.join(broadcast(cents), Seq("m"))
         .withColumn("dist", dist)
-        .withColumn("_rk", row_number().over(w)).where(col("_rk") === 1)
+        .groupBy(col("vid"), col("m"), col("sub"))
+        .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
         .select(col("vid"), col("m"), col("sub"), col("cell"))
     }
     def update(assigned: DataFrame): DataFrame =
