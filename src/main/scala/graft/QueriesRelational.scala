@@ -480,9 +480,14 @@ object QueriesRelational {
     // affine + two quadratic rounds mod p: pure multiply-mod stays
     // AFFINE on sequential ids (structured buckets, 2× estimate bias —
     // measured); squaring adds the nonlinearity, keeps every
-    // intermediate < p² < 2^63, and is exactly replayable in SQL
+    // intermediate < p² < 2^63, and is exactly replayable in SQL.
+    // The id is reduced mod P (non-negative) BEFORE the multiply — the
+    // raw product would overflow int64 for ids ≳ 3.5e9 (Spark wraps
+    // silently, DuckDB raises) and a negative id would yield a negative
+    // bucket index downstream.
+    val uid = ((col("user_id") % P) + P) % P
     val hashed = ev
-      .withColumn("h0", (col("user_id") * 2654435761L + 12345L) % P)
+      .withColumn("h0", (uid * 2654435761L + 12345L) % P)
       .withColumn("h1", (col("h0") * col("h0") + 17L) % P)
       .withColumn("hv", (col("h1") * col("h1") + col("h1") + 3L) % P)
     // v < p/64 < 2^24; rho = (leading zeros in 24-bit v) + 1 = 25 - bitlen
@@ -528,7 +533,7 @@ object QueriesRelational {
        |  SELECT event_type, hv % 64 AS bucket, hv // 64 AS v FROM (
        |    SELECT event_type, (h1*h1 + h1 + 3) % 1000000007 AS hv FROM (
        |      SELECT event_type, (h0*h0 + 17) % 1000000007 AS h1 FROM (
-       |        SELECT event_type, (user_id * 2654435761 + 12345) % 1000000007 AS h0
+       |        SELECT event_type, (((user_id % 1000000007 + 1000000007) % 1000000007) * 2654435761 + 12345) % 1000000007 AS h0
        |        FROM events)))),
        |r AS (
        |  SELECT event_type, bucket,
@@ -575,7 +580,7 @@ object QueriesRelational {
        |  SELECT event_type, hv % 64 AS bucket, hv // 64 AS v FROM (
        |    SELECT event_type, (h1*h1 + h1 + 3) % 1000000007 AS hv FROM (
        |      SELECT event_type, (h0*h0 + 17) % 1000000007 AS h1 FROM (
-       |        SELECT event_type, (user_id * 2654435761 + 12345) % 1000000007 AS h0
+       |        SELECT event_type, (((user_id % 1000000007 + 1000000007) % 1000000007) * 2654435761 + 12345) % 1000000007 AS h0
        |        FROM events)))),
        |r AS (
        |  SELECT event_type, bucket,

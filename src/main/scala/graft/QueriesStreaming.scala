@@ -355,7 +355,8 @@ object QueriesStreaming {
     import graft.streaming.StreamingSketch.HashEvent
     val P = 1000000007L
     val rows = Tables.load(s, dir, "events")
-      .withColumn("h0", (col("user_id") * 2654435761L + 12345L) % P)
+      // reduce mod P before the multiply (overflow/sign guard, = batch k2)
+      .withColumn("h0", ((((col("user_id") % P) + P) % P) * 2654435761L + 12345L) % P)
       .withColumn("h1", (col("h0") * col("h0") + 17L) % P)
       .withColumn("hv", (col("h1") * col("h1") + col("h1") + 3L) % P)
       .select(col("event_type"), col("hv"), col("event_id"))

@@ -90,16 +90,18 @@ object Dedup {
     * pair detection: transitively linked docs form one duplicate group;
     * the group's min id is its canonical representative).
     *
-    * Iterative min-label propagation: each round every node takes the
-    * min of its own label and its neighbors' labels; converged when no
-    * label changes. Rounds = component diameter — duplicate clusters
-    * are shallow (near-clique collision groups), so a handful of keyed
-    * shuffles; each round is groupBy(node) + one join, nothing driver-
+    * Iterative min-label propagation WITH pointer hopping: each round
+    * every node takes the min of its own label and its neighbors'
+    * labels, then shortcuts through its label's label
+    * (comp(v) ← comp(comp(v))), which halves the label-tree depth —
+    * convergence in O(log diameter) rounds, not O(diameter), so a
+    * templated corpus with a long near-dup chain converges in a
+    * handful of keyed shuffles instead of blowing the round cap.
+    * Each round is groupBy(node) + two keyed joins, nothing driver-
     * side. `localCheckpoint` per round keeps the plan O(1) (persist
     * alone grows the lineage exponentially with rounds). 100 TB shape:
     * state is one (node, label) row per doc in the pair graph — linear,
-    * shuffled on node id; the classic large-star/small-star refinement
-    * drops in here if diameters ever get deep.
+    * shuffled on node id.
     *
     * Returns (node, comp): comp = min node id of the component.
     */
@@ -115,13 +117,22 @@ object Dedup {
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src").as("n2")).agg(min(col("comp")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, col("node") === col("n2"), "left")
+        .select(col("node"), col("comp").as("comp0"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp1"))
+        .localCheckpoint()
+      // pointer hop: every comp1 value is itself a node id of the same
+      // component, so jump to THAT node's freshly-stepped label —
+      // comp(v) ← comp(comp(v)). Labels only shrink, so the fixpoint
+      // (comp = component min) is unchanged; depth halves per round.
+      val hop = stepped.select(col("node").as("hn"), col("comp1").as("hc"))
       // carry a per-row "shrank this round" flag through the (eager)
       // checkpoint so convergence detection is a cheap count on the
       // materialized round, not an extra join against the old labels
-      val next = labels.join(nbrMin, col("node") === col("n2"), "left")
+      val next = stepped.join(hop, col("comp1") === col("hn"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp2"),
-          (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("chg"))
+          least(col("comp1"), coalesce(col("hc"), col("comp1"))).as("comp2"),
+          (least(col("comp1"), coalesce(col("hc"), col("comp1"))) < col("comp0")).as("chg"))
         .localCheckpoint()
       changed = next.where(col("chg")).count()
       labels = next.select(col("node"), col("comp2").as("comp"))

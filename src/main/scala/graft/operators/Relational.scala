@@ -111,30 +111,31 @@ object Relational {
                payload: Seq[String]): DataFrame = {
     val lcols = left.columns.toSeq
     val meta = Seq("_t", "_tag", "_tie")
-    val l = payload.foldLeft(
-      left.withColumn("_t", leftTime.cast("long"))
-        .withColumn("_tag", lit(1))
-        .withColumn("_tie", lit(Long.MaxValue))) { (df, p) =>
-      df.withColumn(s"_p_$p", lit(null).cast(right.schema(p).dataType))
-    }
+    // ALL payload columns ride in ONE struct through a single
+    // last(ignoreNulls): per-column windows would mix fields from
+    // different right rows whenever the picked row holds a NULL in one
+    // payload column (that column alone would fall back to an older
+    // row). The struct itself is non-null on every right row, so the
+    // picked row's NULL fields stay NULL.
+    val pType = org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p)))
+    val l = left.withColumn("_t", leftTime.cast("long"))
+      .withColumn("_tag", lit(1))
+      .withColumn("_tie", lit(Long.MaxValue))
+      .withColumn("_p", lit(null).cast(pType))
     val r = lcols.filterNot(_ == key).foldLeft(
-      payload.foldLeft(
-        right.withColumn("_t", rightTime.cast("long"))
-          .withColumn("_tag", lit(0))
-          .withColumn("_tie", tie.cast("long"))) { (df, p) =>
-        df.withColumn(s"_p_$p", col(p))
-      }) { (df, c) =>
+      right.withColumn("_t", rightTime.cast("long"))
+        .withColumn("_tag", lit(0))
+        .withColumn("_tie", tie.cast("long"))
+        .withColumn("_p", struct(payload.map(col): _*))) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val cols = (Seq(key) ++ lcols.filterNot(_ == key) ++ meta ++ payload.map("_p_" + _)).map(col)
+    val cols = (Seq(key) ++ lcols.filterNot(_ == key) ++ meta :+ "_p").map(col)
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_tag"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = l.select(cols: _*).unionByName(r.select(cols: _*))
-    payload.foldLeft(joined) { (df, p) =>
-        df.withColumn(s"asof_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w))
-      }
+    l.select(cols: _*).unionByName(r.select(cols: _*))
+      .withColumn("_pl", last(col("_p"), ignoreNulls = true).over(w))
       .where(col("_tag") === 1)
-      .select((lcols ++ payload.map("asof_" + _)).map(col): _*)
+      .select((lcols.map(col) ++ payload.map(p => col(s"_pl.$p").as(s"asof_$p"))): _*)
   }
 
   /** A11 — positional split routing (60/20/20 by a global sort —

@@ -39,7 +39,9 @@ object StreamingSketch {
         (key: String, batch: Iterator[HashEvent], state: GroupState[Registers]) =>
           val regs = state.getOption.map(_.regs.toArray).getOrElse(Array.fill(m)(0L))
           batch.foreach { e =>
-            val b = (e.hv % m).toInt
+            // floorMod: hv is non-negative by the feed's mod-P contract,
+            // but a stray negative hash must not index regs out of bounds
+            val b = java.lang.Math.floorMod(e.hv, m.toLong).toInt
             val v = e.hv / m
             // = the batch side's 25 - length(bin(v)) (bin has no leading zeros)
             val rho = if (v > 0) 25L - (64 - java.lang.Long.numberOfLeadingZeros(v)) else 25L
