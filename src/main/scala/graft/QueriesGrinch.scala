@@ -51,11 +51,99 @@ object QueriesGrinch {
       .select(col("key").as("label"), col("id").as("vec_id"), col("pred_cluster"))
       .orderBy("vec_id")
 
+  // ---------------------------------------------------------------- h5
+  // The integer-GRINCH oracle: the v9/g3 technique applied to the last
+  // no-oracle island. Config rotateCap=0 (the rotate walk's
+  // `numDescendants < cap` guard never passes), graftCap=0 (the
+  // ancestor filter empties both graft candidate arrays), norm="none",
+  // sim="dot", no pruning — under which the automaton's insert log
+  // collapses to a closed form: every step i>=1 splices a new parent
+  // p_i (uid n+i-1) above sib_i = argmax_{j<i} intdot(q_i, q_j) (ties
+  // to the LOWEST j, = cknn's ascending first-max scan), and since
+  // splices only ever target leaves,
+  //   parent(leaf j)  = p_{last step whose event touched j}
+  //   parent(p_i)     = p_{previous step that spliced at sib_i}
+  //                     (or p_{sib_i}'s own insertion; NULL for p_1)
+  // — plain window functions over the (i, sib_i) relation, no
+  // recursion. Vectors are int8-quantized under one global scale
+  // exactly like v9, so every linkage score is an exact integer and
+  // the Spark run (the REAL automaton, not a special case) replays
+  // bit-for-bit in SQL. Semantics: `grinch_alg.py:166-202` with both
+  // caps 0.
+  private val IntP = Grinch.Params(rotateCap = 0, graftCap = 0,
+    sim = "dot", norm = "none", activeLeafLimit = -1)
+  private val H5N = 500
+
+  val h5GrinchIntTree: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings").where(col("vec_id") < H5N)
+    val maxAbs = emb.agg(max(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    val qdf = emb.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
+      col("label"))
+    Grinch.dendrogram(qdf, col("vec_id"), col("q"), col("vec_id"), col("label"), IntP)
+      .select(col("uid").cast("long").as("uid"),
+        col("parent_uid").cast("long").as("parent_uid"), col("label"))
+      .orderBy("uid")
+  }
+
+  val h5GrinchIntTreeSql: String = {
+    val idot =
+      "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 64), " +
+        "di -> a.q[di] * b.q[di])), (acc, x) -> acc + x)"
+    s"""WITH sel AS (
+       |  SELECT vec_id, embedding, label,
+       |         row_number() OVER (ORDER BY vec_id) - 1 AS pos
+       |  FROM embeddings WHERE vec_id < $H5N),
+       |nn AS (SELECT count(*) AS n FROM sel),
+       |gs AS (
+       |  SELECT max(list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(1, 64), mi -> abs(embedding[mi]::DOUBLE))),
+       |    (acc, x) -> greatest(acc, x))) AS maxabs
+       |  FROM sel),
+       |sc AS (SELECT CASE WHEN maxabs = 0 THEN 1.0::DOUBLE ELSE maxabs / 127.0 END AS scale FROM gs),
+       |qv AS (
+       |  SELECT pos, label, list_transform(generate_series(1, 64),
+       |    qi -> cast(round(embedding[qi]::DOUBLE / scale) AS BIGINT)) AS q
+       |  FROM sel, sc),
+       |pairs AS (
+       |  SELECT a.pos AS i, b.pos AS j, $idot AS d
+       |  FROM qv a JOIN qv b ON b.pos < a.pos),
+       |sibs AS (
+       |  SELECT i, j AS sib FROM (
+       |    SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY d DESC, j) AS rk
+       |    FROM pairs) WHERE rk = 1),
+       |internals AS (
+       |  SELECT i, sib,
+       |         coalesce(lag(i) OVER (PARTITION BY sib ORDER BY i),
+       |                  CASE WHEN sib >= 1 THEN sib END) AS prev
+       |  FROM sibs),
+       |lastev AS (SELECT sib, max(i) AS mi FROM sibs GROUP BY sib),
+       |leaves AS (
+       |  SELECT l.pos::BIGINT AS uid,
+       |         (n + greatest(coalesce(mx.mi, 0),
+       |                       CASE WHEN l.pos >= 1 THEN l.pos ELSE 0 END) - 1)::BIGINT AS parent_uid,
+       |         l.label::VARCHAR AS label
+       |  FROM qv l LEFT JOIN lastev mx ON mx.sib = l.pos, nn),
+       |ints AS (
+       |  SELECT (n + i - 1)::BIGINT AS uid,
+       |         CASE WHEN prev IS NULL THEN NULL
+       |              ELSE (n + prev - 1)::BIGINT END AS parent_uid,
+       |         NULL::VARCHAR AS label
+       |  FROM internals, nn)
+       |SELECT uid, parent_uid, label
+       |FROM (SELECT * FROM leaves UNION ALL SELECT * FROM ints)
+       |ORDER BY uid""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "h1_grinch_flat" -> h1GrinchFlat,
     "h2_grinch_dendrogram" -> h2GrinchDendrogram,
     "h3_grinch_purity" -> h3GrinchPurity,
-    "h4_grinch_by_label" -> h4GrinchByLabel)
+    "h4_grinch_by_label" -> h4GrinchByLabel,
+    "h5_grinch_int_tree" -> h5GrinchIntTree)
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "h5_grinch_int_tree" -> h5GrinchIntTreeSql)
 }

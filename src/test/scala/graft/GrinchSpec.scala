@@ -79,6 +79,45 @@ class GrinchSpec extends SparkSpec {
     out.map(_.toInt).toSeq shouldBe g.flatClustering(0.5).toSeq
   }
 
+  /** Pins the h5 oracle model: with rotateCap=0, graftCap=0,
+    * norm="none", sim="dot" and no pruning, the automaton's tree equals
+    * the closed-form insert-log replay (sib_i = integer-dot argmax over
+    * prior leaves with lowest-id ties; parent(leaf j) = node of the
+    * last event at j; parent(p_i) = node of the previous event at
+    * sib_i) — the exact relation the h5 DuckDB oracle evaluates.
+    */
+  test("restricted integer config equals the closed-form insert-log replay") {
+    val rnd = new Random(13)
+    val n = 60; val dim = 8
+    val pts = Array.fill(n)(Array.fill(dim)((rnd.nextInt(255) - 127).toFloat))
+    val g = new Grinch(pts, rotateCap = 0, graftCap = 0, sim = "dot", norm = "none")
+    g.buildDendrogram()
+    val got = g.treeNodes(_ => None).map(t => t.uid.toInt -> t.parentUid.map(_.toInt)).toMap
+
+    def idot(a: Array[Float], b: Array[Float]): Long =
+      (0 until dim).map(k => a(k).toLong * b(k).toLong).sum
+    val sib = Array.fill(n)(-1)
+    for (i <- 1 until n) {
+      var best = 0; var bestD = Long.MinValue
+      for (j <- 0 until i) {
+        val d = idot(pts(i), pts(j)); if (d > bestD) { bestD = d; best = j }
+      }
+      sib(i) = best
+    }
+    val expected = Map.newBuilder[Int, Option[Int]]
+    for (j <- 0 until n) {
+      val events = (1 until n).filter(sib(_) == j) ++ (if (j >= 1) Seq(j) else Seq.empty)
+      expected += j -> Some(n + events.max - 1)
+    }
+    for (i <- 1 until n) {
+      val prior = (1 until i).filter(sib(_) == sib(i)) ++
+        (if (sib(i) >= 1) Seq(sib(i)) else Seq.empty)
+      expected += (n + i - 1) -> (if (prior.isEmpty) None else Some(n + prior.max - 1))
+    }
+    got.size shouldBe 2 * n - 1
+    got shouldBe expected.result()
+  }
+
   test("cutTree reproduces the flat clustering on a toy tree") {
     import Trees.TreeNode
     // tree: root R with children A (leaves a1,a2 similar) and b
