@@ -27,7 +27,9 @@ import graft.sources.Sources
   *   grinch               ≙ meercat/cluster_w_grinch.py (+ write_tree)
   *   cut-tree             ≙ meercat/cut_tree.py
   *   dendrogram-purity    ≙ meercat/dendrogram_purity.py
-  *   eval-clusters        ≙ meercat/eval_clusters.py
+  *   eval-clusters        ≙ meercat/eval_clusters.py (incl. --choice
+  *                          seen|unseen with --train/--test)
+  *   error-analysis       ≙ meercat/error_analysis.py
   *   max-active           ≙ meercat/max_active.py
   *
   * Usage: runMain graft.cli.Cli <command> [--flag value ...]
@@ -226,7 +228,32 @@ object Cli {
         println(f"Dendrogram Purity: ${Trees.dendrogramPurity(nodes)}%.4f")
 
       case "eval-clusters" =>
-        val pairs = Sources.readClusterPairs(spark, in)
+        import spark.implicits._
+        // --choice seen|unseen with --train/--test replays
+        // eval_clusters.py:10-25,177-195: keep only pair lines whose
+        // test mention's entity does (not) appear in the train set.
+        // mid = LINE number of the pairs/test files (the reference's
+        // enumerate), not mention_index — split files renumber.
+        val pairs = (flags.get("train"), flags.get("test"), flags.get("choice")) match {
+          case (Some(train), Some(test), Some(choice)) =>
+            val trainEnts = spark.read.json(train).select(col("entity_id"))
+            val testMids = spark.read.textFile(test).collect().toSeq.zipWithIndex
+              .map { case (l, i) => (i.toLong, l) }.toDF("mid", "line")
+              .select(col("mid"), get_json_object(col("line"), "$.entity_id").as("entity_id"))
+            val allowed = (choice match {
+              case "seen" => Relational.seen(testMids, trainEnts, "entity_id")
+              case "unseen" => Relational.unseen(testMids, trainEnts, "entity_id")
+              case other =>
+                throw new IllegalArgumentException(s"--choice must be seen|unseen, got: $other")
+            }).select(col("mid"))
+            spark.read.textFile(in).collect().toSeq.zipWithIndex
+              .map { case (l, i) =>
+                val p = l.split(","); (i.toLong, p(0).trim, p(1).trim)
+              }.toDF("mid", "true_id", "pred_id")
+              .join(broadcast(allowed), "mid")
+              .select("true_id", "pred_id")
+          case _ => Sources.readClusterPairs(spark, in)
+        }
         val summary = Metrics.evalSummary(pairs, col("true_id"), col("pred_id")).collect().head
         Seq("muc_p", "muc_r", "muc_f1", "b3_p", "b3_r", "b3_f1",
           "ceafe_p", "ceafe_r", "ceafe_f1", "mean_f1").foreach { m =>
@@ -326,6 +353,59 @@ object Cli {
         val m = Relational.maxActive(mentions, col("entity_id"), col("mention_index"))
           .collect().head.getLong(0)
         println(s"Max active entities: $m")
+
+      case "error-analysis" =>
+        // meercat/error_analysis.py:41-126 — conflated/divided counts
+        // plus the two worst clusters rendered as LaTeX example rows
+        // (A5/a5b/a5c operators + the P5 escape/ellipsis helpers).
+        import spark.implicits._
+        val k = flags.getOrElse("examples", "5").toInt
+        // pairs CSV line order IS the mention stream order (mid = line
+        // number, error_analysis.py:27-31); driver-side line read is
+        // the reference file contract, like cut-tree above
+        val pairs = spark.read.textFile(flags("clusters")).collect().toSeq.zipWithIndex
+          .map { case (l, i) =>
+            val p = l.split(","); (i.toLong, p(0).trim, p(1).trim)
+          }.toDF("mid", "true_id", "pred_id")
+        val mentions = spark.read.json(flags("dataset"))
+          .select(col("mention_index").cast("long").as("mid"),
+            col("left_context"), col("mention"), col("right_context"), col("entity_id"))
+        val df = pairs.join(mentions, "mid").persist()
+        // pretty(mention) — error_analysis.py:34-39: escaped last-10 /
+        // first-10 context tokens around an \emph'd mention
+        val prettyCol = concat_ws(" ",
+          concat(lit("\\ldots "),
+            Projections.ellipsisLeft(Projections.latexEscape(col("left_context")), 10)),
+          concat(lit("\\emph{"), Projections.latexEscape(col("mention")), lit("}")),
+          concat(Projections.ellipsisRight(Projections.latexEscape(col("right_context")), 10),
+            lit(" \\ldots")))
+        val cd = Relational.conflatedDivided(df, col("true_id"), col("pred_id"))
+          .collect().head
+        val nConf = cd.getAs[Long]("conflated")
+        val nDiv = cd.getAs[Long]("divided")
+        println(s"Num Entities: ${df.select(col("true_id")).distinct().count()}")
+        println(s"Conflated Entities: $nConf")
+        println(s"Split Entities: $nDiv")
+        if (nDiv > 0) {
+          println("Most Split")
+          Relational.mostDividedExamples(df, col("true_id"), col("pred_id"), col("mid"), k)
+            .select(prettyCol.as("line")).as[String].collect().foreach(println)
+        }
+        println()
+        if (nConf > 0) {
+          println("Most Conflated")
+          // one example per distinct entity, first occurrence in stream
+          // order, underscores to spaces (error_analysis.py:112-126)
+          val rows = Relational.mostConflatedExamples(
+              df, col("true_id"), col("pred_id"), col("mid"), Int.MaxValue)
+            .select(regexp_replace(col("entity_id"), "_", " ").as("ent"), prettyCol.as("pr"))
+            .collect()
+          val seenEnts = scala.collection.mutable.Set.empty[String]
+          rows.iterator.filter(r => seenEnts.add(r.getString(0))).take(k).foreach { r =>
+            println(s"${r.getString(0)} & ${r.getString(1)} \\\\")
+          }
+        }
+        df.unpersist()
 
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other")

@@ -64,8 +64,13 @@ object Projections {
       "([&%$#_{}])", "\\\\$1"),
       "~", "\\\\textasciitilde ")
 
-  def ellipsisLeft(c: Column, n: Int): Column =
-    concat_ws(" ", slice(split(c, " "), -n, n))
+  def ellipsisLeft(c: Column, n: Int): Column = {
+    // slice with a negative start beyond the array length returns EMPTY
+    // in Spark (Python's [-n:] keeps everything) — clamp the start so
+    // short contexts keep all their tokens, like the reference
+    val toks = split(c, " ")
+    concat_ws(" ", slice(toks, -least(size(toks), lit(n)), lit(n)))
+  }
 
   def ellipsisRight(c: Column, n: Int): Column =
     concat_ws(" ", slice(split(c, " "), 1, n))

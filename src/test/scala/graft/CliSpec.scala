@@ -277,4 +277,65 @@ class CliSpec extends SparkSpec {
     }
     ma.trim shouldBe "Max active entities: 2"
   }
+
+  test("error-analysis renders the worst conflated and split clusters as LaTeX rows") {
+    val ds = tmp("ea-mentions"); val cl = tmp("ea-pairs")
+    Files.createDirectories(java.nio.file.Paths.get(ds))
+    Files.createDirectories(java.nio.file.Paths.get(cl))
+    def m(i: Int, ent: String) =
+      s"""{"left_context": "ctx_left of", "mention": "m$i", "right_context": "after words", """ +
+        s""""entity_id": "$ent", "mention_index": $i}"""
+    Files.writeString(java.nio.file.Paths.get(ds + "/p.json"), Seq(
+      m(0, "Ent_A"), m(1, "Ent_B"), m(2, "Ent_B"),
+      m(3, "Ent_B"), m(4, "Ent_B"), m(5, "Ent_C")).mkString("\n"))
+    // pred 1 conflates A+B (conflated=1); true B scatters over preds
+    // 1,2,3 (divided=2)
+    Files.writeString(java.nio.file.Paths.get(cl + "/pairs.txt"), Seq(
+      "A, 1", "B, 1", "B, 1", "B, 2", "B, 3", "C, 4").mkString("\n"))
+    val out = captureOut {
+      Cli.run(spark, "error-analysis", Map("dataset" -> ds, "clusters" -> cl))
+    }
+    out should include("Num Entities: 3")
+    out should include("Conflated Entities: 1")
+    out should include("Split Entities: 2")
+    out should include("Most Split")
+    out should include("Most Conflated")
+    // escaped contexts + \emph'd mention (P5), reference layout
+    out should include("""\ldots ctx\_left of \emph{m1} after words \ldots""")
+    // one row per distinct entity, underscores to spaces, ' & ' join,
+    // trailing ' \\' (error_analysis.py:112-126)
+    out should include("""Ent A & \ldots ctx\_left of \emph{m0} after words \ldots \\""")
+    out should include("""Ent B & \ldots ctx\_left of \emph{m1} after words \ldots \\""")
+    // dedup: only TWO conflated rows despite three cluster members
+    out.linesIterator.count(_.endsWith("""\\""")) shouldBe 2
+    // split section lists the four B mentions, in stream order
+    Seq("m1", "m2", "m3", "m4").foreach(mn => out should include(s"\\emph{$mn}"))
+  }
+
+  test("eval-clusters --choice seen/unseen filters mentions before scoring") {
+    val train = tmp("ec-train"); val test = tmp("ec-test"); val pairs = tmp("ec-pairs")
+    Seq(train, test, pairs).foreach(p => Files.createDirectories(java.nio.file.Paths.get(p)))
+    Files.writeString(java.nio.file.Paths.get(train + "/p.json"),
+      """{"mention": "x", "entity_id": "E0", "mention_index": 0}""")
+    // line number = mid, matching the pairs file line-for-line
+    Files.writeString(java.nio.file.Paths.get(test + "/p.json"), Seq(
+      """{"mention": "a", "entity_id": "E0", "mention_index": 10}""",
+      """{"mention": "b", "entity_id": "E0", "mention_index": 11}""",
+      """{"mention": "c", "entity_id": "E9", "mention_index": 12}""",
+      """{"mention": "d", "entity_id": "E9", "mention_index": 13}""").mkString("\n"))
+    // seen rows perfectly clustered; unseen rows split across preds
+    Files.writeString(java.nio.file.Paths.get(pairs + "/pairs.txt"), Seq(
+      "E0, 0", "E0, 0", "E9, 1", "E9, 2").mkString("\n"))
+    def meanF1(flags: Map[String, String]): Double = {
+      val out = captureOut(Cli.run(spark, "eval-clusters", flags))
+      """mean_f1\s+([0-9.]+)""".r.findFirstMatchIn(out).get.group(1).toDouble
+    }
+    val base = Map("input" -> pairs, "train" -> train, "test" -> test)
+    val all = meanF1(Map("input" -> pairs))
+    val seen = meanF1(base + ("choice" -> "seen"))
+    val unseen = meanF1(base + ("choice" -> "unseen"))
+    seen shouldBe 1.0 +- 1e-9
+    unseen should be < 1.0
+    all should not be seen
+  }
 }

@@ -101,4 +101,37 @@ class SourcesSpec extends SparkSpec {
     out.count() shouldBe 3
     out.where(col("pmid") === "p1").select("date").distinct().as[String].collect().toSeq shouldBe Seq("01/01/20p1")
   }
+
+  /** S12 against a RECORDED esummary fixture: the pluggable fetch
+    * parses canned PubMed responses exactly like the reference
+    * (`scripts/preprocess_medmentions.py:89-97` — `result[pmid]
+    * ['sortpubdate']` as `%Y/%m/%d %H:%M`, None on a malformed
+    * response), re-emitted in the mention stream's dd/MM/yyyy format.
+    */
+  test("S12 enrichDates parses a recorded esummary payload through the pluggable fetch") {
+    val canned = Map(
+      "111" -> """{"header":{"type":"esummary","version":"0.3"},"result":{"uids":["111"],"111":{"uid":"111","sortpubdate":"2019/05/17 00:00","title":"Doc one"}}}""",
+      "222" -> """{"header":{"type":"esummary","version":"0.3"},"result":{"uids":["222"],"222":{"uid":"222","sortpubdate":"2003/11/02 09:30","title":"Doc two"}}}""",
+      "333" -> """{"header":{"type":"esummary","version":"0.3"},"result":{"uids":["333"],"333":{"uid":"333","error":"cannot get document summary"}}}""")
+    val sortRe = """"sortpubdate":"(\d{4})/(\d{2})/(\d{2}) \d{2}:\d{2}"""".r
+    val fetch: String => String = pmid =>
+      sortRe.findFirstMatchIn(canned(pmid)) match {
+        case Some(m) => s"${m.group(3)}/${m.group(2)}/${m.group(1)}"
+        case None => null // reference: publication_date = None on bad payload
+      }
+    val docs = Seq(("111", "a"), ("222", "b"), ("333", "c"), ("111", "d"))
+      .toDF("pmid", "title")
+    val out = Sources.enrichDates(docs, "pmid", fetch)
+    out.count() shouldBe 4
+    def dateOf(p: String): Seq[String] =
+      out.where(col("pmid") === p).select("date").distinct()
+        .as[String].collect().toSeq
+    dateOf("111") shouldBe Seq("17/05/2019") // both rows, one fetch per pmid
+    dateOf("222") shouldBe Seq("02/11/2003")
+    dateOf("333") shouldBe Seq(null)
+    // the emitted strings parse under the stream's dd/MM/yyyy contract
+    out.where(col("pmid") === "111")
+      .select(to_date(col("date"), "dd/MM/yyyy").cast("string")).distinct()
+      .as[String].collect().toSeq shouldBe Seq("2019-05-17")
+  }
 }
