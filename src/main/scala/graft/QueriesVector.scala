@@ -238,6 +238,8 @@ object QueriesVector {
   // ---------------------------------------------------------------- v6
   // IVF-style ANN (KMeans coarse quantizer, search own cell only) —
   // rows-only: the centroid fit's float math is not SQL-reproducible.
+  // Kept as the spark.ml-interop / fit-quality DEMO path; v9 is the
+  // production twin (same shuffle shape, integer build, full oracle).
   val v6IvfAnn: Q = (s, dir) =>
     Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
       col("vec_id"), col("embedding"), nCells = 16, k = 3, Seed)

@@ -176,9 +176,15 @@ object Trees {
     * single global stream's tree is ∝ input size.
     */
   def purityAuto(tree: DataFrame, driverFoldMaxNodes: Long = 100000L): Double = {
-    if (tree.count() <= driverFoldMaxNodes) {
-      val nodes = tree.select(col("uid").cast("string"), col("parent_uid").cast("string"),
-        col("label").cast("string")).collect()
+    // ONE job routes AND loads: grab up to cutoff+1 rows — if the tree
+    // fits, these are exactly the rows the driver fold needs (no
+    // separate count() job); the sentinel extra row routes big trees to
+    // the distributed roll-up without collecting them.
+    val cutoff = math.min(driverFoldMaxNodes, Int.MaxValue - 1L).toInt
+    val head = tree.select(col("uid").cast("string"), col("parent_uid").cast("string"),
+      col("label").cast("string")).limit(cutoff + 1).collect()
+    if (head.length <= cutoff) {
+      val nodes = head
         .map(r => TreeNode(r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toSeq
       dendrogramPurity(nodes)
     } else dendrogramPurityDF(tree)
