@@ -70,9 +70,9 @@ object QueriesGrinch {
   // the Spark run (the REAL automaton, not a special case) replays
   // bit-for-bit in SQL. Semantics: `grinch_alg.py:166-202` with both
   // caps 0.
-  private val IntP = Grinch.Params(rotateCap = 0, graftCap = 0,
+  private[graft] val IntP = Grinch.Params(rotateCap = 0, graftCap = 0,
     sim = "dot", norm = "none", activeLeafLimit = -1)
-  private val H5N = 500
+  private[graft] val H5N = 500
 
   val h5GrinchIntTree: Q = (s, dir) => {
     val emb = Tables.load(s, dir, "embeddings").where(col("vec_id") < H5N)

@@ -385,7 +385,58 @@ object QueriesStreaming {
       .orderBy("event_type")
   }
 
+  /** st11 — the h5 integer-GRINCH dendrogram as a real streaming query:
+    * three micro-batches through the replay-log automaton, each
+    * re-emitting the full current tree; the max-step rows are the batch
+    * tree by construction, so the output hash-matches h5's closed-form
+    * SQL oracle — streaming/batch/SQL three-way agreement for the tree
+    * family, not just its flat cuts.
+    */
+  val st11StreamingGrinchTree: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingGrinch
+    import graft.streaming.StreamingGrinch.PointEvent
+    val emb = Tables.load(s, dir, "embeddings").where(col("vec_id") < QueriesGrinch.H5N)
+    val maxAbs = emb.agg(max(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    val rows = emb.select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
+        col("label").cast("string").as("label"))
+      .orderBy("vec_id")
+      .as[(Long, Array[Long], String)]
+      .collect()
+    // leaf uid = stream position (insertion order), like the batch run
+    val events = rows.zipWithIndex.map { case ((_, q, _), pos) =>
+      PointEvent(0L, pos.toLong, pos.toLong, q.map(_.toFloat))
+    }
+
+    withShufflePartitions(s, 4) {
+      val input = MemoryStream[PointEvent]
+      val query = StreamingGrinch.dendrogram(input.toDS(), QueriesGrinch.IntP)
+        .writeStream.format("memory").queryName("st11_sink").outputMode("append").start()
+      try {
+        events.grouped(events.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    val labels = rows.zipWithIndex
+      .map { case ((_, _, l), pos) => (pos.toLong, l) }.toSeq.toDF("luid", "llabel")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("uid")).orderBy(col("step").desc)
+    s.table("st11_sink")
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .join(labels, col("uid") === col("luid"), "left")
+      .select(col("uid"), col("parentUid").as("parent_uid"), col("llabel").as("label"))
+      .orderBy("uid")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st11_streaming_grinch_tree" -> st11StreamingGrinchTree,
     "st10_streaming_hll" -> st10StreamingHll,
     "st9_streaming_sessions" -> st9StreamingSessions,
     "st1_streaming_greedy" -> st1StreamingGreedy,
@@ -395,6 +446,7 @@ object QueriesStreaming {
     "st5_streaming_dedup" -> st5StreamingDedup,
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
+    "st11_streaming_grinch_tree" -> QueriesGrinch.h5GrinchIntTreeSql,
     "st10_streaming_hll" -> QueriesRelational.k2HllSketchOnlySql,
     "st9_streaming_sessions" -> QueriesRelational.w2SessionizeSql,
     "st1_streaming_greedy" -> st1StreamingGreedySql,

@@ -35,12 +35,45 @@ object StreamingGrinch {
   /** One assignment row; `step` orders re-emissions of the same id. */
   final case class TreeAssignment(key: Long, id: Long, predCluster: Long, step: Long)
 
+  /** One dendrogram node row (uids are the automaton's: leaf = stream
+    * position, internal above n); `step` orders re-emissions.
+    */
+  final case class TreeRow(key: Long, uid: Long, parentUid: Option[Long], step: Long)
+
   implicit private val logEnc: Encoder[TreeLog] = Encoders.product[TreeLog]
   implicit private val outEnc: Encoder[TreeAssignment] = Encoders.product[TreeAssignment]
+  implicit private val rowEnc: Encoder[TreeRow] = Encoders.product[TreeRow]
 
   /** Apply to a streaming (or batch) Dataset[PointEvent]; emits the
     * refreshed flat clustering of each touched key per micro-batch.
     */
+  /** The evolving DENDROGRAM of each key: every micro-batch re-emits
+    * the key's full current (uid, parent) relation stamped with the
+    * step; consumers keep the max-step row per uid. Same replay-log
+    * state as [[flatCluster]] — the final tree is the batch tree by
+    * construction, so under the h5 restricted integer config the
+    * max-step output hash-matches h5's closed-form SQL oracle.
+    */
+  def dendrogram(events: Dataset[PointEvent], p: Grinch.Params): Dataset[TreeRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[PointEvent], state: GroupState[TreeLog]) =>
+          val prior = state.getOption.map(_.entries).getOrElse(Nil)
+          val incoming = batch.toSeq.sortBy(_.order).map(e => (e.id, e.vec))
+          val log = prior ++ incoming
+          state.update(TreeLog(log))
+          if (log.isEmpty) Iterator.empty
+          else {
+            val g = Grinch.buildFrom(log.map(_._2).toArray, p)
+            val step = log.length.toLong
+            g.treeNodes(_ => None).iterator.map(t =>
+              TreeRow(key, t.uid.toLong, t.parentUid.map(_.toLong), step))
+          }
+      }
+  }
+
   def flatCluster(events: Dataset[PointEvent], p: Grinch.Params,
                   threshold: Double): Dataset[TreeAssignment] = {
     import events.sparkSession.implicits._
