@@ -88,11 +88,15 @@ object QueriesGrinch {
       .orderBy("uid")
   }
 
-  val h5GrinchIntTreeSql: String = {
+  /** Shared WITH-clause body deriving the h5 closed-form tree relation
+    * `tree(uid, parent_uid, label)` — h5 selects it directly, h6 runs
+    * the purity roll-up on top.
+    */
+  private val intTreeCtes: String = {
     val idot =
       "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 64), " +
         "di -> a.q[di] * b.q[di])), (acc, x) -> acc + x)"
-    s"""WITH sel AS (
+    s"""sel AS (
        |  SELECT vec_id, embedding, label,
        |         row_number() OVER (ORDER BY vec_id) - 1 AS pos
        |  FROM embeddings WHERE vec_id < $H5N),
@@ -131,19 +135,82 @@ object QueriesGrinch {
        |         CASE WHEN prev IS NULL THEN NULL
        |              ELSE (n + prev - 1)::BIGINT END AS parent_uid,
        |         NULL::VARCHAR AS label
-       |  FROM internals, nn)
-       |SELECT uid, parent_uid, label
-       |FROM (SELECT * FROM leaves UNION ALL SELECT * FROM ints)
-       |ORDER BY uid""".stripMargin
+       |  FROM internals, nn),
+       |tree AS (SELECT * FROM leaves UNION ALL SELECT * FROM ints)""".stripMargin
   }
+
+  val h5GrinchIntTreeSql: String =
+    s"WITH $intTreeCtes\nSELECT uid, parent_uid, label FROM tree ORDER BY uid"
+
+  // ---------------------------------------------------------------- h6
+  // A4 dendrogram purity, ORACLE-CHECKED: the fixed-point purity fold
+  // ([[Trees.dendrogramPurityFixedPoint]] — per (LCA, label) the pair
+  // count times (n_l·1e9 div n), exact integers, one final double
+  // division) over the h5 integer tree. The oracle rebuilds the same
+  // tree from the closed form, walks leaf→root ancestor paths with a
+  // recursive CTE, and replays the identical integer roll-up — so the
+  // purity METRIC itself (not just the tree) is hash-checked
+  // cross-engine. Semantics: `meercat/dendrogram_purity.py:64-84` with
+  // the float per-pair mean replaced by the scaled-integer sum (the
+  // same trick the a2 B³ oracle uses).
+  val h6GrinchPurityInt: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings").where(col("vec_id") < H5N)
+    val maxAbs = emb.agg(max(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    val qdf = emb.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
+      col("label"))
+    val tree = Grinch.dendrogram(qdf, col("vec_id"), col("q"), col("vec_id"), col("label"), IntP)
+    val nodes = tree.select(col("uid").cast("string"), col("parent_uid").cast("string"),
+        col("label").cast("string")).collect()
+      .map(r => Trees.TreeNode(r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+      .toSeq
+    val (summand, pStar) = Trees.dendrogramPurityFixedPoint(nodes)
+    import s.implicits._
+    Seq((summand.toDouble / (1000000000.0 * pStar.toDouble), summand, pStar))
+      .toDF("purity", "fp_summand", "total_pairs")
+  }
+
+  val h6GrinchPurityIntSql: String =
+    s"""WITH RECURSIVE $intTreeCtes,
+       |lv AS (SELECT uid, label FROM tree WHERE label IS NOT NULL),
+       |anc(leaf, node) AS (
+       |  SELECT uid, uid FROM lv
+       |  UNION ALL
+       |  SELECT a.leaf, t.parent_uid FROM anc a
+       |  JOIN tree t ON a.node = t.uid WHERE t.parent_uid IS NOT NULL),
+       |hist AS (
+       |  SELECT a.node AS node, l.label AS label, count(*)::BIGINT AS cnt
+       |  FROM anc a JOIN lv l ON l.uid = a.leaf GROUP BY 1, 2),
+       |nv AS (SELECT node, cast(sum(cnt) AS BIGINT) AS n_v FROM hist GROUP BY 1),
+       |cp AS (
+       |  SELECT t.parent_uid AS v, h.label AS label,
+       |         cast(sum(h.cnt * (h.cnt - 1) // 2) AS BIGINT) AS cpairs
+       |  FROM tree t JOIN hist h ON h.node = t.uid
+       |  WHERE t.parent_uid IS NOT NULL GROUP BY 1, 2),
+       |contrib AS (
+       |  SELECT ((h.cnt * (h.cnt - 1) // 2) - coalesce(cp.cpairs, 0))
+       |           * ((h.cnt * 1000000000) // nv.n_v) AS c
+       |  FROM hist h JOIN nv ON nv.node = h.node
+       |  LEFT JOIN cp ON cp.v = h.node AND cp.label = h.label),
+       |sm AS (SELECT cast(sum(c) AS BIGINT) AS fp_summand FROM contrib),
+       |ps AS (
+       |  SELECT cast(sum(c * (c - 1) // 2) AS BIGINT) AS total_pairs
+       |  FROM (SELECT count(*)::BIGINT AS c FROM lv GROUP BY label))
+       |SELECT fp_summand::DOUBLE / (1000000000.0::DOUBLE * total_pairs::DOUBLE) AS purity,
+       |       fp_summand, total_pairs
+       |FROM sm, ps""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "h1_grinch_flat" -> h1GrinchFlat,
     "h2_grinch_dendrogram" -> h2GrinchDendrogram,
     "h3_grinch_purity" -> h3GrinchPurity,
     "h4_grinch_by_label" -> h4GrinchByLabel,
-    "h5_grinch_int_tree" -> h5GrinchIntTree)
+    "h5_grinch_int_tree" -> h5GrinchIntTree,
+    "h6_grinch_purity_int" -> h6GrinchPurityInt)
 
   val oracles: Map[String, String] = Map(
-    "h5_grinch_int_tree" -> h5GrinchIntTreeSql)
+    "h5_grinch_int_tree" -> h5GrinchIntTreeSql,
+    "h6_grinch_purity_int" -> h6GrinchPurityIntSql)
 }

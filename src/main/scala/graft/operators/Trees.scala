@@ -82,6 +82,62 @@ object Trees {
     summand / pStar
   }
 
+  /** A4, fixed-point — dendrogram purity as EXACT integer arithmetic:
+    * per (internal node v, label l), pairs-with-LCA-v = n_l(c1)·n_l(c2)
+    * each contribute `(n_l(v)·1e9) div n(v)` (truncating integer
+    * division, the B³ scaled-integer trick), summed exactly. Returns
+    * (summand, pStarPairs); purity = summand / (1e9 · pStarPairs) with
+    * ONE final double division — order-independent and bit-identical
+    * across engines, which is what lets the h6 query carry a DuckDB
+    * oracle for the purity metric itself.
+    */
+  def dendrogramPurityFixedPoint(nodes: Seq[TreeNode]): (Long, Long) = {
+    val children = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
+    var root: Option[String] = None
+    nodes.foreach { n =>
+      n.parentUid match {
+        case Some(p) => children.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += n.uid
+        case None    => root = Some(n.uid)
+      }
+    }
+    require(root.isDefined, "dendrogram has no root (parentUid == None) row")
+    val byUid = nodes.map(n => n.uid -> n).toMap
+
+    val hist = mutable.HashMap.empty[String, mutable.HashMap[String, Long]]
+    def histOf(uid: String): mutable.HashMap[String, Long] =
+      hist.getOrElseUpdate(uid, mutable.HashMap.empty)
+
+    val order = mutable.ArrayBuffer.empty[String]
+    val stack = mutable.Stack(root.get)
+    while (stack.nonEmpty) {
+      val uid = stack.pop()
+      order += uid
+      children.getOrElse(uid, Nil).foreach(stack.push)
+    }
+
+    var summand = 0L
+    order.reverseIterator.foreach { uid =>
+      val kids = children.getOrElse(uid, Nil)
+      require(kids.size <= 2,
+        s"dendrogramPurityFixedPoint requires a binary tree; node $uid has ${kids.size} children")
+      if (kids.nonEmpty) {
+        val h = histOf(uid)
+        kids.foreach { k => histOf(k).foreach { case (l, c) => h.update(l, h.getOrElse(l, 0L) + c) } }
+        val nV = h.valuesIterator.sum
+        val h0 = histOf(kids.head)
+        val h1 = if (kids.size > 1) histOf(kids(1)) else mutable.HashMap.empty[String, Long]
+        h.foreach { case (l, nl) =>
+          val pairs = h0.getOrElse(l, 0L) * h1.getOrElse(l, 0L)
+          if (pairs > 0) summand += pairs * ((nl * 1000000000L) / nV)
+        }
+      } else {
+        byUid(uid).label.foreach(l => histOf(uid).update(l, 1L))
+      }
+    }
+    val pStar = histOf(root.get).valuesIterator.map(x => x * (x - 1) / 2).sum
+    (summand, pStar)
+  }
+
   /** A4, distributed — dendrogram purity over a dendrogram *relation*
     * (uid, parent_uid, label), with no driver-side materialization of
     * the tree: the map-monoid label-histogram roll-up of

@@ -308,8 +308,20 @@ class CliSpec extends SparkSpec {
     out should include("""Ent B & \ldots ctx\_left of \emph{m1} after words \ldots \\""")
     // dedup: only TWO conflated rows despite three cluster members
     out.linesIterator.count(_.endsWith("""\\""")) shouldBe 2
-    // split section lists the four B mentions, in stream order
-    Seq("m1", "m2", "m3", "m4").foreach(mn => out should include(s"\\emph{$mn}"))
+    // GOLDEN: the reference's error_analysis.py executed on this exact
+    // fixture (scipy stubbed) prints precisely this stdout — section
+    // headers, row order, escapes, and the blank separator line
+    val golden =
+      """Most Split
+        |\ldots ctx\_left of \emph{m1} after words \ldots
+        |\ldots ctx\_left of \emph{m2} after words \ldots
+        |\ldots ctx\_left of \emph{m3} after words \ldots
+        |\ldots ctx\_left of \emph{m4} after words \ldots
+        |
+        |Most Conflated
+        |Ent A & \ldots ctx\_left of \emph{m0} after words \ldots \\
+        |Ent B & \ldots ctx\_left of \emph{m1} after words \ldots \\""".stripMargin
+    out should include(golden)
   }
 
   test("eval-clusters --choice seen/unseen filters mentions before scoring") {

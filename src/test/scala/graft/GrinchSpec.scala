@@ -116,6 +116,14 @@ class GrinchSpec extends SparkSpec {
     }
     got.size shouldBe 2 * n - 1
     got shouldBe expected.result()
+
+    // fixed-point purity (h6's metric) tracks the float fold within the
+    // 1e-9 truncation bound on the same mixed-label tree
+    val tree = g.treeNodes(i => Some((i % 3).toString))
+    val (sm, ps) = Trees.dendrogramPurityFixedPoint(tree)
+    ps should be > 0L
+    val fp = sm.toDouble / (1e9 * ps.toDouble)
+    fp shouldBe Trees.dendrogramPurity(tree) +- 1e-9
   }
 
   test("cutTree reproduces the flat clustering on a toy tree") {
