@@ -34,6 +34,18 @@ class DedupSpec extends SparkSpec {
     cc.keySet shouldBe (0L to 12L).toSet
   }
 
+  test("connectedComponents: a chain deeper than maxRounds converges via pointer hopping") {
+    // diameter 200 ≫ maxRounds=50: plain min-label propagation would
+    // abort; the comp(v) ← comp(comp(v)) shortcut converges in
+    // O(log diameter) rounds (templated-corpus near-dup chains are the
+    // real-world shape of this graph)
+    val pairs = (0L until 200L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, col("doc_a"), col("doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc.values.toSet shouldBe Set(0L)
+    cc.keySet shouldBe (0L to 200L).toSet
+  }
+
   test("connectedComponents: seeded random graphs match a local union-find") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {

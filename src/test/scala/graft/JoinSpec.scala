@@ -41,4 +41,17 @@ class JoinSpec extends SparkSpec {
       .select("asof_pk", "asof_tag").as[(Long, String)].collect().head
     out shouldBe ((9L, "b"))
   }
+
+  test("asofJoin: a NULL field in the picked row stays NULL (no mixing of right rows)") {
+    // the LATEST right row (rt=90) has tag=NULL; a per-column window
+    // would silently backfill tag from the older rt=40 row while pk
+    // came from rt=90 — the struct carry keeps both from the same row
+    val left = Seq((1L, 10L, 100L)).toDF("lid", "k", "lt")
+    val right = Seq((10L, 40L, 7L, Some("a")), (10L, 90L, 9L, None: Option[String]))
+      .toDF("k", "rt", "pk", "tag")
+    val out = Relational.asofJoin(left, right, "k",
+      col("lt"), col("rt"), tie = col("pk"), payload = Seq("pk", "tag"))
+      .select("asof_pk", "asof_tag").as[(Long, Option[String])].collect().head
+    out shouldBe ((9L, None))
+  }
 }
