@@ -85,6 +85,14 @@ class GrinchSpec extends SparkSpec {
     * prior leaves with lowest-id ties; parent(leaf j) = node of the
     * last event at j; parent(p_i) = node of the previous event at
     * sib_i) — the exact relation the h5 DuckDB oracle evaluates.
+    *
+    * Reference provenance: executing `/root/reference/meercat/
+    * grinch_alg.py` itself (scipy/tqdm stubbed) with rotate_cap=0,
+    * graft_cap=0, sim='dot', norm='none' on 40 random int8 6-dim
+    * vectors (python random seed 13) produces the SAME parent relation
+    * as this closed form, all 79 nodes — so the h5 oracle is
+    * transitively a check against the reference's own code, not just
+    * against this port.
     */
   test("restricted integer config equals the closed-form insert-log replay") {
     val rnd = new Random(13)
