@@ -60,7 +60,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
+    // The driver's capture is tail-bounded: round 5 lost the aggregate
+    // fields to a head-truncated line. Aggregates therefore go AFTER the
+    // queries map, and a second queries-free summary line goes LAST so
+    // the headline total always survives any truncation.
+    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

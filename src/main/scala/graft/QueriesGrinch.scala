@@ -125,9 +125,13 @@ object QueriesGrinch {
        |  FROM sibs),
        |lastev AS (SELECT sib, max(i) AS mi FROM sibs GROUP BY sib),
        |leaves AS (
+       |  -- n=1 guard: a lone leaf is the root (parent NULL); without it
+       |  -- the closed form degenerates to a uid-0 self-parent and h6's
+       |  -- recursive ancestor walk would never terminate.
        |  SELECT l.pos::BIGINT AS uid,
-       |         (n + greatest(coalesce(mx.mi, 0),
-       |                       CASE WHEN l.pos >= 1 THEN l.pos ELSE 0 END) - 1)::BIGINT AS parent_uid,
+       |         CASE WHEN n <= 1 THEN NULL ELSE
+       |           (n + greatest(coalesce(mx.mi, 0),
+       |                         CASE WHEN l.pos >= 1 THEN l.pos ELSE 0 END) - 1) END::BIGINT AS parent_uid,
        |         l.label::VARCHAR AS label
        |  FROM qv l LEFT JOIN lastev mx ON mx.sib = l.pos, nn),
        |ints AS (
@@ -162,8 +166,15 @@ object QueriesGrinch {
       transform(col("embedding"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
       col("label"))
     val tree = Grinch.dendrogram(qdf, col("vec_id"), col("q"), col("vec_id"), col("label"), IntP)
-    val nodes = tree.select(col("uid").cast("string"), col("parent_uid").cast("string"),
-        col("label").cast("string")).collect()
+    val rows = tree.select(col("uid").cast("string"), col("parent_uid").cast("string"),
+        col("label").cast("string")).limit(2 * H5N).collect()
+    // size guard: the driver collect here is bounded by construction at
+    // 2·H5N-1 nodes (vec_id < H5N, no graft ⇒ no lazy-deleted extras);
+    // fail loudly rather than silently folding a truncated tree if H5N
+    // ever grows past what a driver fold should hold.
+    require(rows.length < 2 * H5N,
+      s"h6 tree unexpectedly has >= ${2 * H5N} nodes; route through Trees.purityAuto instead")
+    val nodes = rows
       .map(r => Trees.TreeNode(r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
       .toSeq
     val (summand, pStar) = Trees.dendrogramPurityFixedPoint(nodes)

@@ -234,6 +234,12 @@ object Cli {
         // test mention's entity does (not) appear in the train set.
         // mid = LINE number of the pairs/test files (the reference's
         // enumerate), not mention_index — split files renumber.
+        // fail fast on a typo'd invocation: --choice without both
+        // --train and --test would otherwise silently score ALL mentions
+        // while appearing to have filtered
+        if (flags.contains("choice") && !(flags.contains("train") && flags.contains("test")))
+          throw new IllegalArgumentException(
+            "--choice requires both --train and --test")
         val pairs = (flags.get("train"), flags.get("test"), flags.get("choice")) match {
           case (Some(train), Some(test), Some(choice)) =>
             val trainEnts = spark.read.json(train).select(col("entity_id"))
