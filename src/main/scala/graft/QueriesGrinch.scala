@@ -213,15 +213,179 @@ object QueriesGrinch {
        |       fp_summand, total_pairs
        |FROM sm, ps""".stripMargin
 
+  // ---------------------------------------------------------------- h7
+  // The ROTATE-ENABLED integer-GRINCH oracle — the round-5 verdict's one
+  // remaining semantic hole. Config rotateCap>0 (the walk is live),
+  // graftCap=0 (graft's ancestor filters stay empty), norm="none",
+  // sim="dot", no pruning. Unlike h5 there is no closed form: the rotate
+  // walk (`grinch_alg.py:239-257`) climbs nn_i's ancestor chain while
+  // score0 < score(parent) and numDescendants(parent) < rotateCap, so
+  // the oracle is a SEQUENTIAL replay — a DuckDB recursive CTE carrying
+  // the full automaton state (parent/children/descendant-count/integer
+  // subtree-sum/ancestor-chain per node) one insert per iteration.
+  // Every score the walk compares is either an exact integer dot
+  // (leaves) or the deterministic IEEE-754 sequence
+  //   double(intSum)/double(nd) → float32-round → double dot
+  // that the engine's float32 centroids perform (int8 subtree sums stay
+  // exact in float32 below 2^24), so the replay is bit-identical
+  // cross-engine. The model (and that these configs actually rotate) is
+  // pinned against the real automaton in GrinchRotateOracleSpec.
+  private[graft] val H7N = 200
+  private[graft] val H7Dim = 8
+  private[graft] val H7Cap = 16
+  private[graft] val RotP = Grinch.Params(rotateCap = H7Cap, graftCap = 0,
+    sim = "dot", norm = "none", activeLeafLimit = -1,
+    // the oracle row is only meaningful if the data actually rotates:
+    // fail the build (and thus the driver's verify run) if it doesn't
+    minRotations = 1)
+
+  val h7GrinchRotateTree: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings").where(col("vec_id") < H7N)
+      .select(col("vec_id"), slice(col("embedding"), 1, H7Dim).as("e8"), col("label"))
+    val maxAbs = emb.agg(max(aggregate(col("e8"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    val qdf = emb.select(col("vec_id"),
+      transform(col("e8"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
+      col("label"))
+    Grinch.dendrogram(qdf, col("vec_id"), col("q"), col("vec_id"), col("label"), RotP)
+      .select(col("uid").cast("long").as("uid"),
+        col("parent_uid").cast("long").as("parent_uid"), col("label"))
+      .orderBy("uid")
+  }
+
+  val h7GrinchRotateTreeSql: String = {
+    val D = H7Dim
+    // score(p): double dot of p's children's float32 centroids, from the
+    // unqualified state columns of the enclosing derived row — `p` must
+    // be a 0-based uid expression
+    def nscore(p: String): String = {
+      def centK(ch: String, kk: String) =
+        s"CAST(CAST((sm[$ch[($p) + 1] + 1])[$kk] AS DOUBLE) / " +
+          s"CAST(nd[$ch[($p) + 1] + 1] AS DOUBLE) AS REAL)"
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, " + D + "), kk -> " +
+        s"CAST(${centK("ch1", "kk")} AS DOUBLE) * CAST(${centK("ch2", "kk")} AS DOUBLE))), " +
+        "(acc, x) -> acc + x)"
+    }
+    val idotNew = // integer dot of q_i with q_jj (both from the qs list)
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $D), " +
+        "kk -> qi[kk] * (qs[jj])[kk])), (acc, x) -> acc + x)"
+    s"""WITH RECURSIVE
+       |sel AS (
+       |  SELECT vec_id, embedding, label,
+       |         row_number() OVER (ORDER BY vec_id) - 1 AS pos
+       |  FROM embeddings WHERE vec_id < $H7N),
+       |nn_t AS (SELECT count(*) AS n FROM sel),
+       |gs AS (
+       |  SELECT max(list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(1, $D), mi -> abs(embedding[mi]::DOUBLE))),
+       |    (acc, x) -> greatest(acc, x))) AS maxabs
+       |  FROM sel),
+       |sc AS (SELECT CASE WHEN maxabs = 0 THEN 1.0::DOUBLE ELSE maxabs / 127.0 END AS scale FROM gs),
+       |qv AS (
+       |  SELECT pos, label, list_transform(generate_series(1, $D),
+       |    qi -> cast(round(embedding[qi]::DOUBLE / scale) AS BIGINT)) AS q
+       |  FROM sel, sc),
+       |qs_t AS (SELECT list(q ORDER BY pos) AS qs, list(label ORDER BY pos) AS labels FROM qv),
+       |step AS (
+       |  SELECT 1::BIGINT AS i, n, qs,
+       |    list_transform(generate_series(1, 2*n - 1), x -> -1::BIGINT) AS par,
+       |    list_transform(generate_series(1, 2*n - 1), x -> -1::BIGINT) AS ch1,
+       |    list_transform(generate_series(1, 2*n - 1), x -> -1::BIGINT) AS ch2,
+       |    list_transform(generate_series(1, 2*n - 1),
+       |                   x -> CASE WHEN x = 1 THEN 1 ELSE 0 END::BIGINT) AS nd,
+       |    list_transform(generate_series(1, 2*n - 1),
+       |                   x -> CASE WHEN x = 1 THEN qs[1]
+       |                        ELSE list_transform(generate_series(1, $D), z -> 0::BIGINT) END) AS sm,
+       |    list_transform(generate_series(1, 2*n - 1), x -> CAST([] AS BIGINT[])) AS anc
+       |  FROM nn_t, qs_t
+  UNION ALL
+       |  SELECT i + 1, n, qs,
+       |    list_transform(generate_series(1, 2*n - 1), x ->
+       |      CASE WHEN x - 1 = sib OR x - 1 = i THEN m
+       |           WHEN x - 1 = m THEN g
+       |           ELSE par[x] END),
+       |    list_transform(generate_series(1, 2*n - 1), x ->
+       |      CASE WHEN x - 1 = m THEN sib
+       |           WHEN x - 1 = g AND ch1[x] = sib THEN m
+       |           ELSE ch1[x] END),
+       |    list_transform(generate_series(1, 2*n - 1), x ->
+       |      CASE WHEN x - 1 = m THEN i
+       |           WHEN x - 1 = g AND ch1[x] <> sib THEN m
+       |           ELSE ch2[x] END),
+       |    list_transform(generate_series(1, 2*n - 1), x ->
+       |      CASE WHEN x - 1 = i THEN 1::BIGINT
+       |           WHEN x - 1 = m THEN nd[sib + 1] + 1
+       |           WHEN list_contains(above, x - 1) THEN nd[x] + 1
+       |           ELSE nd[x] END),
+       |    list_transform(generate_series(1, 2*n - 1), x ->
+       |      CASE WHEN x - 1 = i THEN qi
+       |           WHEN x - 1 = m THEN list_transform(generate_series(1, $D),
+       |                                 kk -> (sm[sib + 1])[kk] + qi[kk])
+       |           WHEN list_contains(above, x - 1) THEN list_transform(generate_series(1, $D),
+       |                                 kk -> (sm[x])[kk] + qi[kk])
+       |           ELSE sm[x] END),
+       |    list_transform(generate_series(1, 2*n - 1), x ->
+       |      CASE WHEN x - 1 = i OR x - 1 = sib THEN list_prepend(m, above)
+       |           WHEN x - 1 = m THEN above
+       |           WHEN list_contains(anc[x], sib) THEN
+       |             array_slice(anc[x], 1, list_position(anc[x], sib))
+       |               || [m]
+       |               || array_slice(anc[x], list_position(anc[x], sib) + 1, len(anc[x]))
+       |           ELSE anc[x] END)
+       |  FROM (
+       |    SELECT *, CASE WHEN len(above) > 0 THEN above[1] ELSE -1::BIGINT END AS g
+       |    FROM (
+       |      SELECT *, chain[kstar] AS sib,
+       |             array_slice(chain, kstar + 1, len(chain)) AS above,
+       |             n + i - 1 AS m
+       |      FROM (
+       |        SELECT *, list_position(list_transform(generate_series(1, len(chain)), k ->
+       |            k < len(chain)
+       |            AND score0 < ${nscore("chain[k + 1]")}
+       |            AND nd[chain[k + 1] + 1] < $H7Cap), false) AS kstar
+       |        FROM (
+       |          SELECT *, list_prepend(nn0, anc[nn0 + 1]) AS chain
+       |          FROM (
+       |            SELECT *, struct_extract(nnrec, 'j') AS nn0,
+       |                   CAST(struct_extract(nnrec, 'd') AS DOUBLE) AS score0
+       |            FROM (
+       |              SELECT *, list_reduce(
+       |                  list_transform(generate_series(1, i), jj ->
+       |                    struct_pack(d := $idotNew, j := jj - 1)),
+       |                  (acc, x) -> CASE WHEN struct_extract(x, 'd') > struct_extract(acc, 'd')
+       |                              THEN x ELSE acc END) AS nnrec
+       |              FROM (
+       |                SELECT *, qs[i + 1] AS qi FROM step WHERE i < n
+       |              ) z0
+       |            ) z1
+       |          ) z2
+       |        ) z3
+       |      ) z4
+       |    ) z5
+       |  ) z6),
+       |fin AS (SELECT * FROM step WHERE i = n)
+       |SELECT
+       |  unnest(list_transform(generate_series(1, 2*fin.n - 1), x -> x - 1))::BIGINT AS uid,
+       |  unnest(list_transform(generate_series(1, 2*fin.n - 1),
+       |    x -> CASE WHEN par[x] = -1 THEN NULL ELSE par[x] END))::BIGINT AS parent_uid,
+       |  unnest(list_transform(generate_series(1, 2*fin.n - 1),
+       |    x -> CASE WHEN x <= fin.n THEN labels[x]::VARCHAR ELSE NULL END)) AS label
+       |FROM fin, qs_t
+       |ORDER BY uid""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "h1_grinch_flat" -> h1GrinchFlat,
     "h2_grinch_dendrogram" -> h2GrinchDendrogram,
     "h3_grinch_purity" -> h3GrinchPurity,
     "h4_grinch_by_label" -> h4GrinchByLabel,
     "h5_grinch_int_tree" -> h5GrinchIntTree,
-    "h6_grinch_purity_int" -> h6GrinchPurityInt)
+    "h6_grinch_purity_int" -> h6GrinchPurityInt,
+    "h7_grinch_rotate_tree" -> h7GrinchRotateTree)
 
   val oracles: Map[String, String] = Map(
     "h5_grinch_int_tree" -> h5GrinchIntTreeSql,
-    "h6_grinch_purity_int" -> h6GrinchPurityIntSql)
+    "h6_grinch_purity_int" -> h6GrinchPurityIntSql,
+    "h7_grinch_rotate_tree" -> h7GrinchRotateTreeSql)
 }

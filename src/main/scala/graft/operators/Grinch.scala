@@ -64,6 +64,12 @@ final class Grinch(
   private val firstUsed = new Array[Int](maxNodes)
   private var nextNodeId = n
   private var currentStep = 0
+  /** Number of inserts whose rotate walk moved past the 1-NN leaf —
+    * observability for specs that must prove a config actually
+    * exercises the rotate path (`grinch_alg.py:239-257`).
+    */
+  private var rotateEvents = 0
+  def rotations: Int = rotateEvents
 
   // ---- similarity / centroid kernels (csim_* `:79-92`, centroids `:95-125`)
 
@@ -172,6 +178,7 @@ final class Grinch(
       currParent = parents(curr)
       currParentScore = if (currParent == -1) Double.NegativeInfinity else getScore(currParent)
     }
+    if (curr != sib) rotateEvents += 1
     curr
   }
 
@@ -479,7 +486,12 @@ object Grinch {
       norm: String = "l2",
       activeLeafLimit: Int = -1,
       pruningStrategy: String = "least_recent",
-      pruningThreshold: Double = Double.NaN)
+      pruningThreshold: Double = Double.NaN,
+      /** Fail the build unless at least this many inserts rotated past
+        * their 1-NN leaf — lets oracle configs (h7) prove the rotate
+        * path was actually exercised on the data they ran over.
+        */
+      minRotations: Int = 0)
 
   /** Build a tree by inserting `points` in order — the automaton's only
     * construction path (also the streaming operator's replay restore).
@@ -488,6 +500,8 @@ object Grinch {
     val g = new Grinch(points, p.rotateCap, p.graftCap, p.sim, p.norm,
       p.activeLeafLimit, p.pruningStrategy, p.pruningThreshold)
     g.buildDendrogram()
+    require(g.rotations >= p.minRotations,
+      s"expected >= ${p.minRotations} rotate events on this data, saw ${g.rotations}")
     g
   }
 

@@ -88,11 +88,13 @@ class GrinchSpec extends SparkSpec {
     *
     * Reference provenance: executing `/root/reference/meercat/
     * grinch_alg.py` itself (scipy/tqdm stubbed) with rotate_cap=0,
-    * graft_cap=0, sim='dot', norm='none' on 40 random int8 6-dim
-    * vectors (python random seed 13) produces the SAME parent relation
-    * as this closed form, all 79 nodes — so the h5 oracle is
-    * transitively a check against the reference's own code, not just
-    * against this port.
+    * graft_cap=0, sim='dot', norm='none' on THIS EXACT fixture (the
+    * java-LCG `Random(13)` vectors, regenerated bit-for-bit by
+    * `scripts/gen_grinch_goldens.py`) produces the parent relation in
+    * `grinch_ref_parents.tsv` (key h5_seed13_n60_d8_cap0), asserted
+    * below across all 119 nodes — so the h5 oracle is a check against
+    * the reference's own code on the same data, not just against this
+    * port.
     */
   test("restricted integer config equals the closed-form insert-log replay") {
     val rnd = new Random(13)
@@ -124,6 +126,16 @@ class GrinchSpec extends SparkSpec {
     }
     got.size shouldBe 2 * n - 1
     got shouldBe expected.result()
+
+    // same-data reference execution (see provenance note above)
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/grinch_ref_parents.tsv"), "UTF-8")
+    val ref = try src.getLines()
+      .map(_.split('\t')).collectFirst {
+        case Array("h5_seed13_n60_d8_cap0", v) => v.split(',').map(_.toInt)
+      }.get
+    finally src.close()
+    (0 until 2 * n - 1).foreach { uid => got(uid).getOrElse(-1) shouldBe ref(uid) }
 
     // fixed-point purity (h6's metric) tracks the float fold within the
     // 1e-9 truncation bound on the same mixed-label tree
