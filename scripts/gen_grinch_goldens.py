@@ -14,8 +14,15 @@ Cases (must mirror GrinchSpec / GrinchRotateOracleSpec):
                            seeds 1..8,  n=80, dim=8, cap=16, clustered
                            seeds 21..26, n=60, dim=8, cap=3,  clustered
                            seeds 21..26, n=60, dim=8, cap=10^6, clustered
-  (graft_cap=0 everywhere: lca_and_ancestors' `num_descendants < 0`
-  filters make graft a structural no-op, grinch_alg.py:469-470.)
+  (graft_cap=0 in the h5/h7 cases: lca_and_ancestors'
+  `num_descendants < 0` filters make graft a structural no-op,
+  grinch_alg.py:469-470.)
+  - graft-enabled property cases (GrinchGraftPropertySpec):
+      seeds 1..60, n=40, dim=8, rotate_cap=8,  graft_cap=8,  clustered
+      seeds 1..60, n=40, dim=8, rotate_cap=12, graft_cap=16, uniform
+    These dump parents[:next_node_id] — INCLUDING -2 lazy-delete codes
+    for graft-detached parents — so the spec can assert full node-slot
+    identity between the Scala engine and the reference.
 
 Output: src/test/resources/grinch_ref_parents.tsv
   one line per case: case_key<TAB>comma-joined parent-of-uid list,
@@ -90,13 +97,14 @@ def clustered_pts(rnd, n, dim):
     return pts
 
 
-def run_reference(pts, rotate_cap):
+def run_reference(pts, rotate_cap, graft_cap=0):
     points = np.array(pts, dtype=np.float32)
     n = points.shape[0]
-    g = Grinch(points, rotate_cap=rotate_cap, graft_cap=0,
+    g = Grinch(points, rotate_cap=rotate_cap, graft_cap=graft_cap,
                sim='dot', norm='none')
     g.build_dendrogram()
-    return [int(p) for p in g.parents[:2 * n - 1]]
+    hi = g.next_node_id if graft_cap > 0 else 2 * n - 1
+    return [int(p) for p in g.parents[:hi]]
 
 
 def main():
@@ -115,6 +123,18 @@ def main():
     for seed in range(21, 27):
         out[f'h7_seed{seed}_n60_d8_cap1000000_clustered'] = run_reference(
             clustered_pts(JavaRandom(seed), 60, 8), rotate_cap=1000000)
+    grafting = 0
+    for seed in range(1, 61):
+        key = f'gr_seed{seed}_n40_d8_r8_g8_clustered'
+        out[key] = run_reference(
+            clustered_pts(JavaRandom(seed), 40, 8), rotate_cap=8, graft_cap=8)
+        grafting += len(out[key]) > 2 * 40 - 1
+    for seed in range(1, 61):
+        key = f'gr_seed{seed}_n40_d8_r12_g16_uniform'
+        out[key] = run_reference(
+            uniform_pts(JavaRandom(seed), 40, 8), rotate_cap=12, graft_cap=16)
+        grafting += len(out[key]) > 2 * 40 - 1
+    print(f'graft cases with >=1 graft: {grafting}/120')
     path = 'src/test/resources/grinch_ref_parents.tsv'
     with open(path, 'w') as f:
         for key in sorted(out):

@@ -70,6 +70,21 @@ final class Grinch(
     */
   private var rotateEvents = 0
   def rotations: Int = rotateEvents
+  /** Number of performed grafts (`grinch_alg.py:373-381` branch taken)
+    * — same observability role as [[rotations]].
+    */
+  private var graftEvents = 0
+  def grafts: Int = graftEvents
+  /** Raw parent codes for all allocated node slots (-1 root, -2 lazily
+    * deleted) — lets specs compare full tree identity, including graft
+    * detach codes, against a reference execution.
+    */
+  def rawParents: Array[Int] = parents.slice(0, nextNodeId)
+  /** Stored descendant counts per allocated slot — specs assert these
+    * stay conserved through rotate/graft surgery (the
+    * `updatedFromChildren` ancestor chains, `grinch_alg.py:472-479`).
+    */
+  def rawNumDescendants: Array[Double] = numDescendants.slice(0, nextNodeId)
 
   // ---- similarity / centroid kernels (csim_* `:79-92`, centroids `:95-125`)
 
@@ -269,6 +284,7 @@ final class Grinch(
         r += 1
       }
       if (!notILikeYou(bestR)(bestC) && !notYouLikeMe(bestR)(bestC)) {
+        graftEvents += 1
         val best1 = this2anc(bestR)
         val best2 = other2anc(bestC)
         val bestPair2gp = parents(parents(best2))
