@@ -223,9 +223,34 @@ object Cli {
           .write.mode("overwrite").text(out)
 
       case "dendrogram-purity" =>
-        val nodes = Sources.readDendrogramTsv(spark, flags("dendrogram")).collect()
-          .map(r => Trees.TreeNode(r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toSeq
-        println(f"Dendrogram Purity: ${Trees.dendrogramPurity(nodes)}%.4f")
+        import spark.implicits._
+        // --medmentions + --cluster-by: the reference's metadata joiner
+        // (`dendrogram_purity.py:34-45,86-96`) — leaf labels come from
+        // the chosen PubTator mention field, keyed on the mention uid
+        // "<pmid>_<mentionIndex>". Routed through purityAuto so big
+        // trees take the distributed roll-up instead of a driver fold.
+        if (flags.contains("medmentions") != flags.contains("cluster-by"))
+          throw new IllegalArgumentException(
+            "--medmentions and --cluster-by must be given together")
+        val tree = Sources.readDendrogramTsv(spark, flags("dendrogram"))
+        val labeled = flags.get("medmentions") match {
+          case Some(metaPath) =>
+            val field = flags("cluster-by")
+            require(field == "semantic_type" || field == "entity_id",
+              s"--cluster-by must be semantic_type|entity_id, got: $field")
+            val bySemType = field == "semantic_type"
+            val meta = Sources.readPubTator(spark, metaPath)
+              .flatMap(d => d.mentions.zipWithIndex.map { case (m, i) =>
+                (s"${d.pmid}_$i", if (bySemType) m.semanticTypes.head else m.entityId)
+              }).toDF("uid", "meta_label")
+            // mention uids only ever name leaves, so a left join +
+            // coalesce relabels exactly the reference's childless nodes
+            tree.join(meta, Seq("uid"), "left")
+              .select(col("uid"), col("parent_uid"),
+                coalesce(col("meta_label"), col("label")).as("label"))
+          case None => tree
+        }
+        println(f"Dendrogram Purity: ${Trees.purityAuto(labeled)}%.4f")
 
       case "eval-clusters" =>
         import spark.implicits._

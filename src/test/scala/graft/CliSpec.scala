@@ -350,4 +350,48 @@ class CliSpec extends SparkSpec {
     unseen should be < 1.0
     all should not be seen
   }
+
+  test("dendrogram-purity --medmentions --cluster-by matches the reference-executed values") {
+    // Goldens from executing /root/reference/meercat/dendrogram_purity.py
+    // on these exact files: -c semantic_type -> " 0.5833",
+    // -c entity_id -> " 0.6667". Leaf uids are the reference's
+    // "<pmid>_<mentionIndex>" mention keys; tree leaves carry no label,
+    // so the metadata join supplies every histogram entry
+    // (`dendrogram_purity.py:34-45,86-96`).
+    val pub = tmp("purity.pubtator")
+    Files.writeString(java.nio.file.Paths.get(pub),
+      "100|t|Alpha title\n100|a|Alpha abstract\n" +
+        "100\t0\t5\talpha\tT01,T99\tC001\n" +
+        "100\t6\t11\tbeta\tT02\tC002\n" +
+        "100\t12\t17\tgamma\tT01\tC001\n\n" +
+        "101|t|Beta title\n101|a|Beta abstract\n" +
+        "101\t0\t5\tdelta\tT02\tC002\n" +
+        "101\t6\t11\tepsil\tT01\tC003\n" +
+        "101\t12\t17\tzeta\tT03\tC003\n\n")
+    val tree = tmp("purity-tree.tsv")
+    Files.writeString(java.nio.file.Paths.get(tree), Seq(
+      "r\tNone\tNone",
+      "i2\tr\tNone",
+      "i4\tr\tNone",
+      "i1\ti2\tNone",
+      "101_0\ti2\tNone",
+      "i3\ti4\tNone",
+      "101_2\ti4\tNone",
+      "100_0\ti1\tNone",
+      "100_2\ti1\tNone",
+      "100_1\ti3\tNone",
+      "101_1\ti3\tNone").mkString("\n") + "\n")
+    def purity(clusterBy: String): String = captureOut {
+      Cli.run(spark, "dendrogram-purity", Map(
+        "dendrogram" -> tree, "medmentions" -> pub, "cluster-by" -> clusterBy))
+    }.trim
+    purity("semantic_type") shouldBe "Dendrogram Purity: 0.5833"
+    purity("entity_id") shouldBe "Dendrogram Purity: 0.6667"
+    // flag hygiene mirrors eval-clusters: half-given metadata flags fail fast
+    an[IllegalArgumentException] should be thrownBy
+      Cli.run(spark, "dendrogram-purity", Map("dendrogram" -> tree, "medmentions" -> pub))
+    an[IllegalArgumentException] should be thrownBy
+      Cli.run(spark, "dendrogram-purity", Map(
+        "dendrogram" -> tree, "medmentions" -> pub, "cluster-by" -> "nope"))
+  }
 }
