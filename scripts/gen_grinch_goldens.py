@@ -23,6 +23,12 @@ Cases (must mirror GrinchSpec / GrinchRotateOracleSpec):
     These dump parents[:next_node_id] — INCLUDING -2 lazy-delete codes
     for graft-detached parents — so the spec can assert full node-slot
     identity between the Scala engine and the reference.
+  - prune-enabled cases (GrinchPruneOracleSpec):
+      seeds 1..30, n=60, dim=8, rotate_cap=0, graft_cap=0,
+      active_leaf_limit=12, least_recent, uniform + clustered
+    These dump parents AND (under the `<key>_act` suffix) the final
+    0/1 active-leaf masks, so the spec pins the memory-bound frontier
+    itself, not just the tree shape.
 
 Output: src/test/resources/grinch_ref_parents.tsv
   one line per case: case_key<TAB>comma-joined parent-of-uid list,
@@ -97,14 +103,20 @@ def clustered_pts(rnd, n, dim):
     return pts
 
 
-def run_reference(pts, rotate_cap, graft_cap=0):
+def run_reference(pts, rotate_cap, graft_cap=0, leaf_limit=None,
+                  want_active=False, strategy='least_recent',
+                  threshold=None):
     points = np.array(pts, dtype=np.float32)
     n = points.shape[0]
     g = Grinch(points, rotate_cap=rotate_cap, graft_cap=graft_cap,
-               sim='dot', norm='none')
+               sim='dot', norm='none', active_leaf_limit=leaf_limit,
+               pruning_strategy=strategy, pruning_threshold=threshold)
     g.build_dendrogram()
     hi = g.next_node_id if graft_cap > 0 else 2 * n - 1
-    return [int(p) for p in g.parents[:hi]]
+    parents = [int(p) for p in g.parents[:hi]]
+    if want_active:
+        return parents, [int(bool(a)) for a in g.active_leaves[:hi]]
+    return parents
 
 
 def main():
@@ -135,6 +147,58 @@ def main():
             uniform_pts(JavaRandom(seed), 40, 8), rotate_cap=12, graft_cap=16)
         grafting += len(out[key]) > 2 * 40 - 1
     print(f'graft cases with >=1 graft: {grafting}/120')
+    # prune-enabled cases (GrinchPruneOracleSpec): rotate/graft off,
+    # least_recent, active_leaf_limit=12 — parents AND active masks
+    for seed in range(1, 31):
+        for gen, tag in [(uniform_pts, 'uniform'), (clustered_pts, 'clustered')]:
+            key = f'pr_seed{seed}_n60_d8_L12_{tag}'
+            parents, active = run_reference(
+                gen(JavaRandom(seed), 60, 8), rotate_cap=0, leaf_limit=12,
+                want_active=True)
+            out[key] = parents
+            out[key + '_act'] = active
+    # prune STRATEGY cases (similarity / combined) and path-INTERACTION
+    # cases (rotate+prune, rotate+graft+prune) — all with active masks
+    for seed in range(1, 21):
+        for gen, tag in [(uniform_pts, 'uniform'), (clustered_pts, 'clustered')]:
+            pts = gen(JavaRandom(seed), 60, 8)
+            key = f'psim_seed{seed}_n60_d8_L12_{tag}'
+            parents, active = run_reference(pts, rotate_cap=0, leaf_limit=12,
+                                            want_active=True, strategy='similarity')
+            out[key] = parents
+            out[key + '_act'] = active
+        pts = clustered_pts(JavaRandom(seed), 60, 8)
+        key = f'pcmb_seed{seed}_n60_d8_L12_t15000_clustered'
+        parents, active = run_reference(pts, rotate_cap=0, leaf_limit=12,
+                                        want_active=True, strategy='combined',
+                                        threshold=15000.0)
+        out[key] = parents
+        out[key + '_act'] = active
+        pts = uniform_pts(JavaRandom(seed), 60, 8)
+        key = f'pcmb_seed{seed}_n60_d8_L12_t0_uniform'
+        parents, active = run_reference(pts, rotate_cap=0, leaf_limit=12,
+                                        want_active=True, strategy='combined',
+                                        threshold=0.0)
+        out[key] = parents
+        out[key + '_act'] = active
+        pts = clustered_pts(JavaRandom(seed), 60, 8)
+        key = f'prot_seed{seed}_n60_d8_r12_L12_clustered'
+        parents, active = run_reference(pts, rotate_cap=12, leaf_limit=12,
+                                        want_active=True)
+        out[key] = parents
+        out[key + '_act'] = active
+        pts = uniform_pts(JavaRandom(seed), 60, 8)
+        key = f'prot_seed{seed}_n60_d8_r12_L12_uniform'
+        parents, active = run_reference(pts, rotate_cap=12, leaf_limit=12,
+                                        want_active=True)
+        out[key] = parents
+        out[key + '_act'] = active
+        pts = clustered_pts(JavaRandom(seed), 60, 8)
+        key = f'pfull_seed{seed}_n60_d8_r8_g8_L12_clustered'
+        parents, active = run_reference(pts, rotate_cap=8, graft_cap=8,
+                                        leaf_limit=12, want_active=True)
+        out[key] = parents
+        out[key + '_act'] = active
     path = 'src/test/resources/grinch_ref_parents.tsv'
     with open(path, 'w') as f:
         for key in sorted(out):

@@ -375,6 +375,186 @@ object QueriesGrinch {
        |ORDER BY uid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- h8
+  // The PRUNE-ENABLED integer-GRINCH oracle — after h7 closed rotate,
+  // the memory-bound prune path (`grinch_alg.py:389-413`) was the last
+  // reference semantics with no DuckDB-checked query. Config
+  // rotateCap=0, graftCap=0, pruningStrategy="least_recent",
+  // activeLeafLimit=$H8L, norm="none", sim="dot". Under it the automaton
+  // reduces to an ALL-INTEGER state machine (no float arithmetic at
+  // all, cleaner than h7's float32-centroid replay):
+  //  - an active leaf is a real point (centroid = its integer vector)
+  //    or a pruned internal node, whose centroid the reference's lazy
+  //    maintenance always resolves to subtreeSum/2: the prune-time
+  //    single_update (`:398-399`) divides by numDescendants = 1+1 since
+  //    both children are active leaves with forced count 1 (`:403`),
+  //    and any earlier flag-clear saw the same two final children —
+  //    every path to a collapse yields the same value. Comparing
+  //    2·dot(q_i, centroid) keeps the cknn argmax in exact BIGINTs
+  //    (quantization to ±63 bounds |2·dot| ≪ 2^24, so the reference's
+  //    float32 sims are exact too and the argmax agrees bit-for-bit);
+  //  - least_recent selection (`:134-139`) is an integer argmin over
+  //    first_used of internal nodes with two active-leaf children
+  //    (np.unique ascending, first-min = lowest id on ties);
+  //  - the splice is h7's pointer surgery; prune flips active flags and
+  //    sets the collapsed node's subtree sum (decisions never read
+  //    num_descendants: the rotate guard is dead at cap 0 and graft's
+  //    candidate filters empty at cap 0).
+  // The oracle is the same sequential replay as h7 — a DuckDB recursive
+  // CTE, one insert (plus at most one prune, `:196-200`) per iteration —
+  // with state (parent, children, active flag, first_used, integer
+  // subtree sum, active count). The model is pinned against the REAL
+  // automaton (and a reference execution on identical vectors) in
+  // GrinchPruneOracleSpec; minPrunes=1 makes the driver run fail unless
+  // the memory bound actually fired on this data.
+  private[graft] val H8N = 200
+  private[graft] val H8Off = 200
+  private[graft] val H8Dim = 8
+  private[graft] val H8L = 24
+  private[graft] val PruneP = Grinch.Params(rotateCap = 0, graftCap = 0,
+    sim = "dot", norm = "none", activeLeafLimit = H8L,
+    pruningStrategy = "least_recent", minPrunes = 1)
+
+  val h8GrinchPruneTree: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+      .where(col("vec_id") >= H8Off && col("vec_id") < H8Off + H8N)
+      .select(col("vec_id"), slice(col("embedding"), 1, H8Dim).as("e8"), col("label"))
+    val maxAbs = emb.agg(max(aggregate(col("e8"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 63.0
+    val qdf = emb.select(col("vec_id"),
+      transform(col("e8"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
+      col("label"))
+    Grinch.dendrogram(qdf, col("vec_id"), col("q"), col("vec_id"), col("label"), PruneP)
+      .select(col("uid").cast("long").as("uid"),
+        col("parent_uid").cast("long").as("parent_uid"), col("label"))
+      .orderBy("uid")
+  }
+
+  val h8GrinchPruneTreeSql: String = {
+    val D = H8Dim
+    // exact-integer dot of q_i against a state list element
+    def idot(b: String): String =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $D), " +
+        s"kk -> qi[kk] * ($b)[kk])), (acc, x) -> acc + x)"
+    s"""WITH RECURSIVE
+       |sel AS (
+       |  SELECT vec_id, embedding, label,
+       |         row_number() OVER (ORDER BY vec_id) - 1 AS pos
+       |  FROM embeddings WHERE vec_id >= $H8Off AND vec_id < ${H8Off + H8N}),
+       |nn_t AS (SELECT count(*) AS n FROM sel),
+       |gs AS (
+       |  SELECT max(list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(1, $D), mi -> abs(embedding[mi]::DOUBLE))),
+       |    (acc, x) -> greatest(acc, x))) AS maxabs
+       |  FROM sel),
+       |sc AS (SELECT CASE WHEN maxabs = 0 THEN 1.0::DOUBLE ELSE maxabs / 63.0 END AS scale FROM gs),
+       |qv AS (
+       |  SELECT pos, label, list_transform(generate_series(1, $D),
+       |    qi -> cast(round(embedding[qi]::DOUBLE / scale) AS BIGINT)) AS q
+       |  FROM sel, sc),
+       |qs_t AS (SELECT list(q ORDER BY pos) AS qs, list(label ORDER BY pos) AS labels FROM qv),
+       |step AS (
+       |  SELECT 1::BIGINT AS i, n, qs,
+       |    list_transform(generate_series(1, 2*n - 1), x -> -1::BIGINT) AS par,
+       |    list_transform(generate_series(1, 2*n - 1), x -> -1::BIGINT) AS ch1,
+       |    list_transform(generate_series(1, 2*n - 1), x -> -1::BIGINT) AS ch2,
+       |    list_transform(generate_series(1, 2*n - 1),
+       |                   x -> CASE WHEN x = 1 THEN 1 ELSE 0 END::BIGINT) AS act,
+       |    list_transform(generate_series(1, 2*n - 1), x -> 0::BIGINT) AS fu,
+       |    list_transform(generate_series(1, 2*n - 1),
+       |                   x -> CASE WHEN x = 1 THEN qs[1]
+       |                        ELSE list_transform(generate_series(1, $D), z -> 0::BIGINT) END) AS ss,
+       |    1::BIGINT AS na
+       |  FROM nn_t, qs_t
+       |UNION ALL
+       |  SELECT i + 1, n, qs,
+       |    p1,
+       |    c11,
+       |    c21,
+       |    list_transform(generate_series(1, 2*n - 1), x ->
+       |      CASE WHEN pr >= 0 AND x - 1 = pr THEN 1
+       |           WHEN pr >= 0 AND (x - 1 = c1p OR x - 1 = c2p) THEN 0
+       |           ELSE a1[x] END),
+       |    f1,
+       |    list_transform(generate_series(1, 2*n - 1), x ->
+       |      CASE WHEN pr >= 0 AND x - 1 = pr THEN
+       |        list_transform(generate_series(1, $D),
+       |                       kk -> (s1[c1p + 1])[kk] + (s1[c2p + 1])[kk])
+       |      ELSE s1[x] END),
+       |    na1 - CASE WHEN pr >= 0 THEN 1 ELSE 0 END
+       |  FROM (
+       |    SELECT *,
+       |      CASE WHEN pr >= 0 THEN c11[pr + 1] ELSE -1::BIGINT END AS c1p,
+       |      CASE WHEN pr >= 0 THEN c21[pr + 1] ELSE -1::BIGINT END AS c2p
+       |    FROM (
+       |      SELECT *,
+       |        CASE WHEN na1 > $H8L AND len(cands) > 0 THEN
+       |          struct_extract(list_reduce(
+       |            list_transform(cands, xx -> struct_pack(f := f1[xx], u := xx - 1)),
+       |            (acc, x) -> CASE WHEN struct_extract(x, 'f') < struct_extract(acc, 'f')
+       |                        THEN x ELSE acc END), 'u')
+       |        ELSE -1::BIGINT END AS pr
+       |      FROM (
+       |        SELECT *,
+       |          list_filter(generate_series(n + 1, 2*n - 1), xx ->
+       |            c11[xx] >= 0 AND a1[c11[xx] + 1] = 1 AND a1[c21[xx] + 1] = 1) AS cands
+       |        FROM (
+       |          SELECT *,
+       |            list_transform(generate_series(1, 2*n - 1), x ->
+       |              CASE WHEN x - 1 = sib OR x - 1 = i THEN m
+       |                   WHEN x - 1 = m THEN g
+       |                   ELSE par[x] END) AS p1,
+       |            list_transform(generate_series(1, 2*n - 1), x ->
+       |              CASE WHEN x - 1 = m THEN sib
+       |                   WHEN x - 1 = g AND ch1[x] = sib THEN m
+       |                   ELSE ch1[x] END) AS c11,
+       |            list_transform(generate_series(1, 2*n - 1), x ->
+       |              CASE WHEN x - 1 = m THEN i
+       |                   WHEN x - 1 = g AND ch1[x] <> sib THEN m
+       |                   ELSE ch2[x] END) AS c21,
+       |            list_transform(generate_series(1, 2*n - 1), x ->
+       |              CASE WHEN x - 1 = i THEN 1 ELSE act[x] END) AS a1,
+       |            list_transform(generate_series(1, 2*n - 1), x ->
+       |              CASE WHEN x - 1 = i OR x - 1 = m THEN i ELSE fu[x] END) AS f1,
+       |            list_transform(generate_series(1, 2*n - 1), x ->
+       |              CASE WHEN x - 1 = i THEN qi ELSE ss[x] END) AS s1,
+       |            na + 1 AS na1
+       |          FROM (
+       |            SELECT *, n + i - 1 AS m, par[sib + 1] AS g
+       |            FROM (
+       |              SELECT *, struct_extract(nnrec, 'j') AS sib
+       |              FROM (
+       |                SELECT *, list_reduce(
+       |                    list_transform(
+       |                      list_filter(generate_series(1, 2*n - 1), xx -> act[xx] = 1),
+       |                      xx -> struct_pack(
+       |                        d := CASE WHEN xx <= n THEN 2 * ${idot("qs[xx]")}
+       |                             ELSE ${idot("ss[xx]")} END,
+       |                        j := xx - 1)),
+       |                    (acc, x) -> CASE WHEN struct_extract(x, 'd') > struct_extract(acc, 'd')
+       |                                THEN x ELSE acc END) AS nnrec
+       |                FROM (
+       |                  SELECT *, qs[i + 1] AS qi FROM step WHERE i < n
+       |                ) z0
+       |              ) z1
+       |            ) z2
+       |          ) z3
+       |        ) z4
+       |      ) z5
+       |    ) z6
+       |  ) z7),
+       |fin AS (SELECT * FROM step WHERE i = n)
+       |SELECT
+       |  unnest(list_transform(generate_series(1, 2*fin.n - 1), x -> x - 1))::BIGINT AS uid,
+       |  unnest(list_transform(generate_series(1, 2*fin.n - 1),
+       |    x -> CASE WHEN par[x] = -1 THEN NULL ELSE par[x] END))::BIGINT AS parent_uid,
+       |  unnest(list_transform(generate_series(1, 2*fin.n - 1),
+       |    x -> CASE WHEN x <= fin.n THEN labels[x]::VARCHAR ELSE NULL END)) AS label
+       |FROM fin, qs_t
+       |ORDER BY uid""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "h1_grinch_flat" -> h1GrinchFlat,
     "h2_grinch_dendrogram" -> h2GrinchDendrogram,
@@ -382,10 +562,12 @@ object QueriesGrinch {
     "h4_grinch_by_label" -> h4GrinchByLabel,
     "h5_grinch_int_tree" -> h5GrinchIntTree,
     "h6_grinch_purity_int" -> h6GrinchPurityInt,
-    "h7_grinch_rotate_tree" -> h7GrinchRotateTree)
+    "h7_grinch_rotate_tree" -> h7GrinchRotateTree,
+    "h8_grinch_prune_tree" -> h8GrinchPruneTree)
 
   val oracles: Map[String, String] = Map(
     "h5_grinch_int_tree" -> h5GrinchIntTreeSql,
     "h6_grinch_purity_int" -> h6GrinchPurityIntSql,
-    "h7_grinch_rotate_tree" -> h7GrinchRotateTreeSql)
+    "h7_grinch_rotate_tree" -> h7GrinchRotateTreeSql,
+    "h8_grinch_prune_tree" -> h8GrinchPruneTreeSql)
 }

@@ -490,7 +490,65 @@ object QueriesStreaming {
       .orderBy("uid")
   }
 
+  /** st13 — the h8 PRUNE-ENABLED integer-GRINCH dendrogram as a real
+    * streaming query: same insertion-log state replay as st11/st12, so
+    * the max-step rows equal the batch h8 tree by construction and
+    * hash-match h8's all-integer recursive-CTE prune-replay oracle —
+    * closing the streaming/batch/SQL three-way agreement for the
+    * memory-bound path (`grinch_alg.py:389-413`) as well.
+    */
+  val st13StreamingGrinchPrune: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingGrinch
+    import graft.streaming.StreamingGrinch.PointEvent
+    val emb = Tables.load(s, dir, "embeddings")
+      .where(col("vec_id") >= QueriesGrinch.H8Off &&
+        col("vec_id") < QueriesGrinch.H8Off + QueriesGrinch.H8N)
+      .select(col("vec_id"),
+        slice(col("embedding"), 1, QueriesGrinch.H8Dim).as("e8"), col("label"))
+    val maxAbs = emb.agg(max(aggregate(col("e8"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 63.0
+    val rows = emb.select(col("vec_id"),
+        transform(col("e8"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
+        col("label").cast("string").as("label"))
+      .orderBy("vec_id")
+      .as[(Long, Array[Long], String)]
+      .collect()
+    val events = rows.zipWithIndex.map { case ((_, q, _), pos) =>
+      PointEvent(0L, pos.toLong, pos.toLong, q.map(_.toFloat))
+    }
+
+    withShufflePartitions(s, 4) {
+      val input = MemoryStream[PointEvent]
+      // minPrunes=0: short micro-batch prefixes may legitimately stay
+      // under the leaf limit — the batch h8 run asserts pruning on the
+      // full dataset
+      val query = StreamingGrinch.dendrogram(
+        input.toDS(), QueriesGrinch.PruneP.copy(minPrunes = 0))
+        .writeStream.format("memory").queryName("st13_sink").outputMode("append").start()
+      try {
+        events.grouped(events.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    val labels = rows.zipWithIndex
+      .map { case ((_, _, l), pos) => (pos.toLong, l) }.toSeq.toDF("luid", "llabel")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("uid")).orderBy(col("step").desc)
+    s.table("st13_sink")
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .join(labels, col("uid") === col("luid"), "left")
+      .select(col("uid"), col("parentUid").as("parent_uid"), col("llabel").as("label"))
+      .orderBy("uid")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st13_streaming_grinch_prune" -> st13StreamingGrinchPrune,
     "st12_streaming_grinch_rotate" -> st12StreamingGrinchRotate,
     "st11_streaming_grinch_tree" -> st11StreamingGrinchTree,
     "st10_streaming_hll" -> st10StreamingHll,
@@ -502,6 +560,7 @@ object QueriesStreaming {
     "st5_streaming_dedup" -> st5StreamingDedup,
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
+    "st13_streaming_grinch_prune" -> QueriesGrinch.h8GrinchPruneTreeSql,
     "st12_streaming_grinch_rotate" -> QueriesGrinch.h7GrinchRotateTreeSql,
     "st11_streaming_grinch_tree" -> QueriesGrinch.h5GrinchIntTreeSql,
     "st10_streaming_hll" -> QueriesRelational.k2HllSketchOnlySql,

@@ -75,6 +75,12 @@ final class Grinch(
     */
   private var graftEvents = 0
   def grafts: Int = graftEvents
+  /** Number of performed prunes (`grinch_alg.py:389-413` collapses) —
+    * same observability role as [[rotations]]: oracle configs (h8)
+    * must prove the memory-bound path actually fired on their data.
+    */
+  private var pruneEvents = 0
+  def prunes: Int = pruneEvents
   /** Raw parent codes for all allocated node slots (-1 root, -2 lazily
     * deleted) — lets specs compare full tree identity, including graft
     * detach codes, against a reference execution.
@@ -85,6 +91,11 @@ final class Grinch(
     * `updatedFromChildren` ancestor chains, `grinch_alg.py:472-479`).
     */
   def rawNumDescendants: Array[Double] = numDescendants.slice(0, nextNodeId)
+  /** Active-leaf mask per allocated slot — specs assert the final
+    * memory-bounded frontier matches a reference execution
+    * (`grinch_alg.py:402-407` flips these at every prune).
+    */
+  def rawActiveLeaves: Array[Boolean] = activeLeaves.slice(0, nextNodeId)
 
   // ---- similarity / centroid kernels (csim_* `:79-92`, centroids `:95-125`)
 
@@ -325,6 +336,7 @@ final class Grinch(
         if (bestS > pruningThreshold) best else candidates.minBy(firstUsed)
       case other => throw new IllegalArgumentException(s"unknown pruning strategy: $other")
     }
+    pruneEvents += 1
     if (needsUpdateModel(pruned)) singleUpdate(pruned)
     activeLeaves(pruned) = true
     activeSet += pruned
@@ -507,7 +519,12 @@ object Grinch {
         * their 1-NN leaf — lets oracle configs (h7) prove the rotate
         * path was actually exercised on the data they ran over.
         */
-      minRotations: Int = 0)
+      minRotations: Int = 0,
+      /** Same contract for the memory-bound path: fail the build unless
+        * at least this many prunes fired (h8's oracle row is only
+        * meaningful if the data actually collapses leaves).
+        */
+      minPrunes: Int = 0)
 
   /** Build a tree by inserting `points` in order — the automaton's only
     * construction path (also the streaming operator's replay restore).
@@ -518,6 +535,8 @@ object Grinch {
     g.buildDendrogram()
     require(g.rotations >= p.minRotations,
       s"expected >= ${p.minRotations} rotate events on this data, saw ${g.rotations}")
+    require(g.prunes >= p.minPrunes,
+      s"expected >= ${p.minPrunes} prune events on this data, saw ${g.prunes}")
     g
   }
 
