@@ -24,7 +24,9 @@ import graft.sources.Sources
   *   combo                ≙ meercat/combo.py
   *   string-match         ≙ meercat/string_match.py
   *   oracle-wd            ≙ meercat/oracle_wd.py
-  *   grinch               ≙ meercat/cluster_w_grinch.py (+ write_tree)
+  *   grinch               ≙ meercat/cluster_w_grinch.py (pairs via
+  *                          --threshold or bisection to the entity
+  *                          count, `:21-34,57-65`; + write_tree)
   *   cut-tree             ≙ meercat/cut_tree.py
   *   dendrogram-purity    ≙ meercat/dendrogram_purity.py
   *   eval-clusters        ≙ meercat/eval_clusters.py (incl. --choice
@@ -201,10 +203,32 @@ object Cli {
       case "grinch" =>
         val emb = Sources.readEmbeddingsTsv(spark, in)
         val p = Grinch.Params(
+          rotateCap = flags.getOrElse("rotate-cap", "100").toInt,
+          graftCap = flags.getOrElse("graft-cap", "100").toInt,
           activeLeafLimit = flags.getOrElse("active-leaf-limit", "-1").toInt,
-          pruningStrategy = flags.getOrElse("pruning-strategy", "least_recent"))
-        val tree = Grinch.dendrogram(emb, col("uid"), col("embedding"), col("uid"), col("entity_id"), p)
-        Sources.writeDendrogramTsv(tree, flags("tree"))
+          // the reference CLI's default (`cluster_w_grinch.py:74`) —
+          // only read when --active-leaf-limit makes pruning live
+          pruningStrategy = flags.getOrElse("pruning-strategy", "similarity"),
+          pruningThreshold = flags.get("pruning-threshold").map(_.toDouble)
+            .getOrElse(Double.NaN))
+        flags.get("tree").foreach { treePath =>
+          val tree = Grinch.dendrogram(emb, col("uid"), col("embedding"), col("uid"), col("entity_id"), p)
+          Sources.writeDendrogramTsv(tree, treePath)
+        }
+        // `cluster_w_grinch.py:57-65`: flat clusters as "true, pred"
+        // pairs — cut at --threshold, else bisect to the entity count
+        flags.get("output").foreach { outPath =>
+          val target = emb.agg(countDistinct(col("entity_id")))
+            .collect()(0).getLong(0)
+          val pairs = Grinch.flatClusterAuto(emb, col("uid"), col("embedding"),
+            col("uid"), p, flags.get("threshold").map(_.toDouble), target)
+          val withTrue = Relational.dictEncode(
+            emb.join(pairs, col("uid") === col("id")),
+            col("entity_id"), col("uid"), "true_id")
+          Sources.writeClusterPairs(withTrue, "true_id", "pred_cluster", "uid", outPath)
+        }
+        require(flags.contains("tree") || flags.contains("output"),
+          "grinch requires --tree and/or --output")
 
       case "cut-tree" =>
         val nodes = Sources.readDendrogramTsv(spark, flags("dendrogram")).collect()

@@ -562,6 +562,52 @@ object Grinch {
       .toDF("id", "pred_cluster")
   }
 
+  /** Flat clustering with the reference CLI's threshold handling
+    * (`meercat/cluster_w_grinch.py:21-34,57-61`): build the tree ONCE,
+    * then cut at `threshold` — or, when absent, bisect θ ∈ [0,1] toward
+    * `target` clusters (ε = n/1000, ≤ `maxIters` cuts). Only the cheap
+    * tree cut re-runs per bisection step, never the build, and the
+    * whole search happens inside the partition holding the tree — no
+    * extra jobs per iteration.
+    */
+  def flatClusterAuto(df: DataFrame, id: Column, vec: Column, order: Column,
+                      p: Params, threshold: Option[Double], target: Long,
+                      maxIters: Int = 100): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("_1"), vec.cast("array<float>").as("_2"), order.cast("long").as("_3"))
+      .as[(Long, Array[Float], Long)]
+      .repartition(1).sortWithinPartitions(col("_3"))
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val g = build(rows.map(_._2), p)
+          val assign = threshold match {
+            case Some(t) => g.flatClustering(t)
+            case None =>
+              // `find_threshold` `:21-34`: bisection toward the target
+              // cluster count with tolerance n/1000
+              val epsilon = rows.length / 1000.0
+              var lo = 0.0; var hi = 1.0
+              var nClusters = -1L
+              var best = g.flatClustering(0.5)
+              var i = 0
+              while (math.abs(nClusters.toDouble - target.toDouble) > epsilon && i < maxIters) {
+                i += 1
+                val t = (lo + hi) / 2
+                best = g.flatClustering(t)
+                nClusters = best.distinct.length.toLong
+                if (nClusters < target) lo = t else hi = t
+              }
+              best
+          }
+          rows.iterator.zipWithIndex.map { case ((rid, _, _), i) => (rid, assign(i).toLong) }
+        }
+      }
+      .toDF("id", "pred_cluster")
+  }
+
   /** Scale-out flat clustering: one independent GRINCH tree per key,
     * built in parallel partitions (key-partitioned sort, one automaton
     * per contiguous key run) — the same parallelism-across-streams story

@@ -151,6 +151,55 @@ class CliSpec extends SparkSpec {
     report should include("n_pred_clusters 2")
   }
 
+  test("grinch --output pairs match the reference CLI executed on the same fixture") {
+    // fixture + goldens produced by EXECUTING meercat/cluster_w_grinch.py
+    // (scripts/gen_cli_grinch_goldens.py): explicit-threshold cut,
+    // bisection to the entity count, and the reference CLI's default
+    // similarity-strategy pruning with the memory bound live
+    def resource(name: String): String = {
+      val url = getClass.getResource(s"/cli/$name")
+      require(url != null, s"missing test resource cli/$name")
+      url.getPath
+    }
+    // pred cluster ids are arbitrary BFS indices: a ULP churn graft in
+    // the reference (see GrinchGraftPropertySpec point 2 — the engine
+    // computes both graft sides in double and skips the no-op graft the
+    // reference's float32 batch path performs) renumbers sibling
+    // subtrees without changing the partition. Canonicalize pred ids by
+    // first occurrence on BOTH sides and compare (true, canonical-pred)
+    // rows — partition identity, which is the command's contract.
+    def canon(lines: Seq[String]): Seq[(String, Int)] = {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      lines.map { line =>
+        val Array(t, p) = line.split(",").map(_.trim)
+        (t, seen.getOrElseUpdate(p, seen.size))
+      }
+    }
+    def readGolden(name: String): Seq[(String, Int)] =
+      canon(scala.io.Source.fromFile(resource(name), "UTF-8").getLines().toSeq)
+    def readPairs(dir: String): Seq[(String, Int)] =
+      canon(spark.read.text(dir).collect().map(_.getString(0)).toSeq)
+
+    val emb = resource("grinch_cli_embeddings.tsv")
+
+    val outT = tmp("grinch_pairs_t06")
+    Cli.run(spark, "grinch", Map(
+      "input" -> emb, "output" -> outT, "threshold" -> "0.6",
+      "pruning-strategy" -> "least_recent"))
+    readPairs(outT) shouldBe readGolden("grinch_cli_pairs_t06.golden")
+
+    val outA = tmp("grinch_pairs_auto")
+    Cli.run(spark, "grinch", Map(
+      "input" -> emb, "output" -> outA, "pruning-strategy" -> "least_recent"))
+    readPairs(outA) shouldBe readGolden("grinch_cli_pairs_auto.golden")
+
+    val outP = tmp("grinch_pairs_pruned")
+    Cli.run(spark, "grinch", Map(
+      "input" -> emb, "output" -> outP, "threshold" -> "0.6",
+      "active-leaf-limit" -> "8"))
+    readPairs(outP) shouldBe readGolden("grinch_cli_pairs_pruned.golden")
+  }
+
   test("E3 workflow: grinch -> dendrogram-purity + cut-tree") {
     val emb = tmp("emb.tsv")
     // 4 one-hot-ish embeddings: two entities, written in the S7 format
