@@ -8,10 +8,14 @@ TSV (scipy/tqdm stubbed). Three variants:
   - grinch_cli_pairs_pruned.golden --limit 8 --strategy similarity
     (the reference CLI's default strategy, with the memory bound live)
 
-The fixture (grinch_cli_embeddings.tsv) is integer-valued on purpose:
-under the default norm='l2' config both engines l2-normalize in float32,
-and integer inputs keep the two implementations' scores bit-identical
-on data this small (verified transitively by the CliSpec case).
+The fixture (grinch_cli_embeddings.tsv) is integer-valued to keep the
+two implementations' float32 l2-normalized scores as close as possible,
+but NOT provably bit-identical: the reference's batched float32 score
+path can differ from the engine's double path by one ULP, performing a
+no-op "churn" graft that renumbers BFS siblings without changing the
+clustering (see GrinchGraftPropertySpec point 2). The CliSpec case
+therefore compares PARTITIONS under first-occurrence canonical pred
+ids, not raw golden lines.
 """
 import argparse
 import sys

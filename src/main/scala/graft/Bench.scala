@@ -74,7 +74,14 @@ object Bench {
         prevFamily = family(name)
         System.gc(); Thread.sleep(50)
       }
-      val times = (0 until iters).flatMap { _ =>
+      val times = (0 until iters).flatMap { i =>
+        // unique checkpoint path per (query, iteration): with a FIXED
+        // conf root, iteration 2's .start() of an append-mode memory
+        // sink finds iteration 1's offsets under <root>/<queryName> and
+        // throws (no checkpoint recovery for append memory sinks) — the
+        // catch below would silently degrade the median back to the
+        // one-shot timing this protocol exists to kill
+        spark.conf.set("spark.sql.streaming.checkpointLocation", s"$ckRoot/$name/it$i")
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
@@ -97,5 +104,13 @@ object Bench {
     println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    // conf-rooted checkpoints are NOT auto-deleted on stop (that only
+    // happens for Spark-managed temp dirs) — without this, every bench
+    // run leaks RAM-backed state files under /dev/shm until reboot
+    try {
+      val root = java.nio.file.Paths.get(ckRoot)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
   }
 }

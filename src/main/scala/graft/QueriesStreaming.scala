@@ -385,24 +385,29 @@ object QueriesStreaming {
       .orderBy("event_type")
   }
 
-  /** st11 — the h5 integer-GRINCH dendrogram as a real streaming query:
-    * three micro-batches through the replay-log automaton, each
-    * re-emitting the full current tree; the max-step rows are the batch
-    * tree by construction, so the output hash-matches h5's closed-form
-    * SQL oracle — streaming/batch/SQL three-way agreement for the tree
-    * family, not just its flat cuts.
+  /** Shared st11/st12/st13 harness: quantize a vec_id slice of the
+    * embeddings table exactly like the batch twin (one global scale,
+    * integer rounding), drive the replay-log automaton through three
+    * micro-batches — each re-emitting the full current tree — and read
+    * back the max-step rows with labels joined. By construction those
+    * rows equal the batch tree, so each twin hash-matches its batch
+    * query's recursive-CTE oracle.
     */
-  val st11StreamingGrinchTree: Q = (s, dir) => {
+  private def streamingGrinchTwin(s: org.apache.spark.sql.SparkSession, dir: String,
+      sinkName: String, rowFilter: org.apache.spark.sql.Column, dim: Option[Int],
+      scaleDiv: Double, p: graft.operators.Grinch.Params): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     import graft.streaming.StreamingGrinch
     import graft.streaming.StreamingGrinch.PointEvent
-    val emb = Tables.load(s, dir, "embeddings").where(col("vec_id") < QueriesGrinch.H5N)
-    val maxAbs = emb.agg(max(aggregate(col("embedding"), lit(0.0),
+    val vecCol = dim.map(d => slice(col("embedding"), 1, d)).getOrElse(col("embedding"))
+    val emb = Tables.load(s, dir, "embeddings").where(rowFilter)
+      .select(col("vec_id"), vecCol.as("e"), col("label"))
+    val maxAbs = emb.agg(max(aggregate(col("e"), lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
-    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / scaleDiv
     val rows = emb.select(col("vec_id"),
-        transform(col("embedding"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
+        transform(col("e"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
         col("label").cast("string").as("label"))
       .orderBy("vec_id")
       .as[(Long, Array[Long], String)]
@@ -414,8 +419,8 @@ object QueriesStreaming {
 
     withShufflePartitions(s, 4) {
       val input = MemoryStream[PointEvent]
-      val query = StreamingGrinch.dendrogram(input.toDS(), QueriesGrinch.IntP)
-        .writeStream.format("memory").queryName("st11_sink").outputMode("append").start()
+      val query = StreamingGrinch.dendrogram(input.toDS(), p)
+        .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
       try {
         events.grouped(events.length / 3 + 1).foreach { chunk =>
           input.addData(chunk.toSeq)
@@ -428,12 +433,21 @@ object QueriesStreaming {
       .map { case ((_, _, l), pos) => (pos.toLong, l) }.toSeq.toDF("luid", "llabel")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("uid")).orderBy(col("step").desc)
-    s.table("st11_sink")
+    s.table(sinkName)
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
       .join(labels, col("uid") === col("luid"), "left")
       .select(col("uid"), col("parentUid").as("parent_uid"), col("llabel").as("label"))
       .orderBy("uid")
   }
+
+  /** st11 — the h5 integer-GRINCH dendrogram as a real streaming query:
+    * streaming/batch/SQL three-way agreement for the tree family, not
+    * just its flat cuts (hash-matches h5's closed-form SQL oracle).
+    */
+  val st11StreamingGrinchTree: Q = (s, dir) =>
+    streamingGrinchTwin(s, dir, "st11_sink",
+      col("vec_id") < QueriesGrinch.H5N, dim = None, scaleDiv = 127.0,
+      QueriesGrinch.IntP)
 
   /** st12 — the h7 ROTATE-ENABLED integer-GRINCH dendrogram as a real
     * streaming query: the insertion-log state replays the automaton per
@@ -442,53 +456,13 @@ object QueriesStreaming {
     * oracle — the rotate path gets the same streaming/batch/SQL
     * three-way agreement st11 gives the restricted config.
     */
-  val st12StreamingGrinchRotate: Q = (s, dir) => {
-    import s.implicits._
-    implicit val sqlCtx = s.sqlContext
-    import graft.streaming.StreamingGrinch
-    import graft.streaming.StreamingGrinch.PointEvent
-    val emb = Tables.load(s, dir, "embeddings").where(col("vec_id") < QueriesGrinch.H7N)
-      .select(col("vec_id"),
-        slice(col("embedding"), 1, QueriesGrinch.H7Dim).as("e8"), col("label"))
-    val maxAbs = emb.agg(max(aggregate(col("e8"), lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
-    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
-    val rows = emb.select(col("vec_id"),
-        transform(col("e8"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
-        col("label").cast("string").as("label"))
-      .orderBy("vec_id")
-      .as[(Long, Array[Long], String)]
-      .collect()
-    val events = rows.zipWithIndex.map { case ((_, q, _), pos) =>
-      PointEvent(0L, pos.toLong, pos.toLong, q.map(_.toFloat))
-    }
-
-    withShufflePartitions(s, 4) {
-      val input = MemoryStream[PointEvent]
-      // minRotations=0: the per-micro-batch replay also builds short
-      // prefixes, which may legitimately not rotate yet — the batch h7
-      // run asserts rotation on the full dataset
-      val query = StreamingGrinch.dendrogram(
-        input.toDS(), QueriesGrinch.RotP.copy(minRotations = 0))
-        .writeStream.format("memory").queryName("st12_sink").outputMode("append").start()
-      try {
-        events.grouped(events.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
-    }
-
-    val labels = rows.zipWithIndex
-      .map { case ((_, _, l), pos) => (pos.toLong, l) }.toSeq.toDF("luid", "llabel")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("uid")).orderBy(col("step").desc)
-    s.table("st12_sink")
-      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .join(labels, col("uid") === col("luid"), "left")
-      .select(col("uid"), col("parentUid").as("parent_uid"), col("llabel").as("label"))
-      .orderBy("uid")
-  }
+  val st12StreamingGrinchRotate: Q = (s, dir) =>
+    // minRotations=0: the per-micro-batch replay also builds short
+    // prefixes, which may legitimately not rotate yet — the batch h7
+    // run asserts rotation on the full dataset
+    streamingGrinchTwin(s, dir, "st12_sink",
+      col("vec_id") < QueriesGrinch.H7N, dim = Some(QueriesGrinch.H7Dim),
+      scaleDiv = 127.0, QueriesGrinch.RotP.copy(minRotations = 0))
 
   /** st13 — the h8 PRUNE-ENABLED integer-GRINCH dendrogram as a real
     * streaming query: same insertion-log state replay as st11/st12, so
@@ -497,55 +471,15 @@ object QueriesStreaming {
     * closing the streaming/batch/SQL three-way agreement for the
     * memory-bound path (`grinch_alg.py:389-413`) as well.
     */
-  val st13StreamingGrinchPrune: Q = (s, dir) => {
-    import s.implicits._
-    implicit val sqlCtx = s.sqlContext
-    import graft.streaming.StreamingGrinch
-    import graft.streaming.StreamingGrinch.PointEvent
-    val emb = Tables.load(s, dir, "embeddings")
-      .where(col("vec_id") >= QueriesGrinch.H8Off &&
-        col("vec_id") < QueriesGrinch.H8Off + QueriesGrinch.H8N)
-      .select(col("vec_id"),
-        slice(col("embedding"), 1, QueriesGrinch.H8Dim).as("e8"), col("label"))
-    val maxAbs = emb.agg(max(aggregate(col("e8"), lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
-    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 63.0
-    val rows = emb.select(col("vec_id"),
-        transform(col("e8"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
-        col("label").cast("string").as("label"))
-      .orderBy("vec_id")
-      .as[(Long, Array[Long], String)]
-      .collect()
-    val events = rows.zipWithIndex.map { case ((_, q, _), pos) =>
-      PointEvent(0L, pos.toLong, pos.toLong, q.map(_.toFloat))
-    }
-
-    withShufflePartitions(s, 4) {
-      val input = MemoryStream[PointEvent]
-      // minPrunes=0: short micro-batch prefixes may legitimately stay
-      // under the leaf limit — the batch h8 run asserts pruning on the
-      // full dataset
-      val query = StreamingGrinch.dendrogram(
-        input.toDS(), QueriesGrinch.PruneP.copy(minPrunes = 0))
-        .writeStream.format("memory").queryName("st13_sink").outputMode("append").start()
-      try {
-        events.grouped(events.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
-    }
-
-    val labels = rows.zipWithIndex
-      .map { case ((_, _, l), pos) => (pos.toLong, l) }.toSeq.toDF("luid", "llabel")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("uid")).orderBy(col("step").desc)
-    s.table("st13_sink")
-      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .join(labels, col("uid") === col("luid"), "left")
-      .select(col("uid"), col("parentUid").as("parent_uid"), col("llabel").as("label"))
-      .orderBy("uid")
-  }
+  val st13StreamingGrinchPrune: Q = (s, dir) =>
+    // minPrunes=0: short micro-batch prefixes may legitimately stay
+    // under the leaf limit — the batch h8 run asserts pruning on the
+    // full dataset
+    streamingGrinchTwin(s, dir, "st13_sink",
+      col("vec_id") >= QueriesGrinch.H8Off &&
+        col("vec_id") < QueriesGrinch.H8Off + QueriesGrinch.H8N,
+      dim = Some(QueriesGrinch.H8Dim), scaleDiv = 63.0,
+      QueriesGrinch.PruneP.copy(minPrunes = 0))
 
   val queries: Map[String, Q] = Map(
     "st13_streaming_grinch_prune" -> st13StreamingGrinchPrune,

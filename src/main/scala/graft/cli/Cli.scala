@@ -211,24 +211,35 @@ object Cli {
           pruningStrategy = flags.getOrElse("pruning-strategy", "similarity"),
           pruningThreshold = flags.get("pruning-threshold").map(_.toDouble)
             .getOrElse(Double.NaN))
-        flags.get("tree").foreach { treePath =>
-          val tree = Grinch.dendrogram(emb, col("uid"), col("embedding"), col("uid"), col("entity_id"), p)
-          Sources.writeDendrogramTsv(tree, treePath)
-        }
-        // `cluster_w_grinch.py:57-65`: flat clusters as "true, pred"
-        // pairs — cut at --threshold, else bisect to the entity count
-        flags.get("output").foreach { outPath =>
-          val target = emb.agg(countDistinct(col("entity_id")))
-            .collect()(0).getLong(0)
-          val pairs = Grinch.flatClusterAuto(emb, col("uid"), col("embedding"),
-            col("uid"), p, flags.get("threshold").map(_.toDouble), target)
-          val withTrue = Relational.dictEncode(
-            emb.join(pairs, col("uid") === col("id")),
-            col("entity_id"), col("uid"), "true_id")
-          Sources.writeClusterPairs(withTrue, "true_id", "pred_cluster", "uid", outPath)
-        }
         require(flags.contains("tree") || flags.contains("output"),
           "grinch requires --tree and/or --output")
+        // `cluster_w_grinch.py:57-65`: flat clusters as "true, pred"
+        // pairs — cut at --threshold, else bisect to the entity count
+        // (only aggregated when the bisection actually needs it). One
+        // automaton build serves both outputs.
+        val cut = flags.get("output").map { _ =>
+          val threshold = flags.get("threshold").map(_.toDouble)
+          val target = if (threshold.isDefined) 0L
+            else emb.agg(countDistinct(col("entity_id"))).collect()(0).getLong(0)
+          (threshold, target)
+        }
+        val both = Grinch.dendrogramAndClusters(emb, col("uid"), col("embedding"),
+          col("uid"), col("entity_id"), p, cut).persist()
+        try {
+          flags.get("tree").foreach { treePath =>
+            Sources.writeDendrogramTsv(
+              both.where(col("kind") === "node")
+                .select(col("uid"), col("parent_uid"), col("label")), treePath)
+          }
+          flags.get("output").foreach { outPath =>
+            val pairs = both.where(col("kind") === "pair")
+              .select(col("uid").cast("long").as("id"), col("pred_cluster"))
+            val withTrue = Relational.dictEncode(
+              emb.join(pairs, emb("uid") === pairs("id")),
+              col("entity_id"), emb("uid"), "true_id")
+            Sources.writeClusterPairs(withTrue, "true_id", "pred_cluster", "uid", outPath)
+          }
+        } finally both.unpersist()
 
       case "cut-tree" =>
         val nodes = Sources.readDendrogramTsv(spark, flags("dendrogram")).collect()

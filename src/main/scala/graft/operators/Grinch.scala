@@ -544,31 +544,38 @@ object Grinch {
 
   /** Flat clustering of one stream at `threshold`: (id, pred_cluster). */
   def flatCluster(df: DataFrame, id: Column, vec: Column, order: Column,
-                  p: Params, threshold: Double): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(id.cast("long").as("_1"), vec.cast("array<float>").as("_2"), order.cast("long").as("_3"))
-      .as[(Long, Array[Float], Long)]
-      .repartition(1).sortWithinPartitions(col("_3"))
-      .mapPartitions { it =>
-        val rows = it.toArray
-        if (rows.isEmpty) Iterator.empty
-        else {
-          val g = build(rows.map(_._2), p)
-          val assign = g.flatClustering(threshold)
-          rows.iterator.zipWithIndex.map { case ((rid, _, _), i) => (rid, assign(i).toLong) }
-        }
-      }
-      .toDF("id", "pred_cluster")
+                  p: Params, threshold: Double): DataFrame =
+    flatClusterAuto(df, id, vec, order, p, Some(threshold), target = 0L)
+
+  /** The reference's bisection (`cluster_w_grinch.py:21-34`): cut the
+    * already-built tree toward `target` clusters, θ ∈ [0,1],
+    * tolerance n/1000, ≤ `maxIters` cuts. Runs where the tree lives.
+    */
+  private def bisectCut(g: Grinch, n: Int, target: Long, maxIters: Int): Array[Int] = {
+    val epsilon = n / 1000.0
+    var lo = 0.0; var hi = 1.0
+    var nClusters = -1L
+    var best: Array[Int] = null
+    var i = 0
+    while (math.abs(nClusters.toDouble - target.toDouble) > epsilon && i < maxIters) {
+      i += 1
+      val t = (lo + hi) / 2
+      best = g.flatClustering(t)
+      nClusters = best.distinct.length.toLong
+      if (nClusters < target) lo = t else hi = t
+    }
+    // n >= 1000·(target+1) can satisfy the tolerance before any cut —
+    // the reference would crash on an unbound variable there; cut once
+    if (best == null) best = g.flatClustering(0.5)
+    best
   }
 
   /** Flat clustering with the reference CLI's threshold handling
     * (`meercat/cluster_w_grinch.py:21-34,57-61`): build the tree ONCE,
-    * then cut at `threshold` — or, when absent, bisect θ ∈ [0,1] toward
-    * `target` clusters (ε = n/1000, ≤ `maxIters` cuts). Only the cheap
-    * tree cut re-runs per bisection step, never the build, and the
-    * whole search happens inside the partition holding the tree — no
-    * extra jobs per iteration.
+    * then cut at `threshold` — or, when absent, bisect toward `target`
+    * clusters. Only the cheap tree cut re-runs per bisection step,
+    * never the build, and the whole search happens inside the
+    * partition holding the tree — no extra jobs per iteration.
     */
   def flatClusterAuto(df: DataFrame, id: Column, vec: Column, order: Column,
                       p: Params, threshold: Option[Double], target: Long,
@@ -585,22 +592,7 @@ object Grinch {
           val g = build(rows.map(_._2), p)
           val assign = threshold match {
             case Some(t) => g.flatClustering(t)
-            case None =>
-              // `find_threshold` `:21-34`: bisection toward the target
-              // cluster count with tolerance n/1000
-              val epsilon = rows.length / 1000.0
-              var lo = 0.0; var hi = 1.0
-              var nClusters = -1L
-              var best = g.flatClustering(0.5)
-              var i = 0
-              while (math.abs(nClusters.toDouble - target.toDouble) > epsilon && i < maxIters) {
-                i += 1
-                val t = (lo + hi) / 2
-                best = g.flatClustering(t)
-                nClusters = best.distinct.length.toLong
-                if (nClusters < target) lo = t else hi = t
-              }
-              best
+            case None => bisectCut(g, rows.length, target, maxIters)
           }
           rows.iterator.zipWithIndex.map { case ((rid, _, _), i) => (rid, assign(i).toLong) }
         }
@@ -635,7 +627,22 @@ object Grinch {
     * leaf uids are stream positions, labels joined from `label`.
     */
   def dendrogram(df: DataFrame, id: Column, vec: Column, order: Column, label: Column,
-                 p: Params): DataFrame = {
+                 p: Params): DataFrame =
+    dendrogramAndClusters(df, id, vec, order, label, p, clusters = None)
+      .select(col("uid"), col("parent_uid"), col("label"))
+
+  /** One build, optionally two relations — the CLI's --tree + --output
+    * path (`cluster_w_grinch.py` builds once; a naive twin would run
+    * the O(n·limit) automaton twice). Rows tagged kind ∈ {node, pair}:
+    * node → (uid, parent_uid, label); pair → (uid = point id,
+    * pred_cluster) with the cut at `clusters = Some((threshold,
+    * target))` — explicit θ, or bisection toward `target` when None.
+    * With `clusters = None` only node rows are emitted.
+    */
+  def dendrogramAndClusters(df: DataFrame, id: Column, vec: Column, order: Column,
+                            label: Column, p: Params,
+                            clusters: Option[(Option[Double], Long)],
+                            maxIters: Int = 100): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(id.cast("long").as("_1"), vec.cast("array<float>").as("_2"),
@@ -647,10 +654,21 @@ object Grinch {
         if (rows.isEmpty) Iterator.empty
         else {
           val g = build(rows.map(_._2), p)
-          g.treeNodes(i => Option(rows(i)._4)).iterator
-            .map(t => (t.uid, t.parentUid.orNull, t.label.orNull))
+          val nodes = g.treeNodes(i => Option(rows(i)._4)).iterator
+            .map(t => ("node", t.uid, t.parentUid.orNull, t.label.orNull, null.asInstanceOf[java.lang.Long]))
+          val pairs = clusters.iterator.flatMap { case (threshold, target) =>
+            val assign = threshold match {
+              case Some(t) => g.flatClustering(t)
+              case None => bisectCut(g, rows.length, target, maxIters)
+            }
+            rows.iterator.zipWithIndex.map { case ((rid, _, _, _), i) =>
+              ("pair", rid.toString, null.asInstanceOf[String], null.asInstanceOf[String],
+                java.lang.Long.valueOf(assign(i).toLong))
+            }
+          }
+          nodes ++ pairs
         }
       }
-      .toDF("uid", "parent_uid", "label")
+      .toDF("kind", "uid", "parent_uid", "label", "pred_cluster")
   }
 }
