@@ -62,6 +62,10 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(name.startsWith) }
     var errors = List.empty[String]
+    // a query that succeeds on SOME iterations silently degrades its
+    // median toward a one-shot timing (exactly how the fixed-checkpoint
+    // bug hid for a round) — surface it as loudly as a full failure
+    var partial = List.empty[String]
     // GC quiesce at family boundaries: round-5 showed the v-family
     // 2.8x inflated ONLY when run after the GC-heavy st/t blocks in the
     // sorted catalog order (isolated runs match round-4 levels). A full
@@ -87,7 +91,10 @@ object Bench {
         catch { case _: Throwable => None }
       }
       if (times.isEmpty) { errors ::= name; name -> -1.0 }
-      else name -> medianOf(times)
+      else {
+        if (times.length < iters) partial ::= name
+        name -> medianOf(times)
+      }
     }.toMap
     // Locale.ROOT: f"%.3f" is locale-sensitive and a comma decimal
     // separator would emit invalid JSON. Millisecond precision keeps the
@@ -97,12 +104,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val partJson = partial.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver's capture is tail-bounded: round 5 lost the aggregate
     // fields to a head-truncated line. Aggregates therefore go AFTER the
     // queries map, and a second queries-free summary line goes LAST so
     // the headline total always survives any truncation.
-    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"sf":"$sfDir"}""")
     spark.stop()
     // conf-rooted checkpoints are NOT auto-deleted on stop (that only
     // happens for Spark-managed temp dirs) — without this, every bench

@@ -24,6 +24,31 @@ class StreamingSpec extends SparkSpec {
     MentionEvent(1L, 10L, 0L, Array(1f, 0f)),
     MentionEvent(1L, 11L, 1L, Array(1f, 0f)))
 
+  test("a named memory-sink query re-runs under per-run checkpoint paths (bench protocol)") {
+    // regression for the round-6 bench bug: with a FIXED conf
+    // checkpoint root, the second .start() of an append-mode memory
+    // sink with the same queryName finds the first run's offsets and
+    // throws — Bench must (and now does) point each iteration at a
+    // fresh path. This pins that the re-run pattern actually works;
+    // losing it silently degrades every streaming median to one-shot.
+    val ckRoot = java.nio.file.Files.createTempDirectory("graft-ck-rerun").toString
+    val counts = (0 until 2).map { i =>
+      spark.conf.set("spark.sql.streaming.checkpointLocation", s"$ckRoot/it$i")
+      try {
+        val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+        val q = input.toDS().toDF("v")
+          .writeStream.format("memory").queryName("rerun_sink")
+          .outputMode("append").start()
+        try {
+          input.addData(1L, 2L, 3L)
+          q.processAllAvailable()
+          spark.table("rerun_sink").count()
+        } finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+    }
+    counts shouldBe Seq(3L, 3L)
+  }
+
   test("streaming greedy clustering matches the batch fold across multiple micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[MentionEvent]
