@@ -258,7 +258,7 @@ object Sources {
     raw.select(
       col(raw.columns(0)).cast("long").as("uid"),
       col(raw.columns(1)).as("entity_id"),
-      array(vecCols.map(c => col(c).cast("float")): _*).as("embedding"))
+      array(vecCols.toIndexedSeq.map(c => col(c).cast("float")): _*).as("embedding"))
   }
 
   /** S8 — embedding TSV writer (`meercat/embed.py:119-124`). */
