@@ -128,4 +128,29 @@ class PropertySpec extends SparkSpec {
     out(0) shouldBe (0L, out(1)._2) // key 0: both in one cluster
     out(2)._2 should not be out(3)._2 // key 1: orthogonal vectors split
   }
+
+  test("keyed scale-out GRINCH preserves prune semantics per stream") {
+    // the 100 TB path for memory-bounded GRINCH is one independent
+    // automaton per key (flatClusterByKey); each per-key tree must
+    // equal the single-stream run with the same integer config,
+    // memory bound and eviction strategy included
+    val p = Grinch.Params(rotateCap = 0, graftCap = 0, sim = "dot",
+      norm = "none", activeLeafLimit = 12, pruningStrategy = "least_recent")
+    val rnd = new scala.util.Random(5)
+    val rows = for {
+      k <- 0L to 2L
+      i <- 0 until 60
+    } yield (k, k * 100 + i, Array.fill(8)((rnd.nextInt(127) - 63).toFloat))
+    val df = rows.toDF("k", "id", "vec")
+    val keyed = Grinch.flatClusterByKey(df, col("k"), col("id"), col("vec"), col("id"), p,
+        threshold = 0.25)
+      .select(col("key"), col("id"), col("pred_cluster"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    val single = (0L to 2L).flatMap { k =>
+      Grinch.flatCluster(df.where(col("k") === k), col("id"), col("vec"), col("id"), p,
+          threshold = 0.25)
+        .as[(Long, Long)].collect().toSeq.map { case (id, c) => (k, id, c) }
+    }.sortBy(_._2)
+    keyed shouldBe single
+  }
 }
