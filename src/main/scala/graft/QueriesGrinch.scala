@@ -555,6 +555,323 @@ object QueriesGrinch {
        |ORDER BY uid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- h9
+  // The GRAFT-ENABLED integer-GRINCH oracle — after h7 (rotate) and h8
+  // (prune), graft (`grinch_alg.py:308-387`) was the last automaton
+  // path with no DuckDB-checked query. Config rotateCap=0, graftCap>0,
+  // norm="none", sim="dot", no pruning. The oracle replays the ENGINE's
+  // eager double-precision automaton (GrinchGraftOracleSpec proves the
+  // model == engine slot-for-slot, 3,400+ grafts over 120 configs;
+  // agreement with the reference implementation is pinned at the
+  // live-hierarchy level by GrinchGraftPropertySpec, because the
+  // reference's float32 batch scores occasionally perform no-op "churn"
+  // grafts the double path correctly skips). State per slot: parent,
+  // two children, descendant count, exact integer subtree sum, and the
+  // h7 ancestor-chain lists — graft surgery is pure list splicing:
+  // detach b2 (slot sp lazily deleted with code -2, its sibling
+  // promoted), re-splice a fresh parent above b1, and ±(nd, subtreeSum)
+  // of b2 along the old and new chains up to, excluding, the LCA
+  // (validated equivalent to the reference's chain recomputes).
+  // minGrafts=1 makes the driver run fail unless grafts actually fire.
+  private[graft] val H9N = 200
+  private[graft] val H9Off = 100
+  private[graft] val H9Dim = 8
+  private[graft] val H9Cap = 8
+  private[graft] val GraftP = Grinch.Params(rotateCap = 0, graftCap = H9Cap,
+    sim = "dot", norm = "none", activeLeafLimit = -1, minGrafts = 1)
+
+  val h9GrinchGraftTree: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+      .where(col("vec_id") >= H9Off && col("vec_id") < H9Off + H9N)
+      .select(col("vec_id"), slice(col("embedding"), 1, H9Dim).as("e8"), col("label"))
+    val maxAbs = emb.agg(max(aggregate(col("e8"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 63.0
+    val qdf = emb.select(col("vec_id"),
+      transform(col("e8"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
+      col("label"))
+    Grinch.dendrogram(qdf, col("vec_id"), col("q"), col("vec_id"), col("label"), GraftP)
+      .select(col("uid").cast("long").as("uid"),
+        col("parent_uid").cast("long").as("parent_uid"), col("label"))
+      .orderBy("uid")
+  }
+
+  val h9GrinchGraftTreeSql: String = {
+    val D = H9Dim
+    val G = H9Cap
+    // float32 centroid of slot p (0-based expr), as a DOUBLE list —
+    // from the z3 (post-insert) state columns nd1/sm1
+    def centList(p: String): String =
+      s"list_transform(generate_series(1, $D), kk -> " +
+        s"CAST(CAST(CAST((sm1[($p) + 1])[kk] AS DOUBLE) / " +
+        s"CAST(nd1[($p) + 1] AS DOUBLE) AS REAL) AS DOUBLE))"
+    // double dot of two DOUBLE lists (lambda var distinct from
+    // centList's: DuckDB rejects shadowed lambda parameter names)
+    def dl(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $D), " +
+        s"dd -> ($a)[dd] * ($b)[dd])), (acc, x) -> acc + x)"
+    // linkage score of internal slot p = dot of its children's centroids
+    def nscore(p: String): String =
+      dl(centList(s"c11[($p) + 1]"), centList(s"c21[($p) + 1]"))
+    val idotNew =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $D), " +
+        "kk -> qi[kk] * (qs[jj])[kk])), (acc, x) -> acc + x)"
+    s"""WITH RECURSIVE
+       |sel AS (
+       |  SELECT vec_id, embedding, label,
+       |         row_number() OVER (ORDER BY vec_id) - 1 AS pos
+       |  FROM embeddings WHERE vec_id >= $H9Off AND vec_id < ${H9Off + H9N}),
+       |nn_t AS (SELECT count(*) AS n FROM sel),
+       |gs AS (
+       |  SELECT max(list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(1, $D), mi -> abs(embedding[mi]::DOUBLE))),
+       |    (acc, x) -> greatest(acc, x))) AS maxabs
+       |  FROM sel),
+       |sc AS (SELECT CASE WHEN maxabs = 0 THEN 1.0::DOUBLE ELSE maxabs / 63.0 END AS scale FROM gs),
+       |qv AS (
+       |  SELECT pos, label, list_transform(generate_series(1, $D),
+       |    qi -> cast(round(embedding[qi]::DOUBLE / scale) AS BIGINT)) AS q
+       |  FROM sel, sc),
+       |qs_t AS (SELECT list(q ORDER BY pos) AS qs, list(label ORDER BY pos) AS labels FROM qv),
+       |step AS (
+       |  SELECT 1::BIGINT AS i, n, qs, n::BIGINT AS nxt,
+       |    list_transform(generate_series(1, 3*n), x -> -1::BIGINT) AS par,
+       |    list_transform(generate_series(1, 3*n), x -> -1::BIGINT) AS ch1,
+       |    list_transform(generate_series(1, 3*n), x -> -1::BIGINT) AS ch2,
+       |    list_transform(generate_series(1, 3*n),
+       |                   x -> CASE WHEN x = 1 THEN 1 ELSE 0 END::BIGINT) AS nd,
+       |    list_transform(generate_series(1, 3*n),
+       |                   x -> CASE WHEN x = 1 THEN qs[1]
+       |                        ELSE list_transform(generate_series(1, $D), z -> 0::BIGINT) END) AS sm,
+       |    list_transform(generate_series(1, 3*n), x -> CAST([] AS BIGINT[])) AS anc
+       |  FROM nn_t, qs_t
+       |UNION ALL
+       |  SELECT i + 1, n, qs,
+       |    nxt1 + CASE WHEN fired THEN 1 ELSE 0 END,
+       |    list_transform(generate_series(1, 3*n), x ->
+       |      CASE WHEN NOT fired THEN par1[x]
+       |           WHEN x - 1 = oldsib THEN sibgp
+       |           WHEN x - 1 = sp THEN -2
+       |           WHEN x - 1 = newp THEN gp1
+       |           WHEN x - 1 = b1 OR x - 1 = b2 THEN newp
+       |           ELSE par1[x] END),
+       |    list_transform(generate_series(1, 3*n), x ->
+       |      CASE WHEN NOT fired THEN c11[x]
+       |           WHEN x - 1 = sp THEN -1
+       |           WHEN x - 1 = newp THEN b1
+       |           WHEN x - 1 = sibgp AND c11[x] = sp THEN oldsib
+       |           WHEN x - 1 = gp1 AND c11[x] = b1 THEN newp
+       |           ELSE c11[x] END),
+       |    list_transform(generate_series(1, 3*n), x ->
+       |      CASE WHEN NOT fired THEN c21[x]
+       |           WHEN x - 1 = sp THEN -1
+       |           WHEN x - 1 = newp THEN b2
+       |           WHEN x - 1 = sibgp AND c21[x] = sp THEN oldsib
+       |           WHEN x - 1 = gp1 AND c21[x] = b1 THEN newp
+       |           ELSE c21[x] END),
+       |    list_transform(generate_series(1, 3*n), x ->
+       |      CASE WHEN NOT fired THEN nd1[x]
+       |           WHEN x - 1 = newp THEN nd1[b1 + 1] + ndb2
+       |           WHEN list_contains(oldchain, x - 1) THEN nd1[x] - ndb2
+       |           WHEN list_contains(newchain, x - 1) THEN nd1[x] + ndb2
+       |           ELSE nd1[x] END),
+       |    list_transform(generate_series(1, 3*n), x ->
+       |      CASE WHEN NOT fired THEN sm1[x]
+       |           WHEN x - 1 = newp THEN list_transform(generate_series(1, $D),
+       |                                    kk -> (sm1[b1 + 1])[kk] + smb2[kk])
+       |           WHEN list_contains(oldchain, x - 1) THEN list_transform(generate_series(1, $D),
+       |                                    kk -> (sm1[x])[kk] - smb2[kk])
+       |           WHEN list_contains(newchain, x - 1) THEN list_transform(generate_series(1, $D),
+       |                                    kk -> (sm1[x])[kk] + smb2[kk])
+       |           ELSE sm1[x] END),
+       |    list_transform(generate_series(1, 3*n), x ->
+       |      CASE WHEN NOT fired THEN anc1[x]
+       |           WHEN x - 1 = sp THEN CAST([] AS BIGINT[])
+       |           WHEN x - 1 = newp THEN a1list
+       |           WHEN x - 1 = b1 OR x - 1 = b2 THEN list_prepend(newp, a1list)
+       |           WHEN list_contains(anc1[x], b2) THEN
+       |             array_slice(anc1[x], 1, list_position(anc1[x], b2))
+       |               || list_prepend(newp, a1list)
+       |           WHEN list_contains(anc1[x], b1) THEN
+       |             array_slice(anc1[x], 1, list_position(anc1[x], b1))
+       |               || list_prepend(newp, a1list)
+       |           WHEN list_contains(anc1[x], sp) THEN
+       |             list_filter(anc1[x], e -> e <> sp)
+       |           ELSE anc1[x] END)
+       |  FROM (
+       |    SELECT *,
+       |      CASE WHEN fired THEN par1[b2 + 1] ELSE -1::BIGINT END AS sp,
+       |      CASE WHEN fired THEN CASE WHEN c11[par1[b2 + 1] + 1] = b2
+       |                                THEN c21[par1[b2 + 1] + 1]
+       |                                ELSE c11[par1[b2 + 1] + 1] END
+       |           ELSE -1::BIGINT END AS oldsib,
+       |      CASE WHEN fired THEN par1[par1[b2 + 1] + 1] ELSE -1::BIGINT END AS sibgp,
+       |      CASE WHEN fired THEN par1[b1 + 1] ELSE -1::BIGINT END AS gp1,
+       |      CASE WHEN fired THEN nxt1 ELSE -1::BIGINT END AS newp,
+       |      CASE WHEN fired THEN nd1[b2 + 1] ELSE 0::BIGINT END AS ndb2,
+       |      CASE WHEN fired THEN sm1[b2 + 1]
+       |           ELSE CAST([] AS BIGINT[]) END AS smb2,
+       |      -- b1's chain with the deleted slot filtered: when sp IS
+       |      -- the LCA, b1's own ancestors pass through sp (the detach
+       |      -- runs before the re-splice in the engine, so its chain
+       |      -- rebuild never sees the dead slot)
+       |      CASE WHEN fired THEN list_filter(anc1[b1 + 1], e -> e <> par1[b2 + 1])
+       |           ELSE CAST([] AS BIGINT[]) END AS a1list,
+       |      -- old chain: strict ancestors of sp (= after sp in b2's
+       |      -- chain) walking up until the LCA (to the root when sp IS
+       |      -- the LCA, mirroring the replay's walk); new chain:
+       |      -- ancestors of b1 up to, excluding, the LCA
+       |      CASE WHEN fired THEN
+       |        array_slice(anc1[b2 + 1], 2,
+       |          coalesce(list_position(anc1[b2 + 1], lca), len(anc1[b2 + 1]) + 1) - 1)
+       |      ELSE CAST([] AS BIGINT[]) END AS oldchain,
+       |      CASE WHEN fired THEN
+       |        array_slice(anc1[b1 + 1], 1,
+       |          coalesce(list_position(anc1[b1 + 1], lca), len(anc1[b1 + 1]) + 1) - 1)
+       |      ELSE CAST([] AS BIGINT[]) END AS newchain
+       |    FROM (
+       |      SELECT *,
+       |        coalesce(len(bestrec) > 0 AND NOT struct_extract(bestrec[1], 'mk'), false) AS fired,
+       |        CASE WHEN len(bestrec) > 0 THEN struct_extract(bestrec[1], 'a') ELSE -1::BIGINT END AS b1,
+       |        CASE WHEN len(bestrec) > 0 THEN struct_extract(bestrec[1], 'b') ELSE -1::BIGINT END AS b2
+       |      FROM (
+       |        SELECT *,
+       |          -- M×N masked row-major argmax (masked cells score 0.0,
+       |          -- exactly the reference's `:366-371`); empty → no graft
+       |          CASE WHEN len(t2a) > 0 AND len(o2a) > 0 THEN
+       |            [list_reduce(
+       |              flatten(list_transform(t2a, a -> list_transform(o2a, b ->
+       |                struct_pack(
+       |                  v := CASE WHEN ${dl(centList("a"), centList("b"))} <= ${nscore("par1[a + 1]")}
+       |                             OR ${dl(centList("a"), centList("b"))} <= ${nscore("par1[b + 1]")}
+       |                            THEN 0.0::DOUBLE
+       |                            ELSE ${dl(centList("a"), centList("b"))} END,
+       |                  mk := ${dl(centList("a"), centList("b"))} <= ${nscore("par1[a + 1]")}
+       |                        OR ${dl(centList("a"), centList("b"))} <= ${nscore("par1[b + 1]")},
+       |                  a := a, b := b)))),
+       |              (acc, x) -> CASE WHEN struct_extract(x, 'v') > struct_extract(acc, 'v')
+       |                          THEN x ELSE acc END)]
+       |          ELSE CAST([] AS STRUCT(v DOUBLE, mk BOOLEAN, a BIGINT, b BIGINT)[]) END AS bestrec
+       |        FROM (
+       |          SELECT *,
+       |            list_filter(this2lca, e -> nd1[e + 1] < $G) AS t2a,
+       |            list_filter(other2lca, e -> nd1[e + 1] < $G) AS o2a
+       |          FROM (
+       |            SELECT *,
+       |              CASE WHEN onenn >= 0 THEN otherfull[lcaidx] ELSE -1::BIGINT END AS lca,
+       |              CASE WHEN onenn >= 0 THEN
+       |                array_slice(thislist, 1, list_position(thislist, otherfull[lcaidx]) - 1)
+       |              ELSE CAST([] AS BIGINT[]) END AS this2lca,
+       |              CASE WHEN onenn >= 0 THEN array_slice(otherfull, 1, lcaidx - 1)
+       |              ELSE CAST([] AS BIGINT[]) END AS other2lca
+       |            FROM (
+       |              SELECT *,
+       |                list_position(list_transform(otherfull, e -> list_contains(thislist, e)),
+       |                              true) AS lcaidx
+       |              FROM (
+       |                SELECT *,
+       |                  CASE WHEN onenn >= 0
+       |                  THEN list_prepend(onenn, anc1[onenn + 1])
+       |                  ELSE CAST([] AS BIGINT[]) END AS otherfull,
+       |                  list_prepend(m, above) AS thislist
+       |                FROM (
+       |                  SELECT *,
+       |                    -- graft cknn: argmax over inserted leaves of
+       |                    -- dot(cent(m), q_j), excluding leaf
+       |                    -- descendants of m and m's sibling-if-leaf;
+       |                    -- g = -1 (m is root) aborts like `:457-459`
+       |                    CASE WHEN g >= 0 THEN
+       |                      coalesce(struct_extract(list_reduce(list_prepend(
+       |                        struct_pack(d := CAST('-infinity' AS DOUBLE), j := -1::BIGINT),
+       |                        list_transform(
+       |                          list_filter(generate_series(1, i + 1), jj ->
+       |                            NOT list_contains(anc1[jj], m)
+       |                            AND NOT (jj - 1 = CASE WHEN c11[g + 1] = m THEN c21[g + 1]
+       |                                              ELSE c11[g + 1] END
+       |                                     AND CASE WHEN c11[g + 1] = m THEN c21[g + 1]
+       |                                         ELSE c11[g + 1] END < n)),
+       |                          jj -> struct_pack(
+       |                            d := ${dl(centList("m"),
+                                       s"list_transform(generate_series(1, $D), qq -> CAST(CAST((qs[jj])[qq] AS REAL) AS DOUBLE))")},
+       |                            j := jj - 1))),
+       |                        (acc, x) -> CASE WHEN struct_extract(x, 'd') > struct_extract(acc, 'd')
+       |                                    THEN x ELSE acc END), 'j'), -1)
+       |                    ELSE -1::BIGINT END AS onenn
+       |                  FROM (
+       |                    SELECT *,
+       |                      list_transform(generate_series(1, 3*n), x ->
+       |                        CASE WHEN x - 1 = sib OR x - 1 = i THEN m
+       |                             WHEN x - 1 = m THEN g
+       |                             ELSE par[x] END) AS par1,
+       |                      list_transform(generate_series(1, 3*n), x ->
+       |                        CASE WHEN x - 1 = m THEN sib
+       |                             WHEN x - 1 = g AND ch1[x] = sib THEN m
+       |                             ELSE ch1[x] END) AS c11,
+       |                      list_transform(generate_series(1, 3*n), x ->
+       |                        CASE WHEN x - 1 = m THEN i
+       |                             WHEN x - 1 = g AND ch1[x] <> sib AND ch2[x] = sib THEN m
+       |                             ELSE ch2[x] END) AS c21,
+       |                      list_transform(generate_series(1, 3*n), x ->
+       |                        CASE WHEN x - 1 = i THEN 1::BIGINT
+       |                             WHEN x - 1 = m THEN nd[sib + 1] + 1
+       |                             WHEN list_contains(above, x - 1) THEN nd[x] + 1
+       |                             ELSE nd[x] END) AS nd1,
+       |                      list_transform(generate_series(1, 3*n), x ->
+       |                        CASE WHEN x - 1 = i THEN qi
+       |                             WHEN x - 1 = m THEN list_transform(generate_series(1, $D),
+       |                                                   kk -> (sm[sib + 1])[kk] + qi[kk])
+       |                             WHEN list_contains(above, x - 1) THEN list_transform(generate_series(1, $D),
+       |                                                   kk -> (sm[x])[kk] + qi[kk])
+       |                             ELSE sm[x] END) AS sm1,
+       |                      list_transform(generate_series(1, 3*n), x ->
+       |                        CASE WHEN x - 1 = i OR x - 1 = sib THEN list_prepend(m, above)
+       |                             WHEN x - 1 = m THEN above
+       |                             WHEN list_contains(anc[x], sib) THEN
+       |                               array_slice(anc[x], 1, list_position(anc[x], sib))
+       |                                 || [m]
+       |                                 || array_slice(anc[x], list_position(anc[x], sib) + 1, len(anc[x]))
+       |                             ELSE anc[x] END) AS anc1,
+       |                      nxt + 1 AS nxt1
+       |                    FROM (
+       |                      SELECT *, nxt AS m, par[sib + 1] AS g, anc[sib + 1] AS above
+       |                      FROM (
+       |                        SELECT *, struct_extract(nnrec, 'j') AS sib
+       |                        FROM (
+       |                          SELECT *, list_reduce(
+       |                              list_transform(generate_series(1, i), jj ->
+       |                                struct_pack(d := $idotNew, j := jj - 1)),
+       |                              (acc, x) -> CASE WHEN struct_extract(x, 'd') > struct_extract(acc, 'd')
+       |                                          THEN x ELSE acc END) AS nnrec
+       |                          FROM (
+       |                            SELECT *, qs[i + 1] AS qi FROM step WHERE i < n
+       |                          ) z0
+       |                        ) z1
+       |                      ) z2
+       |                    ) z2b
+       |                  ) z3
+       |                ) z4
+       |              ) z5a
+       |            ) z5b
+       |          ) z5c
+       |        ) z5d
+       |      ) z6
+       |    ) z7
+       |  ) z8),
+       |fin AS (SELECT * FROM step WHERE i = n)
+       |SELECT uid, parent_uid, label FROM (
+       |  SELECT
+       |    unnest(list_transform(generate_series(1, CAST(fin.nxt AS INTEGER)), x -> x - 1))::BIGINT AS uid,
+       |    unnest(list_transform(generate_series(1, CAST(fin.nxt AS INTEGER)),
+       |      x -> CASE WHEN par[x] = -1 THEN NULL ELSE par[x] END))::BIGINT AS parent_uid,
+       |    unnest(list_transform(generate_series(1, CAST(fin.nxt AS INTEGER)),
+       |      x -> CASE WHEN x <= fin.n THEN labels[x]::VARCHAR ELSE NULL END)) AS label,
+       |    unnest(list_transform(generate_series(1, CAST(fin.nxt AS INTEGER)),
+       |      x -> par[x])) AS rawpar
+       |  FROM fin, qs_t)
+       |WHERE rawpar <> -2
+       |ORDER BY uid""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "h1_grinch_flat" -> h1GrinchFlat,
     "h2_grinch_dendrogram" -> h2GrinchDendrogram,
@@ -563,11 +880,13 @@ object QueriesGrinch {
     "h5_grinch_int_tree" -> h5GrinchIntTree,
     "h6_grinch_purity_int" -> h6GrinchPurityInt,
     "h7_grinch_rotate_tree" -> h7GrinchRotateTree,
-    "h8_grinch_prune_tree" -> h8GrinchPruneTree)
+    "h8_grinch_prune_tree" -> h8GrinchPruneTree,
+    "h9_grinch_graft_tree" -> h9GrinchGraftTree)
 
   val oracles: Map[String, String] = Map(
     "h5_grinch_int_tree" -> h5GrinchIntTreeSql,
     "h6_grinch_purity_int" -> h6GrinchPurityIntSql,
     "h7_grinch_rotate_tree" -> h7GrinchRotateTreeSql,
-    "h8_grinch_prune_tree" -> h8GrinchPruneTreeSql)
+    "h8_grinch_prune_tree" -> h8GrinchPruneTreeSql,
+    "h9_grinch_graft_tree" -> h9GrinchGraftTreeSql)
 }

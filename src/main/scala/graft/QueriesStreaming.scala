@@ -437,10 +437,13 @@ object QueriesStreaming {
 
     val labels = rows.zipWithIndex
       .map { case ((_, _, l), pos) => (pos.toLong, l) }.toSeq.toDF("luid", "llabel")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("uid")).orderBy(col("step").desc)
-    s.table(sinkName)
-      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+    // final-batch snapshot (global max step), NOT per-uid max: each
+    // batch re-emits the full current tree, and under graft configs a
+    // slot lazily deleted between batches would otherwise survive as a
+    // stale max-step row. For graft-free configs the two selections
+    // are identical (every live uid is re-emitted in the final batch).
+    val maxStep = s.table(sinkName).agg(max(col("step"))).collect()(0).getLong(0)
+    s.table(sinkName).where(col("step") === maxStep)
       .join(labels, col("uid") === col("luid"), "left")
       .select(col("uid"), col("parentUid").as("parent_uid"), col("llabel").as("label"))
       .orderBy("uid")
@@ -487,7 +490,17 @@ object QueriesStreaming {
       dim = Some(QueriesGrinch.H8Dim), scaleDiv = 63.0,
       QueriesGrinch.PruneP.copy(minPrunes = 0))
 
+  val st14StreamingGrinchGraft: Q = (s, dir) =>
+    // minGrafts=0: short micro-batch prefixes may legitimately not
+    // graft yet — the batch h9 run asserts grafting on the full dataset
+    streamingGrinchTwin(s, dir, "st14_sink",
+      col("vec_id") >= QueriesGrinch.H9Off &&
+        col("vec_id") < QueriesGrinch.H9Off + QueriesGrinch.H9N,
+      dim = Some(QueriesGrinch.H9Dim), scaleDiv = 63.0,
+      QueriesGrinch.GraftP.copy(minGrafts = 0))
+
   val queries: Map[String, Q] = Map(
+    "st14_streaming_grinch_graft" -> st14StreamingGrinchGraft,
     "st13_streaming_grinch_prune" -> st13StreamingGrinchPrune,
     "st12_streaming_grinch_rotate" -> st12StreamingGrinchRotate,
     "st11_streaming_grinch_tree" -> st11StreamingGrinchTree,
@@ -500,6 +513,7 @@ object QueriesStreaming {
     "st5_streaming_dedup" -> st5StreamingDedup,
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
+    "st14_streaming_grinch_graft" -> QueriesGrinch.h9GrinchGraftTreeSql,
     "st13_streaming_grinch_prune" -> QueriesGrinch.h8GrinchPruneTreeSql,
     "st12_streaming_grinch_rotate" -> QueriesGrinch.h7GrinchRotateTreeSql,
     "st11_streaming_grinch_tree" -> QueriesGrinch.h5GrinchIntTreeSql,

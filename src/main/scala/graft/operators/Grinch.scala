@@ -524,7 +524,11 @@ object Grinch {
         * at least this many prunes fired (h8's oracle row is only
         * meaningful if the data actually collapses leaves).
         */
-      minPrunes: Int = 0)
+      minPrunes: Int = 0,
+      /** And for the graft path: h9's oracle row must prove the graft
+        * search actually restructured the tree on its data.
+        */
+      minGrafts: Int = 0)
 
   /** Build a tree by inserting `points` in order — the automaton's only
     * construction path (also the streaming operator's replay restore).
@@ -537,6 +541,8 @@ object Grinch {
       s"expected >= ${p.minRotations} rotate events on this data, saw ${g.rotations}")
     require(g.prunes >= p.minPrunes,
       s"expected >= ${p.minPrunes} prune events on this data, saw ${g.prunes}")
+    require(g.grafts >= p.minGrafts,
+      s"expected >= ${p.minGrafts} graft events on this data, saw ${g.grafts}")
     g
   }
 
