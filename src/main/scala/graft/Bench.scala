@@ -109,16 +109,42 @@ object Bench {
     // fields to a head-truncated line. Aggregates therefore go AFTER the
     // queries map, and a second queries-free summary line goes LAST so
     // the headline total always survives any truncation.
-    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson}""")
+    val fullLine =
+      s"""{"metric":"total","sf":"$sfDir","queries":$qs,"value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson}"""
+    // The per-query map ALSO goes to a file artifact: the captured
+    // stdout line is head-truncated by the driver (round 6 kept only 70
+    // of 99 medians) — bench_queries.json carries every median
+    // regardless of any line-length limit.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_queries.json"), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_queries.json: ${e.getMessage}")
+    }
+    println(fullLine)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"sf":"$sfDir"}""")
     spark.stop()
     // conf-rooted checkpoints are NOT auto-deleted on stop (that only
     // happens for Spark-managed temp dirs) — without this, every bench
-    // run leaks RAM-backed state files under /dev/shm until reboot
+    // run leaks RAM-backed state files under /dev/shm until reboot.
+    // The walk stream is closed before deleting, and each deletion
+    // catches on its own: one straggling state file must not abandon
+    // the rest of the cleanup (nor leak the stream's dir handles).
     try {
       val root = java.nio.file.Paths.get(ckRoot)
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: Throwable => () }
+      val walk = java.nio.file.Files.walk(root)
+      val paths =
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .collect(java.util.stream.Collectors.toList[java.nio.file.Path])
+        finally walk.close()
+      var failed = 0
+      paths.forEach { p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: Throwable => failed += 1 }
+      }
+      if (failed > 0)
+        System.err.println(s"[bench] checkpoint cleanup left $failed paths under $ckRoot")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] checkpoint cleanup failed under $ckRoot: ${e.getMessage}")
+    }
   }
 }

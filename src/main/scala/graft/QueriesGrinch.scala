@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Grinch, Trees}
@@ -580,23 +581,35 @@ object QueriesGrinch {
   private[graft] val GraftP = Grinch.Params(rotateCap = 0, graftCap = H9Cap,
     sim = "dot", norm = "none", activeLeafLimit = -1, minGrafts = 1)
 
-  val h9GrinchGraftTree: Q = (s, dir) => {
+  /** The h9/h10 input: the 200-point embedding slice quantized to
+    * integer coordinates in [-63, 63] (exact in float32 and BIGINT).
+    */
+  private def h9Quantized(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
       .where(col("vec_id") >= H9Off && col("vec_id") < H9Off + H9N)
       .select(col("vec_id"), slice(col("embedding"), 1, H9Dim).as("e8"), col("label"))
     val maxAbs = emb.agg(max(aggregate(col("e8"), lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
     val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 63.0
-    val qdf = emb.select(col("vec_id"),
+    emb.select(col("vec_id"),
       transform(col("e8"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
       col("label"))
+  }
+
+  val h9GrinchGraftTree: Q = (s, dir) => {
+    val qdf = h9Quantized(s, dir)
     Grinch.dendrogram(qdf, col("vec_id"), col("q"), col("vec_id"), col("label"), GraftP)
       .select(col("uid").cast("long").as("uid"),
         col("parent_uid").cast("long").as("parent_uid"), col("label"))
       .orderBy("uid")
   }
 
-  val h9GrinchGraftTreeSql: String = {
+  /** The h9 graft-automaton replay as a `WITH RECURSIVE` prefix ending
+    * in `fin` (the final state row: par/ch1/ch2/nd/sm lists plus n,
+    * nxt, and qs_t's labels). h9 projects the tree relation out of it;
+    * h10 appends a threshold-cut walk (C18) over the same state.
+    */
+  private[graft] val h9StateCte: String = {
     val D = H9Dim
     val G = H9Cap
     // float32 centroid of slot p (0-based expr), as a DOUBLE list —
@@ -857,8 +870,14 @@ object QueriesGrinch {
        |      ) z6
        |    ) z7
        |  ) z8),
-       |fin AS (SELECT * FROM step WHERE i = n)
-       |SELECT uid, parent_uid, label FROM (
+       |fin AS (SELECT * FROM step WHERE i = n)""".stripMargin
+  }
+
+  // NB: the prefix is concatenated, never re-interpolated under
+  // stripMargin — its body contains `||` continuation lines that a
+  // second margin strip would corrupt.
+  val h9GrinchGraftTreeSql: String = h9StateCte + "\n" +
+    """SELECT uid, parent_uid, label FROM (
        |  SELECT
        |    unnest(list_transform(generate_series(1, CAST(fin.nxt AS INTEGER)), x -> x - 1))::BIGINT AS uid,
        |    unnest(list_transform(generate_series(1, CAST(fin.nxt AS INTEGER)),
@@ -870,6 +889,87 @@ object QueriesGrinch {
        |  FROM fin, qs_t)
        |WHERE rawpar <> -2
        |ORDER BY uid""".stripMargin
+
+  // --------------------------------------------------------------- h10
+  // C18 threshold cut (flat clustering, `grinch_alg.py:618-631`) of the
+  // h9 graft-built tree, closing the last rows-only reference
+  // semantics. Cut-time getScore is memoized, but updatedFromChildren
+  // resets a node's score whenever anything changes in its subtree
+  // (`grinch_alg.py:472-479`), so every score the cut reads equals a
+  // fresh dot of the node's FINAL float32 child centroids — exactly
+  // what the replayed `fin` state (nd, sm) expresses. The cut is a BFS
+  // from the root that descends while linkage < θ; surviving subtree
+  // roots become clusters, members recovered via get_cluster_elements
+  // (`:585-595`, childless descendants — trivially the original points
+  // here, no pruning in this config). The reference numbers clusters
+  // in BFS DISCOVERY order, which depends on the mutable
+  // children-LIST order (graft surgery's remove-then-append reorders
+  // it); the replay tracks an unordered (ch1, ch2) pair, so both sides
+  // are canonicalized to an order-independent key: each cluster is
+  // labeled by its minimum member vec_id. The PARTITION — the cut's
+  // actual semantics — is pinned exactly (discovery-order numbering
+  // parity with the reference is separately golden-pinned by the CLI
+  // cluster outputs). θ=700 cuts the 200-point tree into 33 clusters
+  // of sizes 1-22 — GrinchCutOracleSpec pins that the cut crosses
+  // internal boundaries in both directions (multi-point clusters
+  // exist, and more than one cluster survives).
+  private[graft] val H10Theta = 700.0
+
+  val h10GrinchTreeCut: Q = (s, dir) => {
+    val qdf = h9Quantized(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pred_cluster")
+    Grinch.flatCluster(qdf, col("vec_id"), col("q"), col("vec_id"), GraftP, H10Theta)
+      .select(col("id").cast("long").as("vec_id"), col("pred_cluster"))
+      .withColumn("cluster", min("vec_id").over(w))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  val h10GrinchTreeCutSql: String = {
+    val D = H9Dim
+    // float32 centroid of slot p (0-based expr) from the FINAL state
+    // columns fin.nd/fin.sm, as a DOUBLE list
+    def centFin(p: String): String =
+      s"list_transform(generate_series(1, $D), kk -> " +
+        s"CAST(CAST(CAST((fin.sm[($p) + 1])[kk] AS DOUBLE) / " +
+        s"CAST(fin.nd[($p) + 1] AS DOUBLE) AS REAL) AS DOUBLE))"
+    def dl(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $D), " +
+        s"dd -> ($a)[dd] * ($b)[dd])), (acc, x) -> acc + x)"
+    // linkage score of internal slot x over the final state
+    def scoreF(x: String): String =
+      dl(centFin(s"fin.ch1[($x) + 1]"), centFin(s"fin.ch2[($x) + 1]"))
+    h9StateCte + ",\n" +
+    s"""root_t AS (SELECT list_position(array_slice(par, 1, CAST(nxt AS INTEGER)), -1) - 1 AS root FROM fin),
+       |walk AS (
+       |  SELECT root::BIGINT AS node FROM root_t
+       |  UNION ALL
+       |  SELECT CASE WHEN u.ci = 1 THEN fin.ch1[walk.node + 1] ELSE fin.ch2[walk.node + 1] END
+       |  FROM walk, fin, (SELECT unnest([1, 2]) AS ci) u
+       |  WHERE fin.ch1[walk.node + 1] <> -1 AND ${scoreF("walk.node")} < $H10Theta
+       |),
+       |cl AS (
+       |  SELECT node
+       |  FROM walk, fin
+       |  WHERE NOT (fin.ch1[walk.node + 1] <> -1 AND ${scoreF("walk.node")} < $H10Theta)
+       |),
+       |elems AS (
+       |  SELECT node AS croot, node AS cur FROM cl
+       |  UNION ALL
+       |  SELECT e.croot, CASE WHEN u.ci = 1 THEN fin.ch1[e.cur + 1] ELSE fin.ch2[e.cur + 1] END
+       |  FROM elems e, fin, (SELECT unnest([1, 2]) AS ci) u
+       |  WHERE fin.ch1[e.cur + 1] <> -1
+       |),
+       |pts AS (
+       |  SELECT sel.vec_id::BIGINT AS vec_id, elems.croot
+       |  FROM elems
+       |  JOIN fin ON true
+       |  JOIN sel ON sel.pos = elems.cur
+       |  WHERE fin.ch1[elems.cur + 1] = -1
+       |)
+       |SELECT vec_id, min(vec_id) OVER (PARTITION BY croot)::BIGINT AS cluster
+       |FROM pts
+       |ORDER BY vec_id""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
@@ -881,12 +981,14 @@ object QueriesGrinch {
     "h6_grinch_purity_int" -> h6GrinchPurityInt,
     "h7_grinch_rotate_tree" -> h7GrinchRotateTree,
     "h8_grinch_prune_tree" -> h8GrinchPruneTree,
-    "h9_grinch_graft_tree" -> h9GrinchGraftTree)
+    "h9_grinch_graft_tree" -> h9GrinchGraftTree,
+    "h10_grinch_tree_cut" -> h10GrinchTreeCut)
 
   val oracles: Map[String, String] = Map(
     "h5_grinch_int_tree" -> h5GrinchIntTreeSql,
     "h6_grinch_purity_int" -> h6GrinchPurityIntSql,
     "h7_grinch_rotate_tree" -> h7GrinchRotateTreeSql,
     "h8_grinch_prune_tree" -> h8GrinchPruneTreeSql,
-    "h9_grinch_graft_tree" -> h9GrinchGraftTreeSql)
+    "h9_grinch_graft_tree" -> h9GrinchGraftTreeSql,
+    "h10_grinch_tree_cut" -> h10GrinchTreeCutSql)
 }

@@ -17,23 +17,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * final assignment equals the batch result, which is why st8
   * hash-matches d7's recursive-CTE oracle.
   *
-  * Each micro-batch emits the full current assignment stamped with a
-  * step counter (append mode can't retract: a later edge may merge two
-  * existing components and relabel nodes, so readers take the max-step
-  * row per node — the same convention as the streaming GRINCH query).
+  * Each micro-batch emits a DELTA stamped with a step counter: only
+  * first-seen nodes and nodes whose root changed in the batch (append
+  * mode can't retract: a later edge may merge two existing components
+  * and relabel nodes, so readers take the max-step row per node — the
+  * same convention as the streaming GRINCH query, and it is exactly
+  * delta-compatible: a node's newest row is the last time its root
+  * changed). Emission volume is therefore ∝ changes, not ∝ graph —
+  * at a billion-node duplicate graph over thousands of micro-batches,
+  * re-emitting the full assignment per batch would be the scale
+  * bottleneck, not the state. Changed nodes are found without any
+  * full-graph scan: state keeps a per-root member index, and a
+  * min-root union moves exactly the absorbed root's members (their
+  * root is what changed; the surviving root's members keep theirs).
   * State is one parent pointer per node of the PAIR GRAPH (duplicate
-  * docs only, not the corpus). The `key` field partitions independent
-  * graphs (shards/datasets); one key = one global graph.
+  * docs only, not the corpus) plus the member index (each node appears
+  * in exactly one root's list — still O(nodes)). The `key` field
+  * partitions independent graphs (shards/datasets); one key = one
+  * global graph.
   */
 object StreamingComponents {
 
   /** One undirected pair event; `seq` orders arrivals within a batch. */
   final case class EdgeEvent(key: Long, seq: Long, a: Long, b: Long)
 
-  /** Keyed state: parent pointers (roots map to themselves) + batch
-    * step counter.
+  /** Keyed state: parent pointers (roots map to themselves), members
+    * per current root (the delta-emission index), and a batch step
+    * counter.
     */
-  final case class UfState(parent: Map[Long, Long], step: Long)
+  final case class UfState(parent: Map[Long, Long], members: Map[Long, Seq[Long]],
+                           step: Long)
 
   /** One node's assignment as of `step`. */
   final case class NodeComp(step: Long, node: Long, comp: Long)
@@ -48,7 +61,15 @@ object StreamingComponents {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, batch: Iterator[EdgeEvent], state: GroupState[UfState]) =>
           val parent = mutable.HashMap.empty[Long, Long]
-          state.getOption.foreach(s => parent ++= s.parent)
+          val members = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+          state.getOption.foreach { s =>
+            parent ++= s.parent
+            s.members.foreach { case (r, ms) =>
+              members(r) = mutable.ArrayBuffer.from(ms)
+            }
+          }
+          // nodes whose assignment is new or changed this batch
+          val touched = mutable.HashSet.empty[Long]
           def find(x: Long): Long = {
             var r = x
             while (parent(r) != r) r = parent(r)
@@ -57,16 +78,31 @@ object StreamingComponents {
             while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
             r
           }
+          def add(x: Long): Unit = if (!parent.contains(x)) {
+            parent(x) = x
+            members(x) = mutable.ArrayBuffer(x)
+            touched += x
+          }
           batch.toSeq.sortBy(_.seq).foreach { e =>
-            parent.getOrElseUpdate(e.a, e.a)
-            parent.getOrElseUpdate(e.b, e.b)
+            add(e.a)
+            add(e.b)
             val ra = find(e.a)
             val rb = find(e.b)
-            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+            if (ra != rb) {
+              val winner = math.min(ra, rb)
+              val loser = math.max(ra, rb)
+              parent(loser) = winner
+              // the absorbed root's members are EXACTLY the nodes whose
+              // root changes — no scan over the surviving component
+              val moved = members.remove(loser).get
+              touched ++= moved
+              members(winner) ++= moved
+            }
           }
           val step = state.getOption.map(_.step).getOrElse(0L) + 1
-          state.update(UfState(parent.toMap, step))
-          parent.keysIterator.toSeq.sorted
+          state.update(UfState(parent.toMap,
+            members.view.mapValues(_.toSeq).toMap, step))
+          touched.toSeq.sorted
             .map(n => NodeComp(step, n, find(n))).iterator
       }
   }

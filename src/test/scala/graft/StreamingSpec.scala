@@ -207,6 +207,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming CC delta emission: rows ∝ changes, not graph size") {
+    import graft.streaming.StreamingComponents
+    import graft.streaming.StreamingComponents.EdgeEvent
+    implicit val sqlCtx = spark.sqlContext
+    // batch 2's (2,3) merges {3,9} INTO {1,2} (min-root 1 survives) and
+    // adds {5,7}: the absorbed side and the new nodes change, the
+    // surviving component's members must stay silent
+    val b1 = Seq(EdgeEvent(0L, 0L, 1L, 2L), EdgeEvent(0L, 1L, 3L, 9L))
+    val b2 = Seq(EdgeEvent(0L, 2L, 2L, 3L), EdgeEvent(0L, 3L, 5L, 7L))
+    val input = MemoryStream[EdgeEvent]
+    val query = StreamingComponents.connectedComponents(input.toDS())
+      .writeStream.format("memory").queryName("cc_delta_sink").outputMode("append").start()
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val byStep = spark.table("cc_delta_sink")
+        .select("step", "node").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      byStep(1L) shouldBe Seq(1L, 2L, 3L, 9L) // first sight of every node
+      byStep(2L) shouldBe Seq(3L, 5L, 7L, 9L) // relabeled + new ONLY — 1, 2 not re-emitted
+    } finally query.stop()
+  }
+
   test("streaming sessionization: sessions continue and split across micro-batches") {
     import graft.streaming.StreamingSessions
     import graft.streaming.StreamingSessions.SessionEvent
