@@ -76,13 +76,7 @@ object QueriesGrinch {
   private[graft] val H5N = 500
 
   val h5GrinchIntTree: Q = (s, dir) => {
-    val emb = Tables.load(s, dir, "embeddings").where(col("vec_id") < H5N)
-    val maxAbs = emb.agg(max(aggregate(col("embedding"), lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
-    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
-    val qdf = emb.select(col("vec_id"),
-      transform(col("embedding"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
-      col("label"))
+    val qdf = quantizedSlice(s, dir, col("vec_id") < H5N, dim = None, scaleDiv = 127.0)
     Grinch.dendrogram(qdf, col("vec_id"), col("q"), col("vec_id"), col("label"), IntP)
       .select(col("uid").cast("long").as("uid"),
         col("parent_uid").cast("long").as("parent_uid"), col("label"))
@@ -240,15 +234,30 @@ object QueriesGrinch {
     // fail the build (and thus the driver's verify run) if it doesn't
     minRotations = 1)
 
-  val h7GrinchRotateTree: Q = (s, dir) => {
-    val emb = Tables.load(s, dir, "embeddings").where(col("vec_id") < H7N)
-      .select(col("vec_id"), slice(col("embedding"), 1, H7Dim).as("e8"), col("label"))
-    val maxAbs = emb.agg(max(aggregate(col("e8"), lit(0.0),
+  /** Shared batch/streaming GRINCH input: a filtered slice of the
+    * embeddings table quantized to integer coordinates with one global
+    * scale (exact in float32 and BIGINT). The h5/h7/h8/h9 batch
+    * queries and the st11-st14 streaming twins all quantize through
+    * THIS — input-pipeline parity between a twin and its batch query
+    * is by construction, which is what makes StreamingSpec's surgery
+    * counter-parity case meaningful.
+    */
+  private[graft] def quantizedSlice(s: SparkSession, dir: String,
+      rowFilter: org.apache.spark.sql.Column, dim: Option[Int],
+      scaleDiv: Double): DataFrame = {
+    val vecCol = dim.map(d => slice(col("embedding"), 1, d)).getOrElse(col("embedding"))
+    val emb = Tables.load(s, dir, "embeddings").where(rowFilter)
+      .select(col("vec_id"), vecCol.as("e"), col("label"))
+    val maxAbs = emb.agg(max(aggregate(col("e"), lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
-    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
-    val qdf = emb.select(col("vec_id"),
-      transform(col("e8"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / scaleDiv
+    emb.select(col("vec_id"),
+      transform(col("e"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
       col("label"))
+  }
+
+  val h7GrinchRotateTree: Q = (s, dir) => {
+    val qdf = quantizedSlice(s, dir, col("vec_id") < H7N, Some(H7Dim), 127.0)
     Grinch.dendrogram(qdf, col("vec_id"), col("q"), col("vec_id"), col("label"), RotP)
       .select(col("uid").cast("long").as("uid"),
         col("parent_uid").cast("long").as("parent_uid"), col("label"))
@@ -417,15 +426,8 @@ object QueriesGrinch {
     pruningStrategy = "least_recent", minPrunes = 1)
 
   val h8GrinchPruneTree: Q = (s, dir) => {
-    val emb = Tables.load(s, dir, "embeddings")
-      .where(col("vec_id") >= H8Off && col("vec_id") < H8Off + H8N)
-      .select(col("vec_id"), slice(col("embedding"), 1, H8Dim).as("e8"), col("label"))
-    val maxAbs = emb.agg(max(aggregate(col("e8"), lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
-    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 63.0
-    val qdf = emb.select(col("vec_id"),
-      transform(col("e8"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
-      col("label"))
+    val qdf = quantizedSlice(s, dir,
+      col("vec_id") >= H8Off && col("vec_id") < H8Off + H8N, Some(H8Dim), 63.0)
     Grinch.dendrogram(qdf, col("vec_id"), col("q"), col("vec_id"), col("label"), PruneP)
       .select(col("uid").cast("long").as("uid"),
         col("parent_uid").cast("long").as("parent_uid"), col("label"))
@@ -584,17 +586,9 @@ object QueriesGrinch {
   /** The h9/h10 input: the 200-point embedding slice quantized to
     * integer coordinates in [-63, 63] (exact in float32 and BIGINT).
     */
-  private def h9Quantized(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings")
-      .where(col("vec_id") >= H9Off && col("vec_id") < H9Off + H9N)
-      .select(col("vec_id"), slice(col("embedding"), 1, H9Dim).as("e8"), col("label"))
-    val maxAbs = emb.agg(max(aggregate(col("e8"), lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
-    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 63.0
-    emb.select(col("vec_id"),
-      transform(col("e8"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
-      col("label"))
-  }
+  private def h9Quantized(s: SparkSession, dir: String): DataFrame =
+    quantizedSlice(s, dir,
+      col("vec_id") >= H9Off && col("vec_id") < H9Off + H9N, Some(H9Dim), 63.0)
 
   val h9GrinchGraftTree: Q = (s, dir) => {
     val qdf = h9Quantized(s, dir)

@@ -406,15 +406,10 @@ object QueriesStreaming {
     implicit val sqlCtx = s.sqlContext
     import graft.streaming.StreamingGrinch
     import graft.streaming.StreamingGrinch.PointEvent
-    val vecCol = dim.map(d => slice(col("embedding"), 1, d)).getOrElse(col("embedding"))
-    val emb = Tables.load(s, dir, "embeddings").where(rowFilter)
-      .select(col("vec_id"), vecCol.as("e"), col("label"))
-    val maxAbs = emb.agg(max(aggregate(col("e"), lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
-    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / scaleDiv
-    val rows = emb.select(col("vec_id"),
-        transform(col("e"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"),
-        col("label").cast("string").as("label"))
+    // same quantization builder as the batch h5/h7/h8/h9 queries —
+    // twin/batch input parity is by construction (see quantizedSlice)
+    val rows = QueriesGrinch.quantizedSlice(s, dir, rowFilter, dim, scaleDiv)
+      .select(col("vec_id"), col("q"), col("label").cast("string").as("label"))
       .orderBy("vec_id")
       .as[(Long, Array[Long], String)]
       .collect()

@@ -230,6 +230,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("st12/st13/st14 end-of-stream surgery counters equal the batch runs'") {
+    import graft.operators.Grinch
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    // The streaming twins legitimately run with minRotations/minPrunes/
+    // minGrafts = 0 (short micro-batch prefixes may not fire surgery
+    // yet), so a data change could silently turn them surgery-free
+    // while their hashes still matched a surgery-free oracle tree.
+    // The twins' state is the insertion log and their final micro-batch
+    // rebuilds from the FULL log, so the end-of-stream automaton is
+    // exactly buildFrom(all vectors) — rebuilt here through the same
+    // quantizedSlice input builder the twins and batch queries share,
+    // with the batch min-surgery asserts enforced.
+    val cases = Seq(
+      ("st12/rotate", col("vec_id") < QueriesGrinch.H7N, Some(QueriesGrinch.H7Dim),
+        127.0, QueriesGrinch.RotP, (g: Grinch) => g.rotations),
+      ("st13/prune",
+        col("vec_id") >= QueriesGrinch.H8Off &&
+          col("vec_id") < QueriesGrinch.H8Off + QueriesGrinch.H8N,
+        Some(QueriesGrinch.H8Dim), 63.0, QueriesGrinch.PruneP, (g: Grinch) => g.prunes),
+      ("st14/graft",
+        col("vec_id") >= QueriesGrinch.H9Off &&
+          col("vec_id") < QueriesGrinch.H9Off + QueriesGrinch.H9N,
+        Some(QueriesGrinch.H9Dim), 63.0, QueriesGrinch.GraftP, (g: Grinch) => g.grafts))
+    cases.foreach { case (name, filter, dim, div, batchP, counter) =>
+      val vecs = QueriesGrinch.quantizedSlice(spark, dir, filter, dim, div)
+        .orderBy("vec_id").select("q").collect()
+        .map(_.getSeq[Long](0).toArray.map(_.toFloat))
+      // the streaming twin's final state replay (min asserts relaxed,
+      // exactly like the st queries run it)
+      val streamEnd = Grinch.buildFrom(vecs,
+        batchP.copy(minRotations = 0, minPrunes = 0, minGrafts = 0))
+      // the batch run — its Params REQUIRE surgery to have fired
+      val batch = Grinch.buildFrom(vecs, batchP)
+      withClue(s"$name: ") {
+        (streamEnd.rotations, streamEnd.prunes, streamEnd.grafts) shouldBe
+          ((batch.rotations, batch.prunes, batch.grafts))
+        counter(batch) should be >= 1
+      }
+    }
+  }
+
   test("streaming sessionization: sessions continue and split across micro-batches") {
     import graft.streaming.StreamingSessions
     import graft.streaming.StreamingSessions.SessionEvent
