@@ -207,7 +207,11 @@ object Cli {
           graftCap = flags.getOrElse("graft-cap", "100").toInt,
           activeLeafLimit = flags.getOrElse("active-leaf-limit", "-1").toInt,
           // the reference CLI's default (`cluster_w_grinch.py:74`) —
-          // only read when --active-leaf-limit makes pruning live
+          // only read when --active-leaf-limit makes pruning live.
+          // NOTE: this default changed from "least_recent" to
+          // "similarity" to match the reference; an invocation that
+          // passes --active-leaf-limit without --pruning-strategy now
+          // prunes by similarity where it previously pruned by recency
           pruningStrategy = flags.getOrElse("pruning-strategy", "similarity"),
           pruningThreshold = flags.get("pruning-threshold").map(_.toDouble)
             .getOrElse(Double.NaN))
@@ -303,8 +307,14 @@ object Cli {
         val pairs = (flags.get("train"), flags.get("test"), flags.get("choice")) match {
           case (Some(train), Some(test), Some(choice)) =>
             val trainEnts = spark.read.json(train).select(col("entity_id"))
-            val testMids = spark.read.textFile(test).collect().toSeq.zipWithIndex
-              .map { case (l, i) => (i.toLong, l) }.toDF("mid", "line")
+            // mid assigned DISTRIBUTED: RDD zipWithIndex numbers rows in
+            // partition order, which for a splittable text file is
+            // byte-offset order = file line order — the same ids as the
+            // reference's enumerate, without collecting the file to the
+            // driver (the reference contract is one file per path; a
+            // multi-file glob would concatenate in listing order)
+            val testMids = spark.read.textFile(test).rdd.zipWithIndex()
+              .map { case (l, i) => (i, l) }.toDF("mid", "line")
               .select(col("mid"), get_json_object(col("line"), "$.entity_id").as("entity_id"))
             val allowed = (choice match {
               case "seen" => Relational.seen(testMids, trainEnts, "entity_id")
@@ -312,9 +322,9 @@ object Cli {
               case other =>
                 throw new IllegalArgumentException(s"--choice must be seen|unseen, got: $other")
             }).select(col("mid"))
-            spark.read.textFile(in).collect().toSeq.zipWithIndex
+            spark.read.textFile(in).rdd.zipWithIndex()
               .map { case (l, i) =>
-                val p = l.split(","); (i.toLong, p(0).trim, p(1).trim)
+                val p = l.split(","); (i, p(0).trim, p(1).trim)
               }.toDF("mid", "true_id", "pred_id")
               .join(broadcast(allowed), "mid")
               .select("true_id", "pred_id")

@@ -644,6 +644,12 @@ object Grinch {
     * pred_cluster) with the cut at `clusters = Some((threshold,
     * target))` — explicit θ, or bisection toward `target` when None.
     * With `clusters = None` only node rows are emitted.
+    *
+    * WARNING: `uid` carries TWO id spaces — node rows hold automaton
+    * slot indices (leaf slots = stream positions, internals above n),
+    * pair rows hold the caller's original point ids. ALWAYS filter on
+    * `kind` before joining or interpreting `uid`; a consumer that
+    * mixes the two silently joins the wrong entities.
     */
   def dendrogramAndClusters(df: DataFrame, id: Column, vec: Column, order: Column,
                             label: Column, p: Params,

@@ -177,8 +177,15 @@ class CliSpec extends SparkSpec {
     }
     def readGolden(name: String): Seq[(String, Int)] =
       canon(scala.io.Source.fromFile(resource(name), "UTF-8").getLines().toSeq)
-    def readPairs(dir: String): Seq[(String, Int)] =
-      canon(spark.read.text(dir).collect().map(_.getString(0)).toSeq)
+    def readPairs(dir: String): Seq[(String, Int)] = {
+      // read the part files directly (readGolden-style): row order out
+      // of spark.read.text across splits is not a contract, and canon's
+      // first-occurrence ids depend on true line order
+      val parts = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      canon(parts.toSeq.flatMap(f =>
+        scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq))
+    }
 
     val emb = resource("grinch_cli_embeddings.tsv")
 
