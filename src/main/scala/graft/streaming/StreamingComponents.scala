@@ -32,9 +32,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * root is what changed; the surviving root's members keep theirs).
   * State is one parent pointer per node of the PAIR GRAPH (duplicate
   * docs only, not the corpus) plus the member index (each node appears
-  * in exactly one root's list — still O(nodes)). The `key` field
-  * partitions independent graphs (shards/datasets); one key = one
-  * global graph.
+  * in exactly one root's list — still O(nodes)). Min-root union cannot
+  * union by size, so an adversarial merge order moves a big member
+  * list repeatedly — but every move IS an emission the old shape would
+  * have made anyway (plus re-emitting the whole unchanged rest), so
+  * delta emission is never worse and is ∝ changes on the typical
+  * small-duplicate-group graph. The `key` field partitions independent
+  * graphs (shards/datasets); one key = one global graph.
   */
 object StreamingComponents {
 
