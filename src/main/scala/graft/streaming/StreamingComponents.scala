@@ -58,56 +58,65 @@ object StreamingComponents {
   implicit private val stateEnc: Encoder[UfState] = Encoders.product[UfState]
   implicit private val outEnc: Encoder[NodeComp] = Encoders.product[NodeComp]
 
+  /** One micro-batch fold: prior state + edge events → (new state,
+    * delta rows). Pulled out of the stream closure so the delta
+    * contract is property-testable without a streaming harness.
+    */
+  private[graft] def applyBatch(prior: Option[UfState], batch: Seq[EdgeEvent])
+    : (UfState, Seq[NodeComp]) = {
+    val parent = mutable.HashMap.empty[Long, Long]
+    val members = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    prior.foreach { s =>
+      parent ++= s.parent
+      s.members.foreach { case (r, ms) =>
+        members(r) = mutable.ArrayBuffer.from(ms)
+      }
+    }
+    // nodes whose assignment is new or changed this batch
+    val touched = mutable.HashSet.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      // path compression: re-walk and point everything at the root
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    def add(x: Long): Unit = if (!parent.contains(x)) {
+      parent(x) = x
+      members(x) = mutable.ArrayBuffer(x)
+      touched += x
+    }
+    batch.sortBy(_.seq).foreach { e =>
+      add(e.a)
+      add(e.b)
+      val ra = find(e.a)
+      val rb = find(e.b)
+      if (ra != rb) {
+        val winner = math.min(ra, rb)
+        val loser = math.max(ra, rb)
+        parent(loser) = winner
+        // the absorbed root's members are EXACTLY the nodes whose
+        // root changes — no scan over the surviving component
+        val moved = members.remove(loser).get
+        touched ++= moved
+        members(winner) ++= moved
+      }
+    }
+    val step = prior.map(_.step).getOrElse(0L) + 1
+    val next = UfState(parent.toMap, members.view.mapValues(_.toSeq).toMap, step)
+    (next, touched.toSeq.sorted.map(n => NodeComp(step, n, find(n))))
+  }
+
   def connectedComponents(events: Dataset[EdgeEvent]): Dataset[NodeComp] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, batch: Iterator[EdgeEvent], state: GroupState[UfState]) =>
-          val parent = mutable.HashMap.empty[Long, Long]
-          val members = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
-          state.getOption.foreach { s =>
-            parent ++= s.parent
-            s.members.foreach { case (r, ms) =>
-              members(r) = mutable.ArrayBuffer.from(ms)
-            }
-          }
-          // nodes whose assignment is new or changed this batch
-          val touched = mutable.HashSet.empty[Long]
-          def find(x: Long): Long = {
-            var r = x
-            while (parent(r) != r) r = parent(r)
-            // path compression: re-walk and point everything at the root
-            var c = x
-            while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
-            r
-          }
-          def add(x: Long): Unit = if (!parent.contains(x)) {
-            parent(x) = x
-            members(x) = mutable.ArrayBuffer(x)
-            touched += x
-          }
-          batch.toSeq.sortBy(_.seq).foreach { e =>
-            add(e.a)
-            add(e.b)
-            val ra = find(e.a)
-            val rb = find(e.b)
-            if (ra != rb) {
-              val winner = math.min(ra, rb)
-              val loser = math.max(ra, rb)
-              parent(loser) = winner
-              // the absorbed root's members are EXACTLY the nodes whose
-              // root changes — no scan over the surviving component
-              val moved = members.remove(loser).get
-              touched ++= moved
-              members(winner) ++= moved
-            }
-          }
-          val step = state.getOption.map(_.step).getOrElse(0L) + 1
-          state.update(UfState(parent.toMap,
-            members.view.mapValues(_.toSeq).toMap, step))
-          touched.toSeq.sorted
-            .map(n => NodeComp(step, n, find(n))).iterator
+          val (next, out) = applyBatch(state.getOption, batch.toSeq)
+          state.update(next)
+          out.iterator
       }
   }
 }

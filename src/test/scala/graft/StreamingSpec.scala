@@ -230,6 +230,56 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming CC delta contract holds on random graphs and batchings") {
+    import graft.streaming.StreamingComponents
+    import graft.streaming.StreamingComponents.EdgeEvent
+    // model: after each batch a node's component is the MIN id of its
+    // connected component over all edges seen so far; the delta must be
+    // exactly {first-seen nodes} ∪ {nodes whose min-root changed}, each
+    // stamped with its new root — for EVERY graph and batch split
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 60) {
+      val n = 3 + rnd.nextInt(40)
+      val m = rnd.nextInt(70)
+      val edges = Seq.tabulate(m) { i =>
+        EdgeEvent(0L, i.toLong, rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }
+      val nBatches = 1 + rnd.nextInt(5)
+      val batches = edges.grouped(math.max(1, (m + nBatches - 1) / nBatches)).toSeq
+      def minRoots(es: Seq[EdgeEvent]): Map[Long, Long] = {
+        val par = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = { var r = x; while (par(r) != r) r = par(r); r }
+        es.foreach { e =>
+          par.getOrElseUpdate(e.a, e.a); par.getOrElseUpdate(e.b, e.b)
+          val (ra, rb) = (find(e.a), find(e.b))
+          if (ra != rb) par(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        par.keys.map(k => k -> find(k)).toMap
+      }
+      var state = Option.empty[StreamingComponents.UfState]
+      var seen = Seq.empty[EdgeEvent]
+      var prevModel = Map.empty[Long, Long]
+      val latest = scala.collection.mutable.HashMap.empty[Long, Long]
+      batches.zipWithIndex.foreach { case (b, bi) =>
+        val (next, delta) = StreamingComponents.applyBatch(state, b)
+        state = Some(next)
+        seen ++= b
+        val model = minRoots(seen)
+        val expectedTouched = model.keySet.filter(k =>
+          !prevModel.contains(k) || prevModel(k) != model(k))
+        withClue(s"trial=$trial batch=$bi: ") {
+          delta.map(_.node).toSet shouldBe expectedTouched
+          delta.foreach(r => r.comp shouldBe model(r.node))
+        }
+        delta.foreach(r => latest(r.node) = r.comp)
+        prevModel = model
+      }
+      // max-step reader convention: the latest row per node IS the
+      // final assignment
+      latest.toMap shouldBe minRoots(edges)
+    }
+  }
+
   test("st12/st13/st14 end-of-stream surgery counters equal the batch runs'") {
     import graft.operators.Grinch
     val dir = "/root/testdata/sf0.01"
