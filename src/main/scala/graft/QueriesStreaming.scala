@@ -494,7 +494,61 @@ object QueriesStreaming {
       dim = Some(QueriesGrinch.H9Dim), scaleDiv = 63.0,
       QueriesGrinch.GraftP.copy(minGrafts = 0))
 
+  /** st15 — the h10 threshold CUT (C18) as a real streaming query: the
+    * same graft-config insertion-log replay as st14, but emitting each
+    * micro-batch's refreshed flat clustering (StreamingGrinch
+    * .flatCluster) instead of the tree relation. The final batch's
+    * assignment is the batch h10 cut by construction; cluster labels
+    * are canonicalized to the minimum member vec_id exactly like the
+    * batch query (BFS discovery numbering depends on children-list
+    * order), so st15 hash-matches the SAME cut-CTE oracle — the cut
+    * path gets the full streaming/batch/SQL three-way agreement the
+    * surgery configs have.
+    */
+  val st15StreamingGrinchCut: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingGrinch
+    import graft.streaming.StreamingGrinch.PointEvent
+    val rows = QueriesGrinch.quantizedSlice(s, dir,
+        col("vec_id") >= QueriesGrinch.H9Off &&
+          col("vec_id") < QueriesGrinch.H9Off + QueriesGrinch.H9N,
+        Some(QueriesGrinch.H9Dim), 63.0)
+      .select(col("vec_id"), col("q")).orderBy("vec_id")
+      .as[(Long, Array[Long])].collect()
+    val events = rows.zipWithIndex.map { case ((_, q), pos) =>
+      PointEvent(0L, pos.toLong, pos.toLong, q.map(_.toFloat))
+    }
+
+    withShufflePartitions(s, StP) {
+      val input = MemoryStream[PointEvent]
+      val query = StreamingGrinch.flatCluster(input.toDS(),
+          QueriesGrinch.GraftP.copy(minGrafts = 0), QueriesGrinch.H10Theta)
+        .writeStream.format("memory").queryName("st15_sink").outputMode("append").start()
+      try {
+        events.grouped(events.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    val vecIds = rows.map(_._1).zipWithIndex
+      .map { case (v, pos) => (pos.toLong, v) }.toSeq.toDF("pid", "vec_id")
+    // final-batch snapshot (global max step): flatCluster re-emits the
+    // full assignment each batch, and earlier steps may reflect
+    // pre-graft memberships
+    val maxStep = s.table("st15_sink").agg(max(col("step"))).collect()(0).getLong(0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("predCluster")
+    s.table("st15_sink").where(col("step") === maxStep)
+      .join(vecIds, col("id") === col("pid"))
+      .withColumn("cluster", min("vec_id").over(w))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st15_streaming_grinch_cut" -> st15StreamingGrinchCut,
     "st14_streaming_grinch_graft" -> st14StreamingGrinchGraft,
     "st13_streaming_grinch_prune" -> st13StreamingGrinchPrune,
     "st12_streaming_grinch_rotate" -> st12StreamingGrinchRotate,
@@ -508,6 +562,7 @@ object QueriesStreaming {
     "st5_streaming_dedup" -> st5StreamingDedup,
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
+    "st15_streaming_grinch_cut" -> QueriesGrinch.h10GrinchTreeCutSql,
     "st14_streaming_grinch_graft" -> QueriesGrinch.h9GrinchGraftTreeSql,
     "st13_streaming_grinch_prune" -> QueriesGrinch.h8GrinchPruneTreeSql,
     "st12_streaming_grinch_rotate" -> QueriesGrinch.h7GrinchRotateTreeSql,
