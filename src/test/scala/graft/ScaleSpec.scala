@@ -82,6 +82,46 @@ class ScaleSpec extends SparkSpec {
     got shouldBe graft.operators.Trees.dendrogramPurity(nodes) +- 1e-9
   }
 
+  test("streaming CC delta emission stays proportional to changes at 100k nodes") {
+    import graft.streaming.StreamingComponents
+    import graft.streaming.StreamingComponents.{EdgeEvent, UfState}
+    // 100k-node ascending chain arriving over 100 batches: every merge
+    // absorbs exactly the newly-seen node, so each batch must emit
+    // ~batch-size rows (first-seen + moved), NOT the whole graph — the
+    // old full-assignment shape would emit ~5M rows here (n × batches
+    // / 2); the delta shape emits exactly n
+    val n = 100000
+    val batchSize = 1000
+    var state = Option.empty[UfState]
+    var emitted = 0L
+    (0 until n - 1).grouped(batchSize).foreach { chunk =>
+      val edges = chunk.map(i => EdgeEvent(0L, i.toLong, i.toLong, (i + 1).toLong))
+      val (next, delta) = StreamingComponents.applyBatch(state, edges.toSeq)
+      state = Some(next)
+      emitted += delta.length
+      // every emission in the ascending chain carries the one root
+      delta.foreach(_.comp shouldBe 0L)
+    }
+    emitted shouldBe n // each node exactly once, ever
+    state.get.parent.size shouldBe n
+    // the worst case (descending arrival reparents the whole suffix
+    // each batch) degrades to the OLD shape's volume, never past it:
+    // per batch, moved ∪ new ⊆ all nodes seen so far
+    var stateD = Option.empty[UfState]
+    var emittedD = 0L
+    var seen = 0L
+    val nd = 5000
+    ((nd - 1) to 1 by -1).grouped(500).foreach { chunk =>
+      val edges = chunk.map(i => EdgeEvent(0L, (nd - i).toLong, i.toLong, (i - 1).toLong))
+      val (next, delta) = StreamingComponents.applyBatch(stateD, edges.toSeq)
+      stateD = Some(next)
+      seen = next.parent.size.toLong
+      delta.length.toLong should be <= seen
+      emittedD += delta.length
+    }
+    stateD.get.parent.size shouldBe nd
+  }
+
   test("bucketed tables join without a shuffle exchange on the join key") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
