@@ -434,7 +434,12 @@ object QueriesGrinch {
       .orderBy("uid")
   }
 
-  val h8GrinchPruneTreeSql: String = {
+  /** The h8 prune-automaton replay as a `WITH RECURSIVE` prefix ending
+    * in `fin` (final state: par/ch1/ch2/act/fu/ss lists + n and qs_t).
+    * h8 projects the tree relation; h11 appends a threshold-cut walk
+    * (C18 over the MEMORY-BOUNDED tree) over the same state.
+    */
+  private[graft] val h8StateCte: String = {
     val D = H8Dim
     // exact-integer dot of q_i against a state list element
     def idot(b: String): String =
@@ -547,16 +552,23 @@ object QueriesGrinch {
        |      ) z5
        |    ) z6
        |  ) z7),
-       |fin AS (SELECT * FROM step WHERE i = n)
-       |SELECT
-       |  unnest(list_transform(generate_series(1, 2*fin.n - 1), x -> x - 1))::BIGINT AS uid,
-       |  unnest(list_transform(generate_series(1, 2*fin.n - 1),
-       |    x -> CASE WHEN par[x] = -1 THEN NULL ELSE par[x] END))::BIGINT AS parent_uid,
-       |  unnest(list_transform(generate_series(1, 2*fin.n - 1),
-       |    x -> CASE WHEN x <= fin.n THEN labels[x]::VARCHAR ELSE NULL END)) AS label
-       |FROM fin, qs_t
-       |ORDER BY uid""".stripMargin
+       |fin AS MATERIALIZED (SELECT * FROM step WHERE i = n)""".stripMargin
   }
+  // ^ MATERIALIZED: h11's cut suffix references fin from recursive
+  // CTEs — without the hint DuckDB re-inlines (re-runs) the whole
+  // 200-step replay per reference, turning a 2 s query into minutes.
+
+  // concatenated, never re-interpolated under stripMargin (the prefix
+  // contains `||` continuation lines a second strip would corrupt)
+  val h8GrinchPruneTreeSql: String = h8StateCte + "\n" +
+    """SELECT
+      |  unnest(list_transform(generate_series(1, 2*fin.n - 1), x -> x - 1))::BIGINT AS uid,
+      |  unnest(list_transform(generate_series(1, 2*fin.n - 1),
+      |    x -> CASE WHEN par[x] = -1 THEN NULL ELSE par[x] END))::BIGINT AS parent_uid,
+      |  unnest(list_transform(generate_series(1, 2*fin.n - 1),
+      |    x -> CASE WHEN x <= fin.n THEN labels[x]::VARCHAR ELSE NULL END)) AS label
+      |FROM fin, qs_t
+      |ORDER BY uid""".stripMargin
 
   // ---------------------------------------------------------------- h9
   // The GRAFT-ENABLED integer-GRINCH oracle — after h7 (rotate) and h8
@@ -966,6 +978,131 @@ object QueriesGrinch {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- h11
+  // C18 over the MEMORY-BOUNDED tree — the E3 production path (the
+  // reference CLI's --active-leaf-limit + threshold cut), previously
+  // pinned only by the float-config rows-only h1. Everything the cut
+  // reads is derivable from the h8 replay's FINAL state (par, act):
+  //  - an EVER-PRUNED slot (x >= n with an active slot at-or-above it
+  //    — prune is the only way a slot becomes a leaf unit, and units
+  //    below the active frontier got there via an ancestor's collapse)
+  //    keeps its frozen centroid trueSubtreeSum/2: singleUpdate ran at
+  //    collapse time with both children counting one descendant each,
+  //    and nothing below an inactive unit ever changes again;
+  //  - an ordinary internal node's centroid is trueSubtreeSum/storedNd
+  //    where storedNd = the number of ACTIVE slots in its subtree
+  //    (insert +1s and prune -1s along ancestor chains maintain
+  //    exactly that count);
+  //  - original leaves are their own centroid.
+  // Scores the cut compares are fresh under memoization for the same
+  // reason as h10: every chain change invalidates ancestors, and a
+  // unit's frozen centroid never changes after its collapse, so a
+  // stale memo equals the fresh recompute. Labels canonicalized to
+  // the minimum member vec_id, as in h10. θ=4600 cuts the 200-point
+  // L=24 tree into 19 clusters (sizes 1-57).
+  private[graft] val H11Theta = 4600.0
+
+  val h11GrinchPruneCut: Q = (s, dir) => {
+    val qdf = quantizedSlice(s, dir,
+      col("vec_id") >= H8Off && col("vec_id") < H8Off + H8N, Some(H8Dim), 63.0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pred_cluster")
+    Grinch.flatCluster(qdf, col("vec_id"), col("q"), col("vec_id"), PruneP, H11Theta)
+      .select(col("id").cast("long").as("vec_id"), col("pred_cluster"))
+      .withColumn("cluster", min("vec_id").over(w))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  /** The h11 cut oracle: everything derived from the h8 replay's final
+    * (par, act, qs) —
+    *   up:        up-walks (node, cur) from every slot to the root;
+    *   tsuml:     TRUE integer subtree sums (leaf walks aggregated);
+    *   actunder:  stored descendant counts of ordinary internals
+    *              (= active slots in the subtree — insert +1s and
+    *              prune -1s maintain exactly this);
+    *   hasact:    the ever-pruned test (active at-or-self-or-above);
+    *   cents:     f32 centroids with the three-case divisor
+    *              (leaf 1 / ever-pruned 2 / ordinary storedNd) —
+    *              LEFT JOIN on actunder because below-frontier slots
+    *              have no active descendants and never use the count;
+    *   scores:    double dots of children centroids;
+    * then the h10-style BFS walk / cluster-element / min-member-label
+    * stages. Validated row-for-row against the engine on sf0.01.
+    */
+  val h11GrinchPruneCutSql: String = {
+    val D = H8Dim
+    h8StateCte + ",\n" +
+    s"""slots AS (SELECT unnest(generate_series(1, CAST(2*fin.n - 1 AS INTEGER))) - 1 AS slot FROM fin),
+       |up AS (
+       |  SELECT slot AS node, slot AS cur FROM slots
+       |  UNION ALL
+       |  SELECT up.node, fin.par[up.cur + 1]
+       |  FROM up, fin WHERE fin.par[up.cur + 1] <> -1
+       |),
+       |tsum AS (
+       |  SELECT up.cur AS slot, t.kk, CAST(SUM((fin.qs[up.node + 1])[t.kk]) AS BIGINT) AS s
+       |  FROM up, fin, generate_series(1, $D) t(kk)
+       |  WHERE up.node < fin.n
+       |  GROUP BY up.cur, t.kk),
+       |tsuml AS (SELECT slot, list(s ORDER BY kk) AS ts FROM tsum GROUP BY slot),
+       |actunder AS (
+       |  SELECT up.cur AS slot, count(*) AS au
+       |  FROM up, fin WHERE fin.act[up.node + 1] = 1
+       |  GROUP BY up.cur),
+       |hasact AS (
+       |  SELECT up.node AS slot, max(fin.act[up.cur + 1]) AS ha
+       |  FROM up, fin GROUP BY up.node),
+       |cents AS (
+       |  SELECT t.slot,
+       |    list_transform(t.ts, e -> CAST(CAST(CAST(e AS DOUBLE) /
+       |      (CASE WHEN t.slot < fin.n THEN 1.0::DOUBLE
+       |            WHEN h.ha = 1 THEN 2.0::DOUBLE
+       |            ELSE CAST(coalesce(a.au, 0) AS DOUBLE) END) AS REAL) AS DOUBLE)) AS c
+       |  FROM tsuml t
+       |  JOIN hasact h ON h.slot = t.slot
+       |  LEFT JOIN actunder a ON a.slot = t.slot
+       |  CROSS JOIN fin),
+       |scores AS MATERIALIZED (
+       |  SELECT s0.slot AS slot,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $D),
+       |      dd -> (ca.c)[dd] * (cb.c)[dd])), (acc, v) -> acc + v) AS sc
+       |  FROM slots s0, fin
+       |  JOIN cents ca ON ca.slot = fin.ch1[s0.slot + 1]
+       |  JOIN cents cb ON cb.slot = fin.ch2[s0.slot + 1]
+       |  WHERE s0.slot >= fin.n),
+       |root_t AS (SELECT list_position(par, -1) - 1 AS root FROM fin),
+       |walk AS (
+       |  SELECT root::BIGINT AS node FROM root_t
+       |  UNION ALL
+       |  SELECT CASE WHEN u.ci = 1 THEN fin.ch1[walk.node + 1] ELSE fin.ch2[walk.node + 1] END
+       |  FROM walk, fin, (SELECT unnest([1, 2]) AS ci) u
+       |  JOIN scores s ON s.slot = walk.node
+       |  WHERE fin.ch1[walk.node + 1] <> -1 AND s.sc < $H11Theta
+       |),
+       |cl AS (
+       |  SELECT walk.node FROM walk, fin WHERE fin.ch1[walk.node + 1] = -1
+       |  UNION ALL
+       |  SELECT walk.node FROM walk JOIN scores s ON s.slot = walk.node WHERE s.sc >= $H11Theta
+       |),
+       |elems AS (
+       |  SELECT node AS croot, node AS cur FROM cl
+       |  UNION ALL
+       |  SELECT e.croot, CASE WHEN u.ci = 1 THEN fin.ch1[e.cur + 1] ELSE fin.ch2[e.cur + 1] END
+       |  FROM elems e, fin, (SELECT unnest([1, 2]) AS ci) u
+       |  WHERE fin.ch1[e.cur + 1] <> -1
+       |),
+       |pts AS (
+       |  SELECT sel.vec_id::BIGINT AS vec_id, elems.croot
+       |  FROM elems
+       |  JOIN fin ON true
+       |  JOIN sel ON sel.pos = elems.cur
+       |  WHERE fin.ch1[elems.cur + 1] = -1
+       |)
+       |SELECT vec_id, min(vec_id) OVER (PARTITION BY croot)::BIGINT AS cluster
+       |FROM pts
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "h1_grinch_flat" -> h1GrinchFlat,
     "h2_grinch_dendrogram" -> h2GrinchDendrogram,
@@ -976,7 +1113,8 @@ object QueriesGrinch {
     "h7_grinch_rotate_tree" -> h7GrinchRotateTree,
     "h8_grinch_prune_tree" -> h8GrinchPruneTree,
     "h9_grinch_graft_tree" -> h9GrinchGraftTree,
-    "h10_grinch_tree_cut" -> h10GrinchTreeCut)
+    "h10_grinch_tree_cut" -> h10GrinchTreeCut,
+    "h11_grinch_prune_cut" -> h11GrinchPruneCut)
 
   val oracles: Map[String, String] = Map(
     "h5_grinch_int_tree" -> h5GrinchIntTreeSql,
@@ -984,5 +1122,6 @@ object QueriesGrinch {
     "h7_grinch_rotate_tree" -> h7GrinchRotateTreeSql,
     "h8_grinch_prune_tree" -> h8GrinchPruneTreeSql,
     "h9_grinch_graft_tree" -> h9GrinchGraftTreeSql,
-    "h10_grinch_tree_cut" -> h10GrinchTreeCutSql)
+    "h10_grinch_tree_cut" -> h10GrinchTreeCutSql,
+    "h11_grinch_prune_cut" -> h11GrinchPruneCutSql)
 }

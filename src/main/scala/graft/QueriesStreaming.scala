@@ -547,7 +547,53 @@ object QueriesStreaming {
       .orderBy("vec_id")
   }
 
+  /** st16 — the h11 MEMORY-BOUNDED cut as a real streaming query: the
+    * prune-config twin of st15 (same insertion-log replay as st13,
+    * flat-clustering emission, min-member canonical labels), hash-
+    * matching h11's final-state cut oracle — so both cut paths, plain
+    * and memory-bounded, carry the full streaming/batch/SQL agreement.
+    */
+  val st16StreamingGrinchPruneCut: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingGrinch
+    import graft.streaming.StreamingGrinch.PointEvent
+    val rows = QueriesGrinch.quantizedSlice(s, dir,
+        col("vec_id") >= QueriesGrinch.H8Off &&
+          col("vec_id") < QueriesGrinch.H8Off + QueriesGrinch.H8N,
+        Some(QueriesGrinch.H8Dim), 63.0)
+      .select(col("vec_id"), col("q")).orderBy("vec_id")
+      .as[(Long, Array[Long])].collect()
+    val events = rows.zipWithIndex.map { case ((_, q), pos) =>
+      PointEvent(0L, pos.toLong, pos.toLong, q.map(_.toFloat))
+    }
+
+    withShufflePartitions(s, StP) {
+      val input = MemoryStream[PointEvent]
+      val query = StreamingGrinch.flatCluster(input.toDS(),
+          QueriesGrinch.PruneP.copy(minPrunes = 0), QueriesGrinch.H11Theta)
+        .writeStream.format("memory").queryName("st16_sink").outputMode("append").start()
+      try {
+        events.grouped(events.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    val vecIds = rows.map(_._1).zipWithIndex
+      .map { case (v, pos) => (pos.toLong, v) }.toSeq.toDF("pid", "vec_id")
+    val maxStep = s.table("st16_sink").agg(max(col("step"))).collect()(0).getLong(0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("predCluster")
+    s.table("st16_sink").where(col("step") === maxStep)
+      .join(vecIds, col("id") === col("pid"))
+      .withColumn("cluster", min("vec_id").over(w))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st16_streaming_grinch_prune_cut" -> st16StreamingGrinchPruneCut,
     "st15_streaming_grinch_cut" -> st15StreamingGrinchCut,
     "st14_streaming_grinch_graft" -> st14StreamingGrinchGraft,
     "st13_streaming_grinch_prune" -> st13StreamingGrinchPrune,
@@ -562,6 +608,7 @@ object QueriesStreaming {
     "st5_streaming_dedup" -> st5StreamingDedup,
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
+    "st16_streaming_grinch_prune_cut" -> QueriesGrinch.h11GrinchPruneCutSql,
     "st15_streaming_grinch_cut" -> QueriesGrinch.h10GrinchTreeCutSql,
     "st14_streaming_grinch_graft" -> QueriesGrinch.h9GrinchGraftTreeSql,
     "st13_streaming_grinch_prune" -> QueriesGrinch.h8GrinchPruneTreeSql,
