@@ -140,21 +140,33 @@ object Relational {
 
   /** A11 — positional split routing (60/20/20 by a global sort —
     * `scripts/preprocess_medmentions.py:100-114`). Emits a `split`
-    * column. The global sort is a range-partitioned exchange; at scale
-    * prefer routing by a date predicate, which this degenerates to when
-    * the sort key is the date.
+    * column.
+    *
+    * Scale design: a global `row_number` window would force the WHOLE
+    * input through one partition (an empty window partition spec plans
+    * as `Exchange SinglePartition` — the round-7 audit caught exactly
+    * that here). Instead the global position comes the same way
+    * [[dictEncodeDistributed]] ranks large vocabularies: a
+    * range-partitioned sort (parallel) + `zipWithIndex` per-partition
+    * offsets (one extra count job, no single task ever holds more than
+    * one partition). The count needed for the 60/80 boundaries is a
+    * scalar scan-count. Label arithmetic is bit-identical to the window
+    * form: 1-based position compared against `bounds * n` in doubles.
     */
   def splitRouting(df: DataFrame, orderCols: Seq[Column],
                    bounds: (Double, Double) = (0.6, 0.8)): DataFrame = {
-    val w = Window.orderBy(orderCols: _*)
-    df.withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn(
-        "split",
-        when(col("_rn") <= lit(bounds._1) * col("_n"), "train")
-          .when(col("_rn") <= lit(bounds._2) * col("_n"), "dev")
-          .otherwise("test"))
-      .drop("_rn", "_n")
+    val spark = df.sparkSession
+    val n = df.count()
+    val t1 = bounds._1 * n
+    val t2 = bounds._2 * n
+    val indexed = df.orderBy(orderCols: _*).rdd.zipWithIndex().map {
+      case (row, idx) =>
+        val pos = idx + 1 // 1-based, as row_number
+        val label = if (pos <= t1) "train" else if (pos <= t2) "dev" else "test"
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ label)
+    }
+    spark.createDataFrame(indexed, df.schema.add("split",
+      org.apache.spark.sql.types.StringType, nullable = false))
   }
 
   /** A8 — max concurrently-active entities

@@ -122,6 +122,27 @@ class ScaleSpec extends SparkSpec {
     stateD.get.parent.size shouldBe nd
   }
 
+  test("split routing matches the global-window form without single-partitioning the input") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 5000).map(i => ((i * 37 % 1000).toLong, i.toLong)).toDF("d", "k").repartition(8)
+    // the old (audit-flagged) formulation, kept here as the semantics model
+    val win = Window.orderBy(col("d"), col("k"))
+    val expected = df.withColumn("_rn", row_number().over(win))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("split",
+        when(col("_rn") <= lit(0.6) * col("_n"), "train")
+          .when(col("_rn") <= lit(0.8) * col("_n"), "dev")
+          .otherwise("test"))
+      .select("d", "k", "split").orderBy("d", "k").collect().map(_.toSeq).toSeq
+    val got = graft.operators.Relational.splitRouting(df, Seq(col("d"), col("k")))
+      .select("d", "k", "split").orderBy("d", "k").collect().map(_.toSeq).toSeq
+    got shouldBe expected
+    val cnt = got.groupBy(_(2)).view.mapValues(_.size).toMap
+    cnt("train") shouldBe 3000
+    cnt("dev") shouldBe 1000
+    cnt("test") shouldBe 1000
+  }
+
   test("bucketed tables join without a shuffle exchange on the join key") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
