@@ -335,6 +335,91 @@ object QueriesText {
        |SELECT doc_id, bench_id, overlap_n, overlap_n >= 3 AS contaminated
        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t7
+  // Bloom-filter decontamination — t5's 100 TB shape. t5 intersects
+  // every corpus doc against every benchmark doc's shingle set; fine
+  // while the benchmark relation broadcasts whole, but the right tool
+  // once the benchmark grows to millions of n-grams is a BLOOM FILTER
+  // over the benchmark's shingle union: a fixed 65,536-bit array
+  // (2048 words, 32 bits packed per word — 16 KB), k=3 double-hashed
+  // probes per shingle. The array is built by ONE bounded aggregation
+  // (explode → bit_or per word, ≤2048 rows) and collected to the
+  // driver exactly like the v9/v10 ANN codebooks; membership is then
+  // a pure map-side expression over a constant-folded literal — the
+  // corpus is never joined against the benchmark and never shuffles
+  // until the per-doc count (which reuses shingleSets' doc
+  // partitioning). Probes use exact int64 mod-p arithmetic, so the
+  // DuckDB oracle rebuilds the identical bit array — false positives
+  // and all — and the outputs hash-match bit-for-bit. contaminated =
+  // >= 3 probed shingles present, mirroring t5's >= 3-shingle rule
+  // (Bloom membership is a superset of any single bench doc's set, so
+  // t5-contaminated ⊆ t7-contaminated — QualitySpec pins this).
+  private val BloomWords = 2048 // 32 bits packed per word
+  private val BloomBits = BloomWords * 32L
+  private val BloomP = 1000000007L
+  private val BloomProbes = Seq((2L, 1L), (3L, 7L), (5L, 13L))
+
+  private def bloomPosSql(a: Long, b: Long) =
+    s"(pmod(hb * $a + $b, $BloomP) % $BloomBits)"
+  private def bloomPosDuck(a: Long, b: Long) =
+    s"(((hb * $a + $b) % $BloomP) % $BloomBits)"
+
+  val t7BloomDecontam: Q = (s, dir) => {
+    val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)
+    val posArr = BloomProbes.map { case (a, b) => bloomPosSql(a, b) }.mkString(", ")
+    val words = sets.where(col("doc") < 20)
+      .select(explode(col("hs")).as("h"))
+      .withColumn("hb", pmod(col("h"), lit(BloomP)))
+      .selectExpr(s"explode(array($posArr)) AS pos")
+      .selectExpr("cast(pos div 32 as int) AS w",
+        "shiftleft(cast(1 as bigint), cast(pos % 32 as int)) AS mask")
+      .groupBy("w").agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+    val bits = Array.fill[Long](BloomWords)(0L)
+    words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    val hit = BloomProbes.map { case (a, b) =>
+      val pos = bloomPosSql(a, b)
+      s"(element_at(bloom, cast($pos div 32 as int) + 1) & " +
+        s"shiftleft(cast(1 as bigint), cast($pos % 32 as int))) != 0"
+    }.mkString(" AND ")
+    sets.where(col("doc") >= 20)
+      .select(col("doc"), explode(col("hs")).as("h"))
+      .withColumn("hb", pmod(col("h"), lit(BloomP)))
+      .withColumn("bloom", typedlit(bits.toSeq))
+      .withColumn("hit", expr(hit))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(col("hit").cast("long")).cast("long").as("n_hit"))
+      .select(col("doc").as("doc_id"), col("n_shingles"), col("n_hit"),
+        (col("n_hit") >= 3).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val t7BloomDecontamSql: String = {
+    val posList = BloomProbes.map { case (a, b) => bloomPosDuck(a, b) }.mkString(", ")
+    val hit = BloomProbes.map { case (a, b) =>
+      val pos = bloomPosDuck(a, b)
+      s"(bl[CAST($pos // 32 AS INTEGER) + 1] & (1::BIGINT << CAST($pos % 32 AS INTEGER))) <> 0"
+    }.mkString(" AND ")
+    s"""WITH sh AS (SELECT doc_id, $sqlHs AS hs FROM documents),
+       |bh AS (SELECT ((h % $BloomP) + $BloomP) % $BloomP AS hb
+       |       FROM (SELECT unnest(hs) AS h FROM sh WHERE doc_id < 20)),
+       |bpos AS (SELECT unnest([$posList]) AS pos FROM bh),
+       |words AS (SELECT pos // 32 AS w,
+       |                 bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+       |          FROM bpos GROUP BY 1),
+       |bloom AS (SELECT list(coalesce(w2.bits, 0) ORDER BY gs.gw) AS bl
+       |          FROM generate_series(0, ${BloomWords - 1}) gs(gw)
+       |          LEFT JOIN words w2 ON w2.w = gs.gw),
+       |ch AS (SELECT doc_id, ((h % $BloomP) + $BloomP) % $BloomP AS hb
+       |       FROM (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= 20)),
+       |hits AS (SELECT doc_id, ($hit) AS hit FROM ch, bloom)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) >= 3 AS contaminated
+       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d7
   // Duplicate-group assembly: connected components over the verified
   // near-dup pairs (d3's output graph); canonical doc = min id per
@@ -471,6 +556,7 @@ object QueriesText {
     "st8_streaming_cc" -> st8StreamingCc,
     "p10_stratified_sample" -> p10StratifiedSample,
     "t5_decontamination" -> t5Decontamination,
+    "t7_bloom_decontam" -> t7BloomDecontam,
     "t6_repetition" -> t6Repetition)
 
   val oracles: Map[String, String] = Map(
@@ -488,5 +574,6 @@ object QueriesText {
     "st8_streaming_cc" -> d7CcDedupSql,
     "p10_stratified_sample" -> p10StratifiedSampleSql,
     "t5_decontamination" -> t5DecontaminationSql,
+    "t7_bloom_decontam" -> t7BloomDecontamSql,
     "t6_repetition" -> t6RepetitionSql)
 }

@@ -55,4 +55,29 @@ class QualitySpec extends SparkSpec {
     out(0L) shouldBe true
     out(1L) shouldBe false
   }
+
+  test("t7 bloom decontamination never misses a t5 exact contamination (no false negatives)") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val exact = QueriesText.queries("t5_decontamination")(spark, dir)
+      .select("doc_id", "overlap_n", "contaminated")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val bloom = QueriesText.queries("t7_bloom_decontam")(spark, dir)
+      .select("doc_id", "n_hit", "contaminated")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    bloom.keySet shouldBe exact.keySet
+    // the bloom holds the UNION of bench shingles: per doc, hits can
+    // only exceed the best single-bench-doc overlap, so t5's
+    // contaminated set must be contained in t7's
+    exact.foreach { case (doc, (overlap, cont)) =>
+      val (hits, bcont) = bloom(doc)
+      withClue(s"doc=$doc: ") {
+        hits should be >= overlap
+        if (cont) bcont shouldBe true
+      }
+    }
+    // and the filter must still discriminate: not everything flagged
+    bloom.values.count(_._2) should be < bloom.size
+    bloom.values.count(_._2) should be >= exact.values.count(_._2)
+  }
 }
