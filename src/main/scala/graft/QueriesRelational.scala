@@ -608,6 +608,69 @@ object QueriesRelational {
        |FROM est ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------- k3
+  // Count-Min-sketch heavy hitters — the frequency sibling of k2's
+  // cardinality sketch: top-5 users by their CMS-estimated event count
+  // (alongside the exact count for calibration; CMS only ever
+  // OVER-estimates, QualitySpec pins cms_n >= exact_n). The d=4 ×
+  // w=512 counter grid is built by ONE bounded aggregation (partial
+  // map-side counts, ≤2048 rows — the mergeable sketch shape: counter
+  // grids add element-wise, so 1000 executors merge partials for
+  // free), collected like the v9/v10 codebooks, and probed map-side
+  // over the per-user aggregate; top-5 plans as TakeOrdered, never a
+  // global sort. Probes are exact int64 mod-p (user_id reduced mod p
+  // first — see k2's overflow note), so DuckDB rebuilds the identical
+  // grid and the output hash-matches bit-for-bit.
+  private val CmsW = 512L
+  private val CmsP = 1000000007L
+  private val CmsProbes = Seq((3L, 1L), (5L, 7L), (7L, 13L), (11L, 19L))
+
+  val k3CmsTopk: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    def pos(a: Long, b: Long) =
+      (pmod(col("user_id"), lit(CmsP)) * a + b) % lit(CmsP) % lit(CmsW)
+    val counters = CmsProbes.zipWithIndex.map { case ((a, b), i) =>
+      ev.select(lit(i).as("d"), pos(a, b).as("c"))
+    }.reduce(_ unionAll _)
+      .groupBy("d", "c").agg(count(lit(1)).as("n"))
+      .collect()
+    val flat = Array.fill[Long](CmsProbes.size * CmsW.toInt)(0L)
+    counters.foreach(r => flat(r.getInt(0) * CmsW.toInt + r.getLong(1).toInt) = r.getLong(2))
+    val est = least(CmsProbes.zipWithIndex.map { case ((a, b), i) =>
+      element_at(col("sk"), (lit(i.toLong) * lit(CmsW) + pos(a, b)).cast("int") + lit(1))
+    }: _*)
+    ev.groupBy(col("user_id")).agg(count(lit(1)).cast("long").as("exact_n"))
+      .withColumn("sk", typedlit(flat.toSeq))
+      .withColumn("cms_n", est.cast("long"))
+      .select(col("user_id"), col("cms_n"), col("exact_n"))
+      .orderBy(col("cms_n").desc, col("user_id")).limit(5)
+  }
+
+  val k3CmsTopkSql: String = {
+    def posSql(a: Long, b: Long) =
+      s"(((hb * $a + $b) % $CmsP) % $CmsW)"
+    val buildArms = CmsProbes.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT $i AS d, ${posSql(a, b)} AS c FROM hb"
+    }.mkString("\n|    UNION ALL ")
+    val joins = CmsProbes.zipWithIndex.map { case ((a, b), i) =>
+      s"JOIN counters c$i ON c$i.d = $i AND c$i.c = ${posSql(a, b).replace("hb", "u.hb")}"
+    }.mkString("\n|  ")
+    val mins = CmsProbes.indices.map(i => s"c$i.n").mkString(", ")
+    s"""WITH hb AS (SELECT ((user_id % $CmsP) + $CmsP) % $CmsP AS hb FROM events),
+       |counters AS (
+       |  SELECT d, c, CAST(count(*) AS BIGINT) AS n FROM (
+       |    $buildArms)
+       |  GROUP BY d, c),
+       |users AS (
+       |  SELECT user_id, ((user_id % $CmsP) + $CmsP) % $CmsP AS hb,
+       |         CAST(count(*) AS BIGINT) AS exact_n
+       |  FROM events GROUP BY user_id)
+       |SELECT u.user_id, least($mins) AS cms_n, u.exact_n
+       |FROM users u
+       |  $joins
+       |ORDER BY cms_n DESC, u.user_id LIMIT 5""".stripMargin
+  }
+
   // ---------------------------------------------------------------- j5
   // Grouping-sets rollup: per-(event_type, day) revenue plus subtotal
   // and grand-total rows (GROUP BY ROLLUP). Spark expands grouping
@@ -714,7 +777,8 @@ object QueriesRelational {
     "a11_split_routing" -> a11SplitRouting,
     "a12_user_running" -> a12UserRunning,
     "k1_salted_sum" -> k1SaltedSum,
-    "k2_hll_distinct" -> k2HllDistinct)
+    "k2_hll_distinct" -> k2HllDistinct,
+    "k3_cms_topk" -> k3CmsTopk)
 
   val oracles: Map[String, String] = Map(
     "j4_asof_join" -> j4AsofJoinSql,
@@ -741,5 +805,6 @@ object QueriesRelational {
     "a11_split_routing" -> a11SplitRoutingSql,
     "a12_user_running" -> a12UserRunningSql,
     "k1_salted_sum" -> k1SaltedSumSql,
-    "k2_hll_distinct" -> k2HllDistinctSql)
+    "k2_hll_distinct" -> k2HllDistinctSql,
+    "k3_cms_topk" -> k3CmsTopkSql)
 }

@@ -80,4 +80,18 @@ class QualitySpec extends SparkSpec {
     bloom.values.count(_._2) should be < bloom.size
     bloom.values.count(_._2) should be >= exact.values.count(_._2)
   }
+
+  test("k3 CMS estimates never under-count and are run-deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    def run() = QueriesRelational.queries("k3_cms_topk")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val out = run()
+    out.length shouldBe 5
+    out.foreach { case (user, cms, exact) =>
+      withClue(s"user=$user: ") { cms should be >= exact } // CMS only over-estimates
+    }
+    // the sketch is deterministic: a rebuild returns the same rows
+    run() shouldBe out
+  }
 }
