@@ -621,14 +621,19 @@ object QueriesRelational {
   // global sort. Probes are exact int64 mod-p (user_id reduced mod p
   // first — see k2's overflow note), so DuckDB rebuilds the identical
   // grid and the output hash-matches bit-for-bit.
-  private val CmsW = 512L
-  private val CmsP = 1000000007L
-  private val CmsProbes = Seq((3L, 1L), (5L, 7L), (7L, 13L), (11L, 19L))
+  private[graft] val CmsW = 512L
+  private[graft] val CmsP = 1000000007L
+  private[graft] val CmsProbes = Seq((3L, 1L), (5L, 7L), (7L, 13L), (11L, 19L))
+
+  /** Probe-i column position of `user` in the CMS grid (shared with the
+    * streaming twin st17 so both engines and the stream agree on cells).
+    */
+  private[graft] def cmsPos(user: Column, a: Long, b: Long): Column =
+    (pmod(user, lit(CmsP)) * a + b) % lit(CmsP) % lit(CmsW)
 
   val k3CmsTopk: Q = (s, dir) => {
     val ev = t(s, dir, "events")
-    def pos(a: Long, b: Long) =
-      (pmod(col("user_id"), lit(CmsP)) * a + b) % lit(CmsP) % lit(CmsW)
+    def pos(a: Long, b: Long) = cmsPos(col("user_id"), a, b)
     val counters = CmsProbes.zipWithIndex.map { case ((a, b), i) =>
       ev.select(lit(i).as("d"), pos(a, b).as("c"))
     }.reduce(_ unionAll _)

@@ -592,7 +592,65 @@ object QueriesStreaming {
       .orderBy("vec_id")
   }
 
+  /** st17 — k3's Count-Min sketch as a real streaming query (the
+    * frequency sibling of st10's streaming HLL): ONE stream folds both
+    * counter families as keyed increment state — the 4×512 grid under
+    * non-negative keys `d*w + c` (bounded by the grid, not the stream;
+    * only touched cells emit per batch) and exact per-user counts
+    * (st9-style bounded-per-key state) under sign-tagged keys
+    * `-(user+1)`, so the harness tax is paid once. The final snapshots
+    * assemble k3's exact output — probe the grid at the user's 4
+    * cells, take the least, top-5 by (estimate desc, user) — so the
+    * twin hash-matches the same k3 SQL oracle. Cell positions are
+    * computed relationally with the SAME shared cmsPos columns the
+    * batch build uses.
+    */
+  val st17StreamingCms: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.IncEvent
+    import QueriesRelational.{CmsW, CmsProbes, cmsPos}
+    val ev = Tables.load(s, dir, "events").select(col("user_id"), col("event_id"))
+    val keyCols = CmsProbes.zipWithIndex.map { case ((a, b), i) =>
+      lit(i.toLong) * lit(CmsW) + cmsPos(col("user_id"), a, b)
+    } :+ (-(col("user_id") + 1L)).cast("long")
+    val feed = ev
+      .select(col("event_id"), explode(array(keyCols: _*)).as("cell"))
+      .orderBy("event_id").select("cell").as[Long].collect().map(IncEvent(_))
+
+    withShufflePartitions(s, StP) {
+      val input = MemoryStream[IncEvent]
+      val query = StreamingSketch.runningCounts(input.toDS())
+        .writeStream.format("memory").queryName("st17_sink").outputMode("append").start()
+      try {
+        feed.grouped(feed.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("step").desc)
+    val latest = s.table("st17_sink")
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("cell"), col("count"))
+    val users = latest.where(col("cell") < 0)
+      .select((-col("cell") - 1L).as("user_id"), col("count").as("exact_n"))
+    val probed = CmsProbes.zipWithIndex.foldLeft(users) { case (df, ((a, b), i)) =>
+      val grid = broadcast(latest.where(col("cell") >= 0)
+        .select(col("cell").as(s"cell$i"), col("count").as(s"n$i")))
+      df.join(grid, lit(i.toLong) * lit(CmsW) + cmsPos(col("user_id"), a, b) === col(s"cell$i"))
+    }
+    probed
+      .withColumn("cms_n", least(CmsProbes.indices.map(i => col(s"n$i")): _*).cast("long"))
+      .select(col("user_id"), col("cms_n"), col("exact_n").cast("long").as("exact_n"))
+      .orderBy(col("cms_n").desc, col("user_id")).limit(5)
+  }
+
   val queries: Map[String, Q] = Map(
+    "st17_streaming_cms" -> st17StreamingCms,
     "st16_streaming_grinch_prune_cut" -> st16StreamingGrinchPruneCut,
     "st15_streaming_grinch_cut" -> st15StreamingGrinchCut,
     "st14_streaming_grinch_graft" -> st14StreamingGrinchGraft,
@@ -608,6 +666,7 @@ object QueriesStreaming {
     "st5_streaming_dedup" -> st5StreamingDedup,
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
+    "st17_streaming_cms" -> QueriesRelational.k3CmsTopkSql,
     "st16_streaming_grinch_prune_cut" -> QueriesGrinch.h11GrinchPruneCutSql,
     "st15_streaming_grinch_cut" -> QueriesGrinch.h10GrinchTreeCutSql,
     "st14_streaming_grinch_graft" -> QueriesGrinch.h9GrinchGraftTreeSql,

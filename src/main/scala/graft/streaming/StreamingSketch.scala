@@ -31,6 +31,47 @@ object StreamingSketch {
   implicit private val stateEnc: Encoder[Registers] = Encoders.product[Registers]
   implicit private val outEnc: Encoder[Estimate] = Encoders.product[Estimate]
 
+  /** One keyed increment (a Count-Min cell id `d*w + c`, or a plain
+    * entity id for exact running counts).
+    */
+  final case class IncEvent(cell: Long)
+
+  /** Keyed running count + batch step. */
+  final case class CellCount(count: Long, step: Long)
+
+  /** Per-batch snapshot of a TOUCHED cell (readers take max step per
+    * cell — untouched cells never re-emit, so output volume per batch
+    * is bounded by the increments in the batch, not the key space).
+    */
+  final case class CellSnapshot(step: Long, cell: Long, count: Long)
+
+  implicit private val ccEnc: Encoder[CellCount] = Encoders.product[CellCount]
+  implicit private val csEnc: Encoder[CellSnapshot] = Encoders.product[CellSnapshot]
+
+  /** Streaming keyed increment counters — the Count-Min grid as an
+    * ingest-time operator (st17): per-cell state is ONE long (the grid
+    * is bounded by d×w regardless of stream length — the point of the
+    * sketch), and counter addition is order- and batching-independent,
+    * so the final streamed grid equals the batch k3 build cell-for-cell
+    * and the twin hash-matches the same SQL oracle. The same operator
+    * keyed by entity id gives exact per-key running counts (st9-style
+    * bounded-per-key state), which st17 uses for k3's calibration
+    * column.
+    */
+  def runningCounts(events: Dataset[IncEvent]): Dataset[CellSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cell: Long, batch: Iterator[IncEvent], state: GroupState[CellCount]) =>
+          val prev = state.getOption.map(_.count).getOrElse(0L)
+          val n = prev + batch.size
+          val step = state.getOption.map(_.step).getOrElse(0L) + 1
+          state.update(CellCount(n, step))
+          Iterator(CellSnapshot(step, cell, n))
+      }
+  }
+
   def hllDistinct(events: Dataset[HashEvent], m: Int = 64): Dataset[Estimate] = {
     import events.sparkSession.implicits._
     events

@@ -370,4 +370,34 @@ class StreamingSpec extends SparkSpec {
     oneShot shouldBe split // max-merge is batching-independent, bit-for-bit
     oneShot shouldBe (200.0 +- 60.0) // and in the right ballpark
   }
+
+  test("streaming counters: exact, batching-independent, emission bounded by touched cells") {
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.IncEvent
+    implicit val sqlCtx = spark.sqlContext
+    // 20,000 increments over only 10 distinct cells — a heavy-hitter grid
+    val evts = (0 until 20000).map(i => IncEvent((i % 10).toLong))
+    def run(chunks: Seq[Seq[IncEvent]], sink: String): (Map[Long, Long], Long) = {
+      val input = MemoryStream[IncEvent]
+      val query = StreamingSketch.runningCounts(input.toDS())
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      } finally query.stop()
+      val rows = spark.table(sink)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell")).orderBy(col("step").desc)
+      val fin = rows.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select("cell", "count").as[(Long, Long)].collect().toMap
+      (fin, rows.count())
+    }
+    val (one, oneRows) = run(Seq(evts), "cnt_one")
+    val (split, splitRows) = run(evts.grouped(1700).toSeq, "cnt_many")
+    one shouldBe split // counter addition is batching-independent
+    one.values.sum shouldBe 20000L
+    one(0L) shouldBe 2000L
+    // emission ∝ touched cells × batches, never ∝ increments
+    oneRows shouldBe 10L
+    splitRows should be <= (12L * 10L)
+  }
 }
