@@ -296,6 +296,56 @@ object QueriesText {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- p11
+  // Deterministic per-stratum quota sampling (fixed per-language budget,
+  // the complement of p10's rate-based mix): EXACTLY k docs per lang in
+  // seeded-hash order. The rank<=k filter compiles to WindowGroupLimit —
+  // map-side top-k per stratum BEFORE the one stratum-key shuffle
+  // (QualitySpec asserts the plan node), so the exchange carries
+  // O(#strata × k) rows, not the corpus.
+  private val quotaK = 8
+
+  val p11QuotaSample: Q = (s, dir) =>
+    graft.operators.Sampling.quotaSample(
+      Tables.load(s, dir, "documents"), col("lang"), col("doc_id"), quotaK, seed = 7L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val p11QuotaSampleSql: String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (
+       |           PARTITION BY lang
+       |           ORDER BY (((doc_id % $P) * 2654435761 + 7) % $P + $P) % $P, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= $quotaK ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- k4
+  // Exact corpus length-distribution percentiles (p50/p90/p95/p99 of
+  // whitespace token counts) — the k-family EXACT aggregate next to k2's
+  // HLL and k3's CMS estimates: the value histogram collapses the corpus
+  // map-side (partial agg over ≤ max-doc-len distinct values), the
+  // cumulative window runs over that aggregated relation only, and the
+  // percentile rank is pure integer arithmetic (smallest v with
+  // cum ≥ ⌈p·N/100⌉, no interpolation) so DuckDB reproduces it
+  // bit-for-bit.
+  private val k4Pcts = Seq(50, 90, 95, 99)
+
+  val k4TokenQuantiles: Q = (s, dir) =>
+    graft.operators.Quantiles.histogramQuantiles(
+      s, Tables.load(s, dir, "documents"),
+      size(TextFunctions.tokens(col("text"))), k4Pcts, "n_tokens")
+
+  val k4TokenQuantilesSql: String =
+    s"""WITH tok AS (SELECT len($sqlToks)::BIGINT AS v FROM documents),
+       |hist AS (SELECT v, count(*)::BIGINT AS c FROM tok GROUP BY v),
+       |cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+       |tot AS (SELECT count(*)::BIGINT AS n FROM tok),
+       |pcts AS (SELECT unnest([${k4Pcts.mkString(", ")}]::BIGINT[]) AS pct)
+       |SELECT pct, min(v)::BIGINT AS n_tokens
+       |FROM cum, tot, pcts WHERE cum >= (pct * n + 99) // 100
+       |GROUP BY pct ORDER BY pct""".stripMargin
+
   // ---------------------------------------------------------------- t5
   // Benchmark decontamination: every corpus doc's max shingle-set
   // overlap against a (small, broadcast) benchmark set, argmax bench
@@ -555,6 +605,8 @@ object QueriesText {
     "d7_cc_dedup" -> d7CcDedup,
     "st8_streaming_cc" -> st8StreamingCc,
     "p10_stratified_sample" -> p10StratifiedSample,
+    "p11_quota_sample" -> p11QuotaSample,
+    "k4_token_quantiles" -> k4TokenQuantiles,
     "t5_decontamination" -> t5Decontamination,
     "t7_bloom_decontam" -> t7BloomDecontam,
     "t6_repetition" -> t6Repetition)
@@ -573,6 +625,8 @@ object QueriesText {
     "d7_cc_dedup" -> d7CcDedupSql,
     "st8_streaming_cc" -> d7CcDedupSql,
     "p10_stratified_sample" -> p10StratifiedSampleSql,
+    "p11_quota_sample" -> p11QuotaSampleSql,
+    "k4_token_quantiles" -> k4TokenQuantilesSql,
     "t5_decontamination" -> t5DecontaminationSql,
     "t7_bloom_decontam" -> t7BloomDecontamSql,
     "t6_repetition" -> t6RepetitionSql)

@@ -50,6 +50,30 @@ object Sampling {
     df.where(h < rate)
   }
 
+  /** Deterministic per-stratum quota sampling — the other data-mixing
+    * primitive: keep EXACTLY k rows per stratum (language/domain/source
+    * budget), chosen by seeded-hash order rather than an RNG, so the
+    * quota is reproducible across runs, partitionings, and engines.
+    * rank(id) inside stratum by (hash(id), id); keep rank ≤ k.
+    *
+    * Scale: the rank ≤ k filter over a row_number window is rewritten by
+    * Spark's `InferWindowGroupLimit` into a `WindowGroupLimit` — each
+    * map task keeps only its local top-k per stratum BEFORE the
+    * stratum-key shuffle, so the exchange carries O(#strata × k) rows,
+    * not the corpus. (Asserted in QualitySpec against the physical
+    * plan.) One shuffle on the stratum key; no global sort.
+    */
+  def quotaSample(df: DataFrame, stratum: Column, id: Column,
+                  k: Int, seed: Long = 7L): DataFrame = {
+    // reduce id mod P before the multiply so the product stays well
+    // inside int64 (DuckDB errors on bigint overflow where Spark wraps)
+    val h = (((id.cast("long") % P) * 2654435761L + seed) % P + P) % P
+    val w = Window.partitionBy(stratum).orderBy(h.asc, id.asc)
+    df.withColumn("_qrn", row_number().over(w))
+      .where(col("_qrn") <= k)
+      .drop("_qrn")
+  }
+
   def tripletSample(df: DataFrame, entity: Column, id: Column, seed: Long = 42L): DataFrame = {
     // reduce rid mod P before the multiply so the product stays well
     // inside int64 — DuckDB errors on bigint overflow where Spark wraps

@@ -39,6 +39,47 @@ class QualitySpec extends SparkSpec {
       .count() shouldBe 100L
   }
 
+  test("quotaSample: exactly min(k, stratum size) per stratum, partitioning-invariant") {
+    val df = (0L until 900L)
+      .map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh"))
+      .toDF("id", "lang")
+      .union(Seq((9000L, "rare"), (9001L, "rare")).toDF("id", "lang"))
+    def run(parts: Int) = Sampling.quotaSample(
+      df.repartition(parts), col("lang"), col("id"), k = 5)
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    val a = run(2)
+    a shouldBe run(7) // partitioning-invariant
+    val perLang = a.groupBy(_._2).map { case (l, rows) => l -> rows.size }
+    perLang("en") shouldBe 5
+    perLang("de") shouldBe 5
+    perLang("zh") shouldBe 5
+    perLang("rare") shouldBe 2 // stratum smaller than the quota: keep all
+  }
+
+  test("quotaSample: the rank filter compiles to WindowGroupLimit (map-side top-k per stratum)") {
+    val df = (0L until 1000L).map(i => (i, s"s${i % 4}")).toDF("id", "lang").repartition(8)
+    val plan = Sampling.quotaSample(df, col("lang"), col("id"), k = 5)
+      .queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
+
+  test("histogramQuantiles matches brute-force sorted-rank percentiles") {
+    // skewed lengths so the percentiles actually separate
+    val vals = (0 until 500).map(i => (i.toLong, (i % 7) + (if (i % 50 == 0) 400L else i % 23)))
+    val df = vals.toDF("id", "v").repartition(8)
+    val out = graft.operators.Quantiles
+      .histogramQuantiles(spark, df, col("v"), Seq(50, 90, 95, 99), "v")
+      .as[(Long, Long)].collect().toMap
+    val sorted = vals.map(_._2).sorted
+    val n = sorted.length
+    for (p <- Seq(50, 90, 95, 99)) {
+      val rank = (p * n + 99) / 100 // ⌈p·N/100⌉ for positive ints
+      withClue(s"p$p: ") { out(p.toLong) shouldBe sorted(rank - 1) }
+    }
+    val byPct = out.toSeq.sortBy(_._1).map(_._2)
+    byPct shouldBe byPct.sorted // nondecreasing in p
+  }
+
   test("t6 repetition flags a looping document, passes natural text") {
     val docs = Seq(
       (0L, "spam ham eggs " * 20 + "spam ham eggs"), // one trigram dominates
