@@ -649,7 +649,49 @@ object QueriesStreaming {
       .orderBy(col("cms_n").desc, col("user_id")).limit(5)
   }
 
+  /** st18 — k4's exact histogram quantiles as a real streaming query
+    * (completing the k-family twins: k2→st10, k3→st17, k4→st18): each
+    * document contributes ONE keyed increment under its token count, so
+    * the per-key counter state IS the value histogram — bounded by the
+    * value domain (a document length), not the stream — and counter
+    * addition is order- and batching-independent. The final snapshot
+    * (max step per cell) feeds the SAME histogram→percentile assembly
+    * the batch k4 uses ([[graft.operators.Quantiles
+    * .quantilesFromHistogram]]), so the twin hash-matches k4's oracle.
+    */
+  val st18StreamingQuantiles: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.IncEvent
+    val feed = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("v"))
+      .orderBy("doc_id").select("v").as[Long].collect().map(IncEvent(_))
+
+    withShufflePartitions(s, StP) {
+      val input = MemoryStream[IncEvent]
+      val query = StreamingSketch.runningCounts(input.toDS())
+        .writeStream.format("memory").queryName("st18_sink").outputMode("append").start()
+      try {
+        feed.grouped(feed.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("step").desc)
+    val hist = s.table("st18_sink")
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("cell").as("v"), col("count").as("c"))
+    graft.operators.Quantiles.quantilesFromHistogram(
+      s, hist, QueriesText.k4Pcts, "n_tokens")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st18_streaming_quantiles" -> st18StreamingQuantiles,
     "st17_streaming_cms" -> st17StreamingCms,
     "st16_streaming_grinch_prune_cut" -> st16StreamingGrinchPruneCut,
     "st15_streaming_grinch_cut" -> st15StreamingGrinchCut,
@@ -666,6 +708,7 @@ object QueriesStreaming {
     "st5_streaming_dedup" -> st5StreamingDedup,
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
+    "st18_streaming_quantiles" -> QueriesText.k4TokenQuantilesSql,
     "st17_streaming_cms" -> QueriesRelational.k3CmsTopkSql,
     "st16_streaming_grinch_prune_cut" -> QueriesGrinch.h11GrinchPruneCutSql,
     "st15_streaming_grinch_cut" -> QueriesGrinch.h10GrinchTreeCutSql,

@@ -329,7 +329,7 @@ object QueriesText {
   // percentile rank is pure integer arithmetic (smallest v with
   // cum ≥ ⌈p·N/100⌉, no interpolation) so DuckDB reproduces it
   // bit-for-bit.
-  private val k4Pcts = Seq(50, 90, 95, 99)
+  private[graft] val k4Pcts = Seq(50, 90, 95, 99)
 
   val k4TokenQuantiles: Q = (s, dir) =>
     graft.operators.Quantiles.histogramQuantiles(

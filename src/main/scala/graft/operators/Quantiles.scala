@@ -25,14 +25,23 @@ object Quantiles {
     * `value` must be an integral column; N is counted from `df` itself.
     */
   def histogramQuantiles(spark: SparkSession, df: DataFrame, value: Column,
-                         pcts: Seq[Int], valueName: String): DataFrame = {
+                         pcts: Seq[Int], valueName: String): DataFrame =
+    quantilesFromHistogram(spark,
+      df.select(value.cast("long").as("v")).groupBy("v").agg(count(lit(1)).as("c")),
+      pcts, valueName)
+
+  /** Same probe over an already-built `(v, c)` histogram — the reuse
+    * point for streaming twins, whose keyed counter state IS the
+    * histogram (st18 feeds its final counter snapshot here, so the
+    * streamed percentiles hash-match the batch oracle).
+    */
+  def quantilesFromHistogram(spark: SparkSession, hist: DataFrame,
+                             pcts: Seq[Int], valueName: String): DataFrame = {
     import spark.implicits._
-    val hist = df.select(value.cast("long").as("v"))
-      .groupBy("v").agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum",
       sum("c").over(Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = df.agg(count(lit(1)).cast("long").as("n"))
+    val tot = hist.agg(sum("c").cast("long").as("n"))
     val wanted = pcts.map(_.toLong).toDF("pct")
     cum.crossJoin(broadcast(tot)).crossJoin(broadcast(wanted))
       .where(col("cum") >= expr("(pct * n + 99) div 100"))

@@ -400,4 +400,37 @@ class StreamingSpec extends SparkSpec {
     oneRows shouldBe 10L
     splitRows should be <= (12L * 10L)
   }
+
+  test("streaming quantiles: snapshot histogram reproduces batch percentiles under any batching") {
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.IncEvent
+    implicit val sqlCtx = spark.sqlContext
+    // skewed value stream: mostly short, a long tail
+    val vals = (0 until 3000).map(i => ((i % 37) + (if (i % 100 == 0) 500L else 0L)))
+    def run(chunkSize: Int, sink: String): Map[Long, Long] = {
+      val input = MemoryStream[IncEvent]
+      val query = StreamingSketch.runningCounts(input.toDS())
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        vals.map(IncEvent(_)).grouped(chunkSize).foreach { c =>
+          input.addData(c); query.processAllAvailable()
+        }
+      } finally query.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell")).orderBy(col("step").desc)
+      val hist = spark.table(sink)
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("cell").as("v"), col("count").as("c"))
+      graft.operators.Quantiles.quantilesFromHistogram(spark, hist, Seq(50, 90, 99), "v")
+        .as[(Long, Long)].collect().toMap
+    }
+    val streamed = run(chunkSize = 400, sink = "q_many")
+    streamed shouldBe run(chunkSize = 3000, sink = "q_one") // batching-independent
+    // parity with the exact sorted-rank percentiles
+    val sorted = vals.sorted
+    for (p <- Seq(50, 90, 99)) {
+      val rank = (p * sorted.length + 99) / 100
+      withClue(s"p$p: ") { streamed(p.toLong) shouldBe sorted(rank - 1) }
+    }
+  }
 }
