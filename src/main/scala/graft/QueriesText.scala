@@ -346,6 +346,30 @@ object QueriesText {
        |FROM cum, tot, pcts WHERE cum >= (pct * n + 99) // 100
        |GROUP BY pct ORDER BY pct""".stripMargin
 
+  // ---------------------------------------------------------------- k5
+  // Per-stratum exact percentiles (per-language token-count p50/p90/
+  // p95/p99) — k4's grouped generalization and the better scale shape:
+  // the cumulative window partitions BY LANG, so there is no
+  // single-partition exchange anywhere in the plan (asserted in
+  // QualitySpec) — histogram partial-agg on (lang, v), cumsum within
+  // stratum, bounded per-stratum totals broadcast back.
+  val k5GroupedQuantiles: Q = (s, dir) =>
+    graft.operators.Quantiles.groupedHistogramQuantiles(
+      s, Tables.load(s, dir, "documents"), col("lang"),
+      size(TextFunctions.tokens(col("text"))), k4Pcts, "n_tokens")
+      .withColumnRenamed("g", "lang")
+
+  val k5GroupedQuantilesSql: String =
+    s"""WITH tok AS (SELECT lang, len($sqlToks)::BIGINT AS v FROM documents),
+       |hist AS (SELECT lang, v, count(*)::BIGINT AS c FROM tok GROUP BY lang, v),
+       |cum AS (SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+       |tot AS (SELECT lang, count(*)::BIGINT AS n FROM tok GROUP BY lang),
+       |pcts AS (SELECT unnest([${k4Pcts.mkString(", ")}]::BIGINT[]) AS pct)
+       |SELECT cum.lang, pct, min(v)::BIGINT AS n_tokens
+       |FROM cum JOIN tot ON cum.lang = tot.lang CROSS JOIN pcts
+       |WHERE cum.cum >= (pct * n + 99) // 100
+       |GROUP BY cum.lang, pct ORDER BY cum.lang, pct""".stripMargin
+
   // ---------------------------------------------------------------- t5
   // Benchmark decontamination: every corpus doc's max shingle-set
   // overlap against a (small, broadcast) benchmark set, argmax bench
@@ -607,6 +631,7 @@ object QueriesText {
     "p10_stratified_sample" -> p10StratifiedSample,
     "p11_quota_sample" -> p11QuotaSample,
     "k4_token_quantiles" -> k4TokenQuantiles,
+    "k5_grouped_quantiles" -> k5GroupedQuantiles,
     "t5_decontamination" -> t5Decontamination,
     "t7_bloom_decontam" -> t7BloomDecontam,
     "t6_repetition" -> t6Repetition)
@@ -627,6 +652,7 @@ object QueriesText {
     "p10_stratified_sample" -> p10StratifiedSampleSql,
     "p11_quota_sample" -> p11QuotaSampleSql,
     "k4_token_quantiles" -> k4TokenQuantilesSql,
+    "k5_grouped_quantiles" -> k5GroupedQuantilesSql,
     "t5_decontamination" -> t5DecontaminationSql,
     "t7_bloom_decontam" -> t7BloomDecontamSql,
     "t6_repetition" -> t6RepetitionSql)

@@ -30,6 +30,34 @@ object Quantiles {
       df.select(value.cast("long").as("v")).groupBy("v").agg(count(lit(1)).as("c")),
       pcts, valueName)
 
+  /** Per-stratum exact quantiles — the grouped generalization (per-
+    * language/per-source length percentiles, the report a data-mixing
+    * pipeline actually publishes). Here the cumulative window
+    * partitions BY THE STRATUM, so unlike the global form there is no
+    * single-partition exchange anywhere: histogram partial-agg on
+    * (stratum, v), cumsum within stratum, per-stratum totals joined
+    * back broadcast (bounded by #strata). Output one (stratum, pct,
+    * value) row per stratum × percentile.
+    */
+  def groupedHistogramQuantiles(spark: SparkSession, df: DataFrame,
+                                stratum: Column, value: Column,
+                                pcts: Seq[Int], valueName: String): DataFrame = {
+    import spark.implicits._
+    val hist = df.select(stratum.as("g"), value.cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = df.select(stratum.as("g"))
+      .groupBy("g").agg(count(lit(1)).cast("long").as("n"))
+    val wanted = pcts.map(_.toLong).toDF("pct")
+    cum.join(broadcast(tot), "g").crossJoin(broadcast(wanted))
+      .where(col("cum") >= expr("(pct * n + 99) div 100"))
+      .groupBy("g", "pct").agg(min("v").cast("long").as(valueName))
+      .select(col("g"), col("pct").cast("long").as("pct"), col(valueName))
+      .orderBy("g", "pct")
+  }
+
   /** Same probe over an already-built `(v, c)` histogram — the reuse
     * point for streaming twins, whose keyed counter state IS the
     * histogram (st18 feeds its final counter snapshot here, so the

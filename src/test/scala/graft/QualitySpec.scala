@@ -80,6 +80,29 @@ class QualitySpec extends SparkSpec {
     byPct shouldBe byPct.sorted // nondecreasing in p
   }
 
+  test("groupedHistogramQuantiles: per-stratum sorted-rank parity, no single-partition exchange") {
+    val vals = (0 until 600).map { i =>
+      val g = s"s${i % 3}"
+      (i.toLong, g, (i % (11 + (i % 3) * 6)).toLong) // different spread per stratum
+    }
+    val df = vals.toDF("id", "g", "v").repartition(8)
+    val out = graft.operators.Quantiles
+      .groupedHistogramQuantiles(spark, df, col("g"), col("v"), Seq(50, 95), "v")
+      .as[(String, Long, Long)].collect()
+      .map { case (g, p, v) => (g, p) -> v }.toMap
+    for (g <- Seq("s0", "s1", "s2"); p <- Seq(50, 95)) {
+      val sorted = vals.filter(_._2 == g).map(_._3).sorted
+      val rank = (p * sorted.length + 99) / 100
+      withClue(s"$g p$p: ") { out((g, p.toLong)) shouldBe sorted(rank - 1) }
+    }
+    // the grouped form's whole point: every window/agg partitions by the
+    // stratum — no single-partition exchange anywhere
+    val plan = graft.operators.Quantiles
+      .groupedHistogramQuantiles(spark, df, col("g"), col("v"), Seq(50, 95), "v")
+      .queryExecution.executedPlan.toString
+    plan should not include "SinglePartition"
+  }
+
   test("t6 repetition flags a looping document, passes natural text") {
     val docs = Seq(
       (0L, "spam ham eggs " * 20 + "spam ham eggs"), // one trigram dominates
