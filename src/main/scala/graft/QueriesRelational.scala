@@ -463,6 +463,40 @@ object QueriesRelational {
       |SELECT event_id, user_id, ev_day, asof_o_orderkey, asof_o_day
       |FROM pick ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- j6
+  // Bucketized range join: attribute every event to each 10-minute
+  // error window `[error ts, +10 min)` it falls in — a pure range
+  // condition with NO equi-key, the join shape Catalyst would plan as
+  // a nested loop. rangeJoinBucketed turns it into an equi-join on
+  // 10-minute epoch buckets (each window spans ≤ 2) with the range
+  // predicate as residual filter. events.ts is long nanos
+  // (nanosAsLong), so window arithmetic, bucket division, and the
+  // residual compare are all exact int64 on both engines; the value
+  // sum uses the catalog's integer-cents rule.
+  val j6RangeJoin: Q = (s, dir) => {
+    val winNs = 600L * 1000000000L // 10 minutes of nanoseconds
+    val ev = t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val win = t(s, dir, "events").where(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+        (col("ts") + lit(winNs)).as("w_end"))
+    Relational.rangeJoinBucketed(ev, win, "ts", "w_start", "w_end", winNs)
+      .groupBy("win_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("sum_value"))
+      .orderBy("win_id")
+  }
+
+  val j6RangeJoinSql: String =
+    """WITH win AS (
+      |  SELECT event_id AS win_id, epoch_ns(ts) AS w_start,
+      |         epoch_ns(ts) + 600000000000 AS w_end
+      |  FROM events WHERE event_type = 'error')
+      |SELECT w.win_id, count(*) AS n_events,
+      |       cast(sum(cast(round(e.value*100, 0) as bigint)) as double)/100.0 AS sum_value
+      |FROM win w JOIN events e
+      |  ON epoch_ns(e.ts) >= w.w_start AND epoch_ns(e.ts) < w.w_end
+      |GROUP BY w.win_id ORDER BY win_id""".stripMargin
+
   // ---------------------------------------------------------------- k2
   // Deterministic HyperLogLog: approximate distinct users per event
   // type from a 64-register sketch whose hash is the engine-portable
@@ -760,6 +794,7 @@ object QueriesRelational {
   val queries: Map[String, Q] = Map(
     "j4_asof_join" -> j4AsofJoin,
     "j5_rollup" -> j5Rollup,
+    "j6_range_join" -> j6RangeJoin,
     "w2_sessionize" -> w2Sessionize,
     "w3_rolling" -> w3Rolling,
     "q1_pricing" -> q1Pricing,
@@ -788,6 +823,7 @@ object QueriesRelational {
   val oracles: Map[String, String] = Map(
     "j4_asof_join" -> j4AsofJoinSql,
     "j5_rollup" -> j5RollupSql,
+    "j6_range_join" -> j6RangeJoinSql,
     "w2_sessionize" -> w2SessionizeSql,
     "w3_rolling" -> w3RollingSql,
     "q1_pricing" -> q1PricingSql,

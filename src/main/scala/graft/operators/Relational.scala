@@ -138,6 +138,40 @@ object Relational {
       .select((lcols.map(col) ++ payload.map(p => col(s"_pl.$p").as(s"asof_$p"))): _*)
   }
 
+  /** Bucketized range join: probe rows (long sort key `tsCol`) against
+    * intervals `[startCol, endCol)` with NO equi-key. Catalyst plans a
+    * pure non-equi condition as BroadcastNestedLoopJoin (or cartesian)
+    * — O(n·m) work plus a must-broadcast side, dead at 100 TB. Instead
+    * each interval explodes to the fixed-width buckets it overlaps
+    * (≤ len/width + 1 rows), each probe row computes its single bucket,
+    * and the join becomes an EQUI-join on the bucket with the range
+    * predicate left as a residual filter: one hash shuffle per side
+    * (or a broadcast when the exploded interval side is small), AQE
+    * skew-splittable, no nested loop anywhere. Pick `bucketWidth` near
+    * the typical interval length so intervals land in ≤ 2 buckets;
+    * occupancy per bucket — not corpus size — then drives join cost.
+    *
+    * Preconditions: sort keys are non-negative longs (epoch times —
+    * `div` truncation = floor), probe/interval column names disjoint.
+    * Empty or inverted intervals are dropped (end ≤ start matches
+    * nothing under the half-open semantics; filtering them also keeps
+    * `sequence` from generating a descending bucket range).
+    */
+  def rangeJoinBucketed(probe: DataFrame, intervals: DataFrame,
+      tsCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val iv = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("_ibkt", explode(sequence(
+        expr(s"$startCol div ${bucketWidth}L"),
+        expr(s"($endCol - 1) div ${bucketWidth}L"))))
+    val pr = probe.withColumn("_pbkt", expr(s"$tsCol div ${bucketWidth}L"))
+    pr.join(iv, pr("_pbkt") === iv("_ibkt") &&
+        col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("_pbkt", "_ibkt")
+  }
+
   /** A11 — positional split routing (60/20/20 by a global sort —
     * `scripts/preprocess_medmentions.py:100-114`). Emits a `split`
     * column.

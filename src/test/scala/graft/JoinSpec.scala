@@ -54,4 +54,46 @@ class JoinSpec extends SparkSpec {
       .select("asof_pk", "asof_tag").as[(Long, Option[String])].collect().head
     out shouldBe ((9L, None))
   }
+
+  private val probe = Seq(
+    (1L, 0L), (2L, 99L), (3L, 100L), (4L, 250L), (5L, 399L),
+    (6L, 400L), (7L, 1000L), (8L, 1234L))
+    .toDF("pid", "pts")
+  private val ivals = Seq(
+    (10L, 100L, 400L),  // spans buckets 1-3 at width 100
+    (20L, 0L, 100L),    // exactly one bucket
+    (30L, 950L, 1300L), // crosses bucket boundary mid-interval
+    (40L, 500L, 500L),  // empty — matches nothing
+    (50L, 700L, 600L))  // inverted — matches nothing
+    .toDF("iid", "istart", "iend")
+
+  private def naive = probe.crossJoin(ivals)
+    .where(col("pts") >= col("istart") && col("pts") < col("iend"))
+    .select("pid", "iid").as[(Long, Long)].collect().toSet
+
+  test("rangeJoinBucketed matches the naive range join, [start, end) boundaries") {
+    val out = Relational.rangeJoinBucketed(probe, ivals, "pts", "istart", "iend", 100L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    out shouldBe naive
+    // boundary semantics pinned explicitly: start inclusive, end exclusive
+    out should contain((3L, 10L))   // pts == istart
+    out should not contain ((6L, 10L)) // pts == iend
+    out should contain((7L, 30L))   // probe bucket != interval start bucket
+  }
+
+  test("rangeJoinBucketed matches naive at other bucket widths (intervals span many buckets)") {
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val out = Relational.rangeJoinBucketed(probe, ivals, "pts", "istart", "iend", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      withClue(s"bucketWidth=$w: ") { out shouldBe naive }
+    }
+  }
+
+  test("rangeJoinBucketed plans an equi-join on the bucket — never a nested loop") {
+    val plan = Relational
+      .rangeJoinBucketed(probe, ivals, "pts", "istart", "iend", 100L)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }
