@@ -470,16 +470,19 @@ object QueriesRelational {
   // a nested loop. rangeJoinBucketed turns it into an equi-join on
   // 10-minute epoch buckets (each window spans ≤ 2) with the range
   // predicate as residual filter. events.ts is long nanos
-  // (nanosAsLong), so window arithmetic, bucket division, and the
-  // residual compare are all exact int64 on both engines; the value
-  // sum uses the catalog's integer-cents rule.
+  // (nanosAsLong) on the Spark side, but DuckDB's parquet reader
+  // TRUNCATES nanos to µs — so both engines do the window arithmetic
+  // in truncated microseconds (`ts div 1000` ≡ `epoch_us(ts)`), which
+  // is exact int64 on both; the value sum uses the catalog's
+  // integer-cents rule.
   val j6RangeJoin: Q = (s, dir) => {
-    val winNs = 600L * 1000000000L // 10 minutes of nanoseconds
-    val ev = t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val winUs = 600L * 1000000L // 10 minutes of microseconds
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("value"))
     val win = t(s, dir, "events").where(col("event_type") === "error")
-      .select(col("event_id").as("win_id"), col("ts").as("w_start"),
-        (col("ts") + lit(winNs)).as("w_end"))
-    Relational.rangeJoinBucketed(ev, win, "ts", "w_start", "w_end", winNs)
+      .select(col("event_id").as("win_id"), expr("ts div 1000").as("w_start"),
+        (expr("ts div 1000") + lit(winUs)).as("w_end"))
+    Relational.rangeJoinBucketed(ev, win, "ts_us", "w_start", "w_end", winUs)
       .groupBy("win_id")
       .agg(count(lit(1)).cast("long").as("n_events"),
         (sum(cents(col("value"))).cast("double") / 100.0).as("sum_value"))
@@ -488,14 +491,48 @@ object QueriesRelational {
 
   val j6RangeJoinSql: String =
     """WITH win AS (
-      |  SELECT event_id AS win_id, epoch_ns(ts) AS w_start,
-      |         epoch_ns(ts) + 600000000000 AS w_end
+      |  SELECT event_id AS win_id, epoch_us(ts) AS w_start,
+      |         epoch_us(ts) + 600000000 AS w_end
       |  FROM events WHERE event_type = 'error')
       |SELECT w.win_id, count(*) AS n_events,
       |       cast(sum(cast(round(e.value*100, 0) as bigint)) as double)/100.0 AS sum_value
       |FROM win w JOIN events e
-      |  ON epoch_ns(e.ts) >= w.w_start AND epoch_ns(e.ts) < w.w_end
+      |  ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
       |GROUP BY w.win_id ORDER BY win_id""".stripMargin
+
+  // ---------------------------------------------------------------- j7
+  // Bucketized interval-overlap join: which 60-second error windows
+  // overlap which 60-second purchase windows — intervals on BOTH
+  // sides, no equi-key. intervalOverlapJoin buckets both sides and
+  // emits each pair exactly once (in the bucket of the overlap's
+  // first instant), so there is no post-join distinct. All arithmetic
+  // is in truncated microseconds (j6's cross-engine ts convention),
+  // so the emitted overlap duration is exact int64 on both engines.
+  val j7IntervalOverlap: Q = (s, dir) => {
+    val winUs = 60L * 1000000L // 60 seconds of microseconds
+    def win(tpe: String, idCol: String, sCol: String, eCol: String) =
+      t(s, dir, "events").where(col("event_type") === tpe)
+        .select(col("event_id").as(idCol), expr("ts div 1000").as(sCol),
+          (expr("ts div 1000") + lit(winUs)).as(eCol))
+    Relational.intervalOverlapJoin(
+      win("error", "err_id", "a_s", "a_e"),
+      win("purchase", "pur_id", "b_s", "b_e"),
+      "a_s", "a_e", "b_s", "b_e", winUs)
+      .select(col("err_id"), col("pur_id"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+      .orderBy("err_id", "pur_id")
+  }
+
+  val j7IntervalOverlapSql: String =
+    """WITH a AS (SELECT event_id AS err_id, epoch_us(ts) AS a_s,
+      |                  epoch_us(ts) + 60000000 AS a_e
+      |           FROM events WHERE event_type = 'error'),
+      |     b AS (SELECT event_id AS pur_id, epoch_us(ts) AS b_s,
+      |                  epoch_us(ts) + 60000000 AS b_e
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT err_id, pur_id, least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+      |FROM a JOIN b ON a_s < b_e AND b_s < a_e
+      |ORDER BY err_id, pur_id""".stripMargin
 
   // ---------------------------------------------------------------- k2
   // Deterministic HyperLogLog: approximate distinct users per event
@@ -795,6 +832,7 @@ object QueriesRelational {
     "j4_asof_join" -> j4AsofJoin,
     "j5_rollup" -> j5Rollup,
     "j6_range_join" -> j6RangeJoin,
+    "j7_interval_overlap" -> j7IntervalOverlap,
     "w2_sessionize" -> w2Sessionize,
     "w3_rolling" -> w3Rolling,
     "q1_pricing" -> q1Pricing,
@@ -824,6 +862,7 @@ object QueriesRelational {
     "j4_asof_join" -> j4AsofJoinSql,
     "j5_rollup" -> j5RollupSql,
     "j6_range_join" -> j6RangeJoinSql,
+    "j7_interval_overlap" -> j7IntervalOverlapSql,
     "w2_sessionize" -> w2SessionizeSql,
     "w3_rolling" -> w3RollingSql,
     "q1_pricing" -> q1PricingSql,

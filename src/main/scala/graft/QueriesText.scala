@@ -524,6 +524,68 @@ object QueriesText {
        |SELECT node AS doc_id, min(comp) AS component, node = min(comp) AS is_canonical
        |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d8
+  // Duplicate-group representative selection — the "keep one" step a
+  // dedup pipeline runs after d7's group assembly: every doc gets its
+  // component (singletons = their own id via the left join), and each
+  // component keeps its best member — longest text, doc_id as the
+  // deterministic tie-break — plus the group size. The argmax is a
+  // single max-of-(score, -id)-struct aggregation, so it partial-merges
+  // map-side and the component-key exchange carries one row per
+  // (task, component), not the corpus.
+  val d8KeepBest: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+    val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)
+    val bands = Dedup.minHashBandsFromSets(sets, dedupK, dedupR)
+    val pairs = Dedup.nearDupPairsFromSets(sets, bands, 1, 2).select("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs, col("doc_a"), col("doc_b"))
+    Dedup.keepBestPerComponent(docs, "doc_id", "n_chars", labels)
+      .orderBy("component")
+  }
+
+  val d8KeepBestSql: String =
+    s"""WITH RECURSIVE $sqlBandCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |ndp AS (SELECT doc_a, doc_b FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+       |  WHERE len(list_intersect(x.hs, y.hs)) * 2 >= (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 1),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ndp UNION SELECT doc_b, doc_a FROM ndp),
+       |cc(node, comp) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.node = e.src WHERE cc.comp < e.dst),
+       |lbl AS (SELECT node, min(comp) AS component FROM cc GROUP BY node),
+       |asg AS (SELECT d.doc_id, d.n_chars, coalesce(l.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn,
+       |              count(*) OVER (PARTITION BY component) AS n_members FROM asg)
+       |SELECT component, doc_id AS kept_doc, n_chars AS kept_n_chars,
+       |       cast(n_members as bigint) AS n_members, cast(n_members - 1 as bigint) AS n_dropped
+       |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin
+
+  // ---------------------------------------------------------------- t8
+  // Corpus-level n-gram statistics: the global top-50 word bigrams by
+  // frequency (count desc, bigram asc as the deterministic total
+  // order). The plan is the scale shape that matters: map-side partial
+  // counts into one ngram-key shuffle, then TakeOrdered — each
+  // partition surfaces only its own top-50, the driver merges 32×50
+  // rows; no global sort of the (huge) distinct-ngram relation ever
+  // runs.
+  val t8TopNgrams: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(50)
+
+  val t8TopNgramsSql: String =
+    s"""WITH grams AS (
+       |  SELECT unnest(list_transform(generate_series(1, greatest(len($sqlToks)-1, 0)),
+       |    i -> array_to_string(list_slice($sqlToks, i, i+1), ' '))) AS ngram
+       |  FROM documents)
+       |SELECT ngram, cast(count(*) as bigint) AS cnt
+       |FROM grams GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin
+
   // ---------------------------------------------------------------- st6
   // Streaming MinHash-LSH candidate generation: documents band-hashed
   // at ingest, bucket-keyed state emits pairs on arrival, streaming
@@ -627,6 +689,8 @@ object QueriesText {
     "d4_simhash" -> d4Simhash,
     "d5_ngram_jaccard" -> d5NgramJaccard,
     "d7_cc_dedup" -> d7CcDedup,
+    "d8_keep_best" -> d8KeepBest,
+    "t8_top_ngrams" -> t8TopNgrams,
     "st8_streaming_cc" -> st8StreamingCc,
     "p10_stratified_sample" -> p10StratifiedSample,
     "p11_quota_sample" -> p11QuotaSample,
@@ -648,6 +712,8 @@ object QueriesText {
     "d4_simhash" -> d4SimhashSql,
     "d5_ngram_jaccard" -> d5NgramJaccardSql,
     "d7_cc_dedup" -> d7CcDedupSql,
+    "d8_keep_best" -> d8KeepBestSql,
+    "t8_top_ngrams" -> t8TopNgramsSql,
     "st8_streaming_cc" -> d7CcDedupSql,
     "p10_stratified_sample" -> p10StratifiedSampleSql,
     "p11_quota_sample" -> p11QuotaSampleSql,

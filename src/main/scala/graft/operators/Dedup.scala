@@ -143,6 +143,37 @@ object Dedup {
     labels
   }
 
+  /** Duplicate-group representative selection — the "keep one" step
+    * after [[connectedComponents]]: every doc in `docs` gets its
+    * component label (docs absent from the pair graph are their own
+    * singleton component via the left join), and each component keeps
+    * its highest-`scoreCol` member, `idCol` ascending as the
+    * deterministic tie-break. Emits one row per component with the
+    * kept doc and the group size.
+    *
+    * 100 TB shape: one join of the corpus against the (pair-graph-
+    * sized) label relation, then ONE component-key aggregation — the
+    * argmax is a `max` over a (score, -id) struct, so it merges
+    * map-side like any partial aggregate (a rank-window formulation
+    * would lose the group-limit pushdown to the companion count and
+    * shuffle every member row). The exchange carries one partial row
+    * per (task, component), not the corpus.
+    */
+  def keepBestPerComponent(docs: DataFrame, idCol: String, scoreCol: String,
+                           labels: DataFrame): DataFrame = {
+    val assigned = docs.join(labels, docs(idCol) === labels("node"), "left")
+      .select(col(idCol), col(scoreCol),
+        coalesce(col("comp"), col(idCol)).as("component"))
+    // lexicographic max of (score, -id) = highest score, then lowest id
+    assigned
+      .groupBy("component")
+      .agg(max(struct(col(scoreCol), (-col(idCol)).as("_nid"))).as("_best"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("_best._nid")).as("kept_doc"),
+        col(s"_best.$scoreCol").as(s"kept_$scoreCol"), col("n_members"),
+        (col("n_members") - 1L).as("n_dropped"))
+  }
+
   /** Verified near-duplicate pairs: LSH candidates whose exact Jaccard
     * over the materialized (doc, hs) sets meets
     * `num/den ≥ threshNum/threshDen` (integer cross-multiplied — exact).

@@ -172,6 +172,37 @@ object Relational {
       .drop("_pbkt", "_ibkt")
   }
 
+  /** Bucketized interval-overlap join: pairs (a, b) whose half-open
+    * intervals `[aStart, aEnd) × [bStart, bEnd)` overlap — the
+    * two-sided sibling of [[rangeJoinBucketed]], again with NO
+    * equi-key, so naively a nested-loop join. Both sides explode to
+    * the fixed-width buckets they cover and join on the bucket; the
+    * residual keeps true overlaps. Because BOTH sides explode, an
+    * overlapping pair would surface once per shared bucket — instead
+    * of a post-join `distinct` (a second shuffle over the pair set),
+    * the join keeps a pair only in the bucket containing
+    * `max(aStart, bStart)`: the overlap's first instant lies inside
+    * both intervals, so exactly one shared bucket satisfies it — each
+    * pair is emitted exactly once with zero dedup work. Same 100 TB
+    * shape as [[rangeJoinBucketed]]: one hash shuffle per side, AQE
+    * skew-splittable, cost driven by per-bucket occupancy.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def explodeBuckets(df: DataFrame, s: String, e: String, out: String) =
+      df.where(col(e) > col(s)).withColumn(out, explode(sequence(
+        expr(s"$s div ${bucketWidth}L"),
+        expr(s"($e - 1) div ${bucketWidth}L"))))
+    val av = explodeBuckets(a, aStart, aEnd, "_abkt")
+    val bv = explodeBuckets(b, bStart, bEnd, "_bbkt")
+    av.join(bv, av("_abkt") === bv("_bbkt") &&
+        col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        av("_abkt") === expr(s"greatest($aStart, $bStart) div ${bucketWidth}L"))
+      .drop("_abkt", "_bbkt")
+  }
+
   /** A11 — positional split routing (60/20/20 by a global sort —
     * `scripts/preprocess_medmentions.py:100-114`). Emits a `split`
     * column.

@@ -134,4 +134,31 @@ class DedupSpec extends SparkSpec {
       .select(TextFunctions.langId(TextFunctions.tokens(col("t"))).as("l"))
     df.collect().map(_.getString(0)).toSeq shouldBe Seq("en", "de", "und")
   }
+
+  test("keepBestPerComponent: best scorer wins, id tie-break, singletons kept") {
+    // components from the pair graph: {1,2,3} and {5,7}; docs 4 and 8
+    // are absent from the graph → singleton components of themselves.
+    // doc 2 and 3 tie on score → lower id (2) is kept.
+    val docs = Seq((1L, 10L), (2L, 40L), (3L, 40L), (4L, 99L), (5L, 7L), (7L, 7L), (8L, 1L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs, col("doc_a"), col("doc_b"))
+    val out = Dedup.keepBestPerComponent(docs, "doc_id", "n_chars", labels)
+      .orderBy("component")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 2L, 40L, 3L, 2L),  // {1,2,3}: 2 beats 3 on the id tie-break
+      (4L, 4L, 99L, 1L, 0L),  // singleton — not in the pair graph
+      (5L, 5L, 7L, 2L, 1L),   // {5,7}: score tie again, 5 kept
+      (8L, 8L, 1L, 1L, 0L))
+  }
+
+  test("keepBestPerComponent plans a partial (map-side) argmax aggregate") {
+    val docs = Seq((1L, 10L), (2L, 40L)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs, col("doc_a"), col("doc_b"))
+    val plan = Dedup.keepBestPerComponent(docs, "doc_id", "n_chars", labels)
+      .queryExecution.executedPlan.toString
+    plan should include ("partial_max")
+  }
 }

@@ -96,4 +96,50 @@ class JoinSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  private val aIvals = Seq(
+    (1L, 0L, 350L),     // spans buckets 0-3 at width 100
+    (2L, 90L, 110L),    // straddles one boundary
+    (3L, 400L, 401L),   // sliver
+    (4L, 500L, 500L))   // empty — overlaps nothing
+    .toDF("aid", "a_s", "a_e")
+  private val bIvals = Seq(
+    (10L, 100L, 400L),  // overlaps 1 (multi-bucket shared span), 2, 3
+    (20L, 340L, 360L),  // overlaps 1 only at its tail
+    (30L, 0L, 90L),     // overlaps 1, NOT 2 (b_e == a_s boundary)
+    (40L, 700L, 600L))  // inverted — overlaps nothing
+    .toDF("bid", "b_s", "b_e")
+
+  private def naiveOverlap = aIvals.crossJoin(bIvals)
+    .where(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+    .select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+
+  test("intervalOverlapJoin matches the naive overlap join and emits each pair EXACTLY once") {
+    for (w <- Seq(1L, 7L, 100L, 1000L)) {
+      // compare as sorted SEQUENCES: a pair surfacing once per shared
+      // bucket (the bug the max-start bucket rule prevents) would pass
+      // a set compare but fail this one
+      val out = Relational
+        .intervalOverlapJoin(aIvals, bIvals, "a_s", "a_e", "b_s", "b_e", w)
+        .select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+      withClue(s"bucketWidth=$w: ") { out shouldBe naiveOverlap }
+    }
+  }
+
+  test("intervalOverlapJoin pins half-open semantics: touching intervals do not overlap") {
+    val out = Relational
+      .intervalOverlapJoin(aIvals, bIvals, "a_s", "a_e", "b_s", "b_e", 100L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    out should contain((1L, 20L))      // tail overlap across a bucket boundary
+    out should not contain ((2L, 30L)) // b ends exactly where a starts
+    out should not contain ((3L, 20L)) // disjoint sliver
+  }
+
+  test("intervalOverlapJoin plans an equi-join on the bucket — never a nested loop") {
+    val plan = Relational
+      .intervalOverlapJoin(aIvals, bIvals, "a_s", "a_e", "b_s", "b_e", 100L)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }

@@ -158,4 +158,17 @@ class QualitySpec extends SparkSpec {
     // the sketch is deterministic: a rebuild returns the same rows
     run() shouldBe out
   }
+
+  test("t8 top-ngrams: deterministic boundary ties and a TakeOrdered plan (no global sort)") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val df = QueriesText.queries("t8_top_ngrams")(spark, dir)
+    val out = df.as[(String, Long)].collect().toSeq
+    out.length shouldBe 50
+    // the (cnt desc, ngram asc) total order makes the boundary cut
+    // deterministic even when many bigrams tie at the 50th count
+    out shouldBe out.sortBy { case (g, c) => (-c, g) }
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include ("TakeOrderedAndProject")
+  }
 }
