@@ -690,7 +690,85 @@ object QueriesStreaming {
       s, hist, QueriesText.k4Pcts, "n_tokens")
   }
 
+  /** st19 — the range join (j6) as a LIVE stream-stream event-time
+    * interval join: probe events and 10-minute error windows arrive as
+    * two separate ts-ascending streams, joined by Spark's native
+    * StreamingSymmetricHashJoin. Spark rejects stream-stream joins
+    * without an equality key, so the batch bucketization supplies one
+    * (windows explode to their ≤ 2 epoch buckets, state is keyed on
+    * the bucket) with `w_start <= ev_ts < w_start + 10min` residual
+    * and 1-minute watermarks on both sides — the two-sided time bound
+    * is what lets Spark evict join state as the watermarks advance
+    * (bounded state, the 100 TB requirement), and inner-join pairs
+    * emit in their arrival micro-batch. Timestamps are µs-truncated
+    * (the j6/j7 cross-engine convention), cents integer, so the pair
+    * set hash-matches the batch range-join oracle exactly.
+    */
+  val st19StreamingRangeJoin: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingAnalytics
+    def usTs(ns: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(ns / 1000000L)
+      t.setNanos(((ns / 1000L) % 1000000L).toInt * 1000) // µs-truncated
+      t
+    }
+    // fixed user subset (the st4 convention): the harness feeds the
+    // stream row-by-row from the driver, so the twin pins semantics on
+    // a bounded slice while the batch j6 covers the full corpus
+    val ev = Tables.load(s, dir, "events").where(col("user_id") < 300)
+      .select(col("event_id"), col("ts").cast("long"),
+        round(col("value") * 100, 0).cast("long"))
+      .orderBy("ts").as[(Long, Long, Long)].collect()
+      .map { case (id, ns, cents) => (id, usTs(ns), cents) }
+    val win = Tables.load(s, dir, "events")
+      .where(col("event_type") === "error" && col("user_id") < 300)
+      .select(col("event_id"), col("ts").cast("long"))
+      .orderBy("ts").as[(Long, Long)].collect()
+      .map { case (id, ns) => (id, usTs(ns)) }
+
+    withShufflePartitions(s, StP) {
+      val evIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val winIn = MemoryStream[(Long, java.sql.Timestamp)]
+      val query = StreamingAnalytics.intervalJoin(
+        evIn.toDS().toDF("event_id", "ev_ts", "cents"),
+        winIn.toDS().toDF("win_id", "w_start"),
+        "ev_ts", "w_start", windowSeconds = 600L, watermark = "1 minute")
+        .select(col("win_id"), col("event_id"), col("cents"))
+        .writeStream.format("memory").queryName("st19_sink").outputMode("append").start()
+      try {
+        // time-aligned chunks: both streams sorted by ts, both split in
+        // 3, so the global watermark advances and state eviction runs
+        // live (a window can never be evicted before its probe rows:
+        // eviction needs watermark > w_start + 10min + delay, and any
+        // later-arriving match would have ts past that watermark)
+        val evChunks = ev.grouped(ev.length / 2 + 1).toSeq
+        val winChunks = win.grouped(win.length / 2 + 1).toSeq
+        evChunks.zip(winChunks).foreach { case (ec, wc) =>
+          evIn.addData(ec.toSeq)
+          winIn.addData(wc.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    s.table("st19_sink").orderBy("win_id", "event_id")
+  }
+
+  val st19StreamingRangeJoinSql: String =
+    """WITH win AS (
+      |  SELECT event_id AS win_id, epoch_us(ts) AS w_start,
+      |         epoch_us(ts) + 600000000 AS w_end
+      |  FROM events WHERE event_type = 'error' AND user_id < 300)
+      |SELECT w.win_id, e.event_id,
+      |       cast(round(e.value*100, 0) as bigint) AS cents
+      |FROM win w JOIN events e
+      |  ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
+      |WHERE e.user_id < 300
+      |ORDER BY win_id, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st19_streaming_range_join" -> st19StreamingRangeJoin,
     "st18_streaming_quantiles" -> st18StreamingQuantiles,
     "st17_streaming_cms" -> st17StreamingCms,
     "st16_streaming_grinch_prune_cut" -> st16StreamingGrinchPruneCut,
@@ -708,6 +786,7 @@ object QueriesStreaming {
     "st5_streaming_dedup" -> st5StreamingDedup,
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
+    "st19_streaming_range_join" -> st19StreamingRangeJoinSql,
     "st18_streaming_quantiles" -> QueriesText.k4TokenQuantilesSql,
     "st17_streaming_cms" -> QueriesRelational.k3CmsTopkSql,
     "st16_streaming_grinch_prune_cut" -> QueriesGrinch.h11GrinchPruneCutSql,

@@ -433,4 +433,46 @@ class StreamingSpec extends SparkSpec {
       withClue(s"p$p: ") { streamed(p.toLong) shouldBe sorted(rank - 1) }
     }
   }
+
+  test("stream-stream interval join: cross-batch matches, symmetric-hash plan, state evicted") {
+    import graft.streaming.StreamingAnalytics
+    implicit val sqlCtx = spark.sqlContext
+    // base offset: a row AT the initial watermark (epoch 0) would be
+    // dropped as late on arrival
+    def ts(sec: Long) = new java.sql.Timestamp((3600L + sec) * 1000L)
+    // windows of 100 s; window 1 opens in batch 1 but its probe matches
+    // arrive in batch 2 — the state handoff a per-batch join would miss
+    val winBatches = Seq(
+      Seq((1L, ts(0L)), (2L, ts(50L))),
+      Seq((3L, ts(1000L))),
+      Seq((4L, ts(100000L)))) // far-future: advances the watermark
+    val probeBatches = Seq(
+      Seq((10L, ts(10L), 1L)),
+      Seq((11L, ts(60L), 2L), (12L, ts(1050L), 3L)),
+      Seq((13L, ts(100010L), 4L)))
+    val winIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val prIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val query = StreamingAnalytics.intervalJoin(
+      prIn.toDS().toDF("pid", "pts", "pv"),
+      winIn.toDS().toDF("wid", "ws"),
+      "pts", "ws", windowSeconds = 100L, watermark = "10 seconds")
+      .select("wid", "pid")
+      .writeStream.format("memory").queryName("ssj_sink").outputMode("append").start()
+    try {
+      winBatches.zip(probeBatches).foreach { case (wb, pb) =>
+        winIn.addData(wb); prIn.addData(pb); query.processAllAvailable()
+      }
+      val joinOp = query.lastProgress.stateOperators(0)
+      joinOp.operatorName shouldBe "symmetricHashJoin"
+      // the watermark at the last batch is far past every earlier
+      // window's end + delay: evicted join state must not retain the
+      // full history (4 windows × ≤2 buckets + 4 probes = 12 max)
+      joinOp.numRowsTotal should be < 12L
+    } finally query.stop()
+    val got = spark.table("ssj_sink").as[(Long, Long)].collect().toSet
+    got shouldBe Set(
+      (1L, 10L),             // batch-1 window × batch-1 probe
+      (1L, 11L), (2L, 11L),  // batch-1 windows × batch-2 probe (cross-batch)
+      (3L, 12L), (4L, 13L))
+  }
 }
