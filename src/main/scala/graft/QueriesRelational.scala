@@ -534,6 +534,39 @@ object QueriesRelational {
       |FROM a JOIN b ON a_s < b_e AND b_s < a_e
       |ORDER BY err_id, pur_id""".stripMargin
 
+  // ---------------------------------------------------------------- w4
+  // Ordered-funnel analysis: per user, the earliest view, the earliest
+  // click STRICTLY after that view, and the earliest purchase strictly
+  // after that click, plus the reached stage. The strictly-after
+  // dependency is a running min over a RANGE frame ending at -1
+  // ("all strictly-earlier rows"), so simultaneous events never
+  // qualify on each other and both engines agree without tie-break
+  // columns. Timestamps in truncated µs (the j6/j7 convention).
+  val w4Funnel: Q = (s, dir) =>
+    Relational.funnelStages(
+      t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type")),
+      "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
+  val w4FunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |q0 AS (SELECT *, CASE WHEN event_type = 'view' THEN ts_us END AS _q0 FROM e),
+      |q1 AS (SELECT *, CASE WHEN event_type = 'click'
+      |         AND min(_q0) OVER win IS NOT NULL THEN ts_us END AS _q1
+      |       FROM q0 WINDOW win AS (PARTITION BY user_id ORDER BY ts_us
+      |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |q2 AS (SELECT *, CASE WHEN event_type = 'purchase'
+      |         AND min(_q1) OVER win IS NOT NULL THEN ts_us END AS _q2
+      |       FROM q1 WINDOW win AS (PARTITION BY user_id ORDER BY ts_us
+      |         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, min(_q0) AS t_view_us, min(_q1) AS t_click_us,
+      |       min(_q2) AS t_purchase_us,
+      |       cast(CASE WHEN min(_q0) IS NOT NULL THEN 1 ELSE 0 END
+      |          + CASE WHEN min(_q1) IS NOT NULL THEN 1 ELSE 0 END
+      |          + CASE WHEN min(_q2) IS NOT NULL THEN 1 ELSE 0 END as bigint) AS stage
+      |FROM q2 GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- k2
   // Deterministic HyperLogLog: approximate distinct users per event
   // type from a 64-register sketch whose hash is the engine-portable
@@ -835,6 +868,7 @@ object QueriesRelational {
     "j7_interval_overlap" -> j7IntervalOverlap,
     "w2_sessionize" -> w2Sessionize,
     "w3_rolling" -> w3Rolling,
+    "w4_funnel" -> w4Funnel,
     "q1_pricing" -> q1Pricing,
     "q5_local_supplier" -> q5LocalSupplier,
     "w1_event_windows" -> w1EventWindows,
@@ -865,6 +899,7 @@ object QueriesRelational {
     "j7_interval_overlap" -> j7IntervalOverlapSql,
     "w2_sessionize" -> w2SessionizeSql,
     "w3_rolling" -> w3RollingSql,
+    "w4_funnel" -> w4FunnelSql,
     "q1_pricing" -> q1PricingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
     "w1_event_windows" -> w1EventWindowsSql,

@@ -203,6 +203,46 @@ object Relational {
       .drop("_abkt", "_bbkt")
   }
 
+  /** Funnel analysis: per user, the earliest completion time of each
+    * step prefix in `steps` — step i counts only when it happens
+    * STRICTLY after some completion of steps 0..i-1 (the classic
+    * ordered-sequence funnel). Emits one row per user with
+    * `t_<step>_us` per step (null = never reached) and `stage` = the
+    * completed prefix length.
+    *
+    * The sequential dependency is expressed with running-min windows
+    * over a RANGE frame ending at `-1` — "all rows of this user
+    * strictly earlier in time" — so simultaneous events can never
+    * qualify on each other and the result is deterministic without a
+    * tie-break column, on any engine, regardless of the order rows
+    * with equal timestamps are scanned.
+    *
+    * 100 TB shape: ONE hash shuffle on the user key and one sort
+    * carry every step (the chained windows share partitioning + order,
+    * so Catalyst stacks them without extra exchanges), and the final
+    * per-user aggregation reuses the same partitioning — funnel depth
+    * adds window expressions, never passes over the data.
+    */
+  def funnelStages(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelStages needs at least one step")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val staged = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
+      df.withColumn(s"_q$i",
+        if (i == 0) when(col(typeCol) === step, col(tsCol))
+        else when(col(typeCol) === step &&
+          min(col(s"_q${i - 1}")).over(w).isNotNull, col(tsCol)))
+    }
+    val mins = steps.indices.map(i => min(col(s"_q$i")).as(s"t_${steps(i)}_us"))
+    val stage = steps.indices
+      .map(i => when(col(s"t_${steps(i)}_us").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    staged.groupBy(userCol)
+      .agg(mins.head, mins.tail: _*)
+      .withColumn("stage", stage.cast("long"))
+  }
+
   /** A11 — positional split routing (60/20/20 by a global sort —
     * `scripts/preprocess_medmentions.py:100-114`). Emits a `split`
     * column.
