@@ -767,7 +767,52 @@ object QueriesStreaming {
       |WHERE e.user_id < 300
       |ORDER BY win_id, event_id""".stripMargin
 
+  /** st20 — the ordered funnel (w4) as a live per-user fold: state is
+    * one timestamp per step + a counter (constant per user, no
+    * partition sort), events arrive ts-ascending (the batch RANGE
+    * frame's contract), and the strict `mins(i-1) < ts` qualification
+    * reproduces the strictly-earlier frame so ties are
+    * order-insensitive. Batches emit snapshots for touched users only;
+    * the max-nSeen snapshot per user hash-matches w4's SQL oracle.
+    */
+  val st20StreamingFunnel: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FunnelEvent
+    val stepIdx = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    val feed = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      .orderBy("ts_us")
+      .as[(Long, Long, String)].collect()
+      .map { case (u, ts, et) => FunnelEvent(u, ts, stepIdx.getOrElse(et, -1)) }
+
+    withShufflePartitions(s, StP) {
+      val input = MemoryStream[FunnelEvent]
+      val query = StreamingFunnel.funnel(input.toDS(), 3)
+        .writeStream.format("memory").queryName("st20_sink").outputMode("append").start()
+      try {
+        feed.grouped(feed.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("userId").orderBy(col("nSeen").desc)
+    def t(i: Int) = when(col("mins")(i) >= 0, col("mins")(i))
+    val stage = (0 until 3).map(i => when(t(i).isNotNull, 1).otherwise(0)).reduce(_ + _)
+    s.table("st20_sink")
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("userId").as("user_id"), t(0).as("t_view_us"),
+        t(1).as("t_click_us"), t(2).as("t_purchase_us"),
+        stage.cast("long").as("stage"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st20_streaming_funnel" -> st20StreamingFunnel,
     "st19_streaming_range_join" -> st19StreamingRangeJoin,
     "st18_streaming_quantiles" -> st18StreamingQuantiles,
     "st17_streaming_cms" -> st17StreamingCms,
@@ -786,6 +831,7 @@ object QueriesStreaming {
     "st5_streaming_dedup" -> st5StreamingDedup,
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
+    "st20_streaming_funnel" -> QueriesRelational.w4FunnelSql,
     "st19_streaming_range_join" -> st19StreamingRangeJoinSql,
     "st18_streaming_quantiles" -> QueriesText.k4TokenQuantilesSql,
     "st17_streaming_cms" -> QueriesRelational.k3CmsTopkSql,

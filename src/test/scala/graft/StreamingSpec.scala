@@ -434,6 +434,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel: batching-independent, ties never qualify, non-step users surface") {
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FunnelEvent
+    implicit val sqlCtx = spark.sqlContext
+    // global ts order (the ingest contract); user 1 sees a step-1
+    // before any step-0 (must not count), user 2 has a step-0/step-1
+    // tie at ts=10 (strictly-after ⇒ not qualifying), user 3 has only
+    // a non-step event (must still surface, stage 0)
+    val feed = Seq(
+      FunnelEvent(3L, 5L, -1),
+      FunnelEvent(1L, 10L, 1), FunnelEvent(2L, 10L, 0), FunnelEvent(2L, 10L, 1),
+      FunnelEvent(1L, 20L, 0), FunnelEvent(2L, 20L, 1),
+      FunnelEvent(1L, 30L, 1), FunnelEvent(1L, 40L, 2))
+    def run(chunk: Int, sink: String): Map[Long, Seq[Long]] = {
+      val input = MemoryStream[FunnelEvent]
+      val query = StreamingFunnel.funnel(input.toDS(), 3)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        feed.grouped(chunk).foreach { c => input.addData(c); query.processAllAvailable() }
+      } finally query.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("userId").orderBy(col("nSeen").desc)
+      spark.table(sink)
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select("userId", "mins").as[(Long, Seq[Long])].collect().toMap
+    }
+    val out = run(2, "fun_many")
+    out shouldBe run(8, "fun_one") // batching-independent
+    out shouldBe Map(
+      1L -> Seq(20L, 30L, 40L), // the pre-step-0 step-1 at ts=10 skipped
+      2L -> Seq(10L, 20L, -1L), // the ts=10 step-1 tie never qualifies
+      3L -> Seq(-1L, -1L, -1L))
+  }
+
   test("stream-stream interval join: cross-batch matches, symmetric-hash plan, state evicted") {
     import graft.streaming.StreamingAnalytics
     implicit val sqlCtx = spark.sqlContext
