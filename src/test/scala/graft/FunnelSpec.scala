@@ -45,6 +45,31 @@ class FunnelSpec extends SparkSpec {
     out(2L) shouldBe ((Some(10L), None, None, 1L))
   }
 
+  test("seeded random parity with the closed-form funnel definition") {
+    // closed form: t_0 = min step-0 ts; t_i = min { step-i ts : ts > t_{i-1} }
+    // — equivalent to the running strictly-earlier frame because t_{i-1}
+    // is the global minimum qualifying time
+    def local(rows: Seq[(Long, Long, String)]): Map[Long, Seq[Option[Long]]] =
+      rows.groupBy(_._1).map { case (u, es) =>
+        val byStep = steps.map(st => es.filter(_._3 == st).map(_._2))
+        val ts = byStep.foldLeft(Seq.empty[Option[Long]]) { (acc, cand) =>
+          val prev = acc.lastOption.getOrElse(Some(Long.MinValue))
+          acc :+ prev.flatMap(p => cand.filter(_ > p).minOption)
+        }
+        u -> ts
+      }
+    for (seed <- Seq(3, 99, 2026)) {
+      val rnd = new scala.util.Random(seed)
+      val types = Seq("a", "b", "c", "x", "y") // includes non-step noise
+      // few users × coarse ts: dense same-ts collisions across steps
+      val rows = (0 until 400).map { _ =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong, types(rnd.nextInt(types.length)))
+      }
+      val got = run(rows).map { case (u, (a, b, c, _)) => u -> Seq(a, b, c) }
+      withClue(s"seed=$seed: ") { got shouldBe local(rows) }
+    }
+  }
+
   test("funnelStages: one user-key exchange carries all steps (no per-step shuffles)") {
     val df = Relational.funnelStages(
       Seq((1L, 10L, "a")).toDF("u", "ts", "et"), "u", "ts", "et", steps)

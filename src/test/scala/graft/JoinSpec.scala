@@ -142,4 +142,45 @@ class JoinSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("seeded random parity: both bucketized joins match the naive join, duplicates included") {
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      // clustered starts + heavy-tailed lengths: intervals span 0..30+
+      // buckets at width 16, plus empties/inverted and exact-boundary ts
+      def ivals(n: Int, tag: Long) = (0 until n).map { i =>
+        val s = rnd.nextInt(512).toLong
+        val len = rnd.nextInt(6) match {
+          case 0 => 0L                      // empty
+          case 1 => -rnd.nextInt(40).toLong // inverted
+          case _ => rnd.nextInt(500).toLong
+        }
+        (tag * 1000 + i, s, s + len)
+      }
+      val pr = (0 until 150).map(i => (i.toLong, (rnd.nextInt(36) * 16).toLong))
+        .toDF("pid", "pts") // many ts exactly on bucket boundaries
+      val as = ivals(60, 1).toDF("aid", "a_s", "a_e")
+      val bs = ivals(60, 2).toDF("bid", "b_s", "b_e")
+
+      val naiveRange = pr.crossJoin(as)
+        .where(col("pts") >= col("a_s") && col("pts") < col("a_e"))
+        .select("pid", "aid").as[(Long, Long)].collect().toSeq.sorted
+      val gotRange = Relational.rangeJoinBucketed(pr, as, "pts", "a_s", "a_e", 16L)
+        .select("pid", "aid").as[(Long, Long)].collect().toSeq.sorted
+      withClue(s"seed=$seed range: ") { gotRange shouldBe naiveRange }
+
+      // the raw two-sided predicate alone would also fire for INVERTED
+      // intervals (e.g. a=[50,150) × b=(100,60]): "overlap" is only
+      // meaningful for well-formed ones, which the operator's
+      // end > start guard encodes — mirror it here
+      val naiveOv = as.where(col("a_e") > col("a_s"))
+        .crossJoin(bs.where(col("b_e") > col("b_s")))
+        .where(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+        .select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+      val gotOv = Relational
+        .intervalOverlapJoin(as, bs, "a_s", "a_e", "b_s", "b_e", 16L)
+        .select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+      withClue(s"seed=$seed overlap: ") { gotOv shouldBe naiveOv }
+    }
+  }
 }
