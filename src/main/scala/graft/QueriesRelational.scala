@@ -345,6 +345,40 @@ object QueriesRelational {
       |       cast(sum(cast(round(value*100, 0) as bigint)) as bigint) AS total
       |FROM events GROUP BY user_id ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------- j8
+  // Skew-salted equi-join (the join-side escape hatch next to k1's
+  // salted aggregation): events carry only 5 distinct event_type
+  // values — every key is hot, the worst shuffled-join shape — so the
+  // fact side salts 8 ways off event_id and the 5-row per-type
+  // dimension (derived here; stands in for one too big to broadcast)
+  // replicates across the salts. The salt never changes which rows
+  // pair: the oracle is the PLAIN join, and the enrichment output is
+  // exact-integer arithmetic throughout.
+  val j8SaltedJoin: Q = (s, dir) => {
+    val dim = t(s, dir, "events")
+      .groupBy(col("event_type").as("d_type"))
+      .agg(count(lit(1)).cast("long").as("type_n"),
+        sum(cents(col("value"))).cast("long").as("type_cents"))
+    graft.operators.Skew.saltedJoin(
+      t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+      dim, col("event_type"), col("d_type"), col("event_id"), 8)
+      .select(col("event_id"), col("event_type"), col("type_n"),
+        // integral div (values are positive, so div ≡ DuckDB's //)
+        expr("cast(round(value*100, 0) as bigint) * 1000000L div type_cents")
+          .as("share_ppm"))
+      .orderBy("event_id")
+  }
+
+  val j8SaltedJoinSql: String =
+    """WITH dim AS (
+      |  SELECT event_type AS d_type, count(*) AS type_n,
+      |         cast(sum(cast(round(value*100, 0) as bigint)) as bigint) AS type_cents
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, d.type_n,
+      |       cast(round(e.value*100, 0) as bigint) * 1000000 // d.type_cents AS share_ppm
+      |FROM events e JOIN dim d ON e.event_type = d.d_type
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- a11
   // Positional split routing (preprocess_medmentions.py:100-114).
   val a11SplitRouting: Q = (s, dir) => {
@@ -866,6 +900,7 @@ object QueriesRelational {
     "j5_rollup" -> j5Rollup,
     "j6_range_join" -> j6RangeJoin,
     "j7_interval_overlap" -> j7IntervalOverlap,
+    "j8_salted_join" -> j8SaltedJoin,
     "w2_sessionize" -> w2Sessionize,
     "w3_rolling" -> w3Rolling,
     "w4_funnel" -> w4Funnel,
@@ -897,6 +932,7 @@ object QueriesRelational {
     "j5_rollup" -> j5RollupSql,
     "j6_range_join" -> j6RangeJoinSql,
     "j7_interval_overlap" -> j7IntervalOverlapSql,
+    "j8_salted_join" -> j8SaltedJoinSql,
     "w2_sessionize" -> w2SessionizeSql,
     "w3_rolling" -> w3RollingSql,
     "w4_funnel" -> w4FunnelSql,

@@ -33,4 +33,26 @@ object Skew {
       .agg(sum(value).as("_s"))
       .groupBy(col("k"))
       .agg(sum("_s").cast("long").as("total"))
+
+  /** Salted equi-join — the manual fallback when a hot fact key
+    * overwhelms one reducer, the dimension is too large to broadcast,
+    * and AQE's skew splitting doesn't apply (it only splits sort-merge
+    * join partitions, not e.g. stream-static joins or shuffled hash
+    * joins fed by an aggregation). The fact side gets a deterministic
+    * salt in `[0, salts)` from a row-id column (never rand() —
+    * reproducibility); the dimension replicates `salts` times; the
+    * join key becomes (key, salt), fanning each hot key across `salts`
+    * reducers at the cost of a `salts`× dimension replication. The
+    * salt never changes which rows pair, so the result is exactly the
+    * unsalted join's.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: Column, dimKey: Column,
+                 rowId: Column, salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive: $salts")
+    fact.withColumn("_salt", pmod(rowId.cast("long"), lit(salts.toLong)))
+      .join(dim.withColumn("_dsalt",
+        explode(sequence(lit(0L), lit((salts - 1).toLong)))),
+        factKey === dimKey && col("_salt") === col("_dsalt"))
+      .drop("_salt", "_dsalt")
+  }
 }

@@ -117,6 +117,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: salted join equals plain join (hot keys, missing keys, duplicates)") {
+    val rowsGen = Gen.listOf(for { k <- Gen.choose(0, 3); v <- Gen.choose(-100, 100) } yield (k, v))
+    forAll(rowsGen, Gen.choose(2, 7)) { (rows, salts) =>
+      whenever(rows.nonEmpty) {
+        val fact = rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, s"k$k", v.toLong) }
+          .toDF("rid", "fk", "v")
+        // dim misses k3 (inner join drops those facts) and has no dups
+        val dim = Seq(("k0", 10L), ("k1", 20L), ("k2", 30L)).toDF("dk", "dv")
+        val salted = Skew.saltedJoin(fact, dim, col("fk"), col("dk"), col("rid"), salts)
+          .select("rid", "fk", "dv").as[(Long, String, Long)].collect().toSeq.sorted
+        val plain = fact.join(dim, col("fk") === col("dk"))
+          .select("rid", "fk", "dv").as[(Long, String, Long)].collect().toSeq.sorted
+        assert(salted == plain)
+      }
+    }
+  }
+
+  test("salted join fans a hot key across all salt sub-keys") {
+    // every fact row carries ONE key: the salted join must spread the
+    // shuffle across `salts` distinct (key, salt) combinations — the
+    // whole point of the operator; recompute its deterministic salt
+    val n = 64
+    val fact = (0 until n).map(i => (i.toLong, "hot", i.toLong)).toDF("rid", "fk", "v")
+    val salts = 8
+    val saltDist = fact.select(pmod(col("rid"), lit(salts.toLong)).as("s"))
+      .distinct().count()
+    saltDist shouldBe salts.toLong
+    val dim = Seq(("hot", 1L)).toDF("dk", "dv")
+    Skew.saltedJoin(fact, dim, col("fk"), col("dk"), col("rid"), salts)
+      .count() shouldBe n.toLong
+  }
+
   test("grinch flatClusterByKey separates keys") {
     val df = Seq(
       (0L, 0L, Array(1f, 0f)), (0L, 1L, Array(1f, 0f)),
