@@ -876,7 +876,7 @@ object QueriesGrinch {
        |      ) z6
        |    ) z7
        |  ) z8),
-       |fin AS (SELECT * FROM step WHERE i = n)""".stripMargin
+       |fin AS MATERIALIZED (SELECT * FROM step WHERE i = n)""".stripMargin
   }
 
   // NB: the prefix is concatenated, never re-interpolated under

@@ -738,7 +738,7 @@ object QueriesStreaming {
         .writeStream.format("memory").queryName("st19_sink").outputMode("append").start()
       try {
         // time-aligned chunks: both streams sorted by ts, both split in
-        // 3, so the global watermark advances and state eviction runs
+        // 2, so the global watermark advances and state eviction runs
         // live (a window can never be evicted before its probe rows:
         // eviction needs watermark > w_start + 10min + delay, and any
         // later-arriving match would have ts past that watermark)

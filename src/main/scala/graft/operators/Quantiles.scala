@@ -48,8 +48,10 @@ object Quantiles {
     val cum = hist.withColumn("cum",
       sum("c").over(Window.partitionBy("g").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = df.select(stratum.as("g"))
-      .groupBy("g").agg(count(lit(1)).cast("long").as("n"))
+    // per-stratum totals come from the histogram, not a second corpus
+    // scan: sum(c) per g over the bounded hist relation is exactly
+    // count(*) per g over df, and keeps the operator one-pass
+    val tot = hist.groupBy("g").agg(sum("c").cast("long").as("n"))
     val wanted = pcts.map(_.toLong).toDF("pct")
     cum.join(broadcast(tot), "g").crossJoin(broadcast(wanted))
       .where(col("cum") >= expr("(pct * n + 99) div 100"))

@@ -161,6 +161,15 @@ object Relational {
       tsCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // fail fast on the comment-only preconditions: a violating caller
+    // would otherwise get silently wrong joins (ambiguous residual
+    // columns, clobbered temp buckets), not an error
+    val overlap = probe.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"probe/interval column names must be disjoint, both have: ${overlap.mkString(", ")}")
+    val reserved = (probe.columns ++ intervals.columns).toSet.intersect(Set("_pbkt", "_ibkt"))
+    require(reserved.isEmpty,
+      s"reserved temp columns already present: ${reserved.mkString(", ")}")
     val iv = intervals
       .where(col(endCol) > col(startCol))
       .withColumn("_ibkt", explode(sequence(
@@ -191,6 +200,12 @@ object Relational {
       aStart: String, aEnd: String, bStart: String, bEnd: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val overlap = a.columns.toSet.intersect(b.columns.toSet)
+    require(overlap.isEmpty,
+      s"a/b column names must be disjoint, both have: ${overlap.mkString(", ")}")
+    val reserved = (a.columns ++ b.columns).toSet.intersect(Set("_abkt", "_bbkt"))
+    require(reserved.isEmpty,
+      s"reserved temp columns already present: ${reserved.mkString(", ")}")
     def explodeBuckets(df: DataFrame, s: String, e: String, out: String) =
       df.where(col(e) > col(s)).withColumn(out, explode(sequence(
         expr(s"$s div ${bucketWidth}L"),

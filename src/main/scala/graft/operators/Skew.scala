@@ -49,6 +49,9 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: Column, dimKey: Column,
                  rowId: Column, salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive: $salts")
+    val reserved = (fact.columns ++ dim.columns).toSet.intersect(Set("_salt", "_dsalt"))
+    require(reserved.isEmpty,
+      s"reserved temp columns already present: ${reserved.mkString(", ")}")
     fact.withColumn("_salt", pmod(rowId.cast("long"), lit(salts.toLong)))
       .join(dim.withColumn("_dsalt",
         explode(sequence(lit(0L), lit((salts - 1).toLong)))),
