@@ -236,14 +236,13 @@ object QueriesVector {
        |ORDER BY vec_id, idx""".stripMargin
 
   // ---------------------------------------------------------------- v6
-  // IVF-style ANN (KMeans coarse quantizer, search own cell only) —
-  // rows-only: the centroid fit's float math is not SQL-reproducible.
-  // Kept as the spark.ml-interop / fit-quality DEMO path; v9 is the
-  // production twin (same shuffle shape, integer build, full oracle).
-  val v6IvfAnn: Q = (s, dir) =>
-    Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
-      col("vec_id"), col("embedding"), nCells = 16, k = 3, Seed)
-      .orderBy("query_id", "rank")
+  // IVF-style ANN (KMeans coarse quantizer) — RETIRED from the driver
+  // catalog: the spark.ml float fit can never be SQL-reproduced, so as
+  // a `queries` entry it could only ever be a rows-only demo. The
+  // operator itself ([[Similarity.ivfTopK]]) stays, pinned by
+  // VectorSpec's seeded-determinism + recall@k-vs-exact spec; v9 is
+  // the production twin (same shuffle shape, integer build, full
+  // hash-checked oracle).
 
   // ---------------------------------------------------------------- v9
   // Deterministic INTEGER IVF ANN: one global int8 scale, centroid init
@@ -386,7 +385,6 @@ object QueriesVector {
     "v3_gram_pairs" -> v3GramPairs,
     "v4_blend_scores" -> v4BlendScores,
     "v5_l2_normalize" -> v5L2Normalize,
-    "v6_ivf_ann" -> v6IvfAnn,
     "v7_rhp_multitable" -> v7RhpMultiTable,
     "v8_quantize_int8" -> v8QuantizeInt8,
     "v9_int_ivf" -> v9IntIvf,
