@@ -150,6 +150,41 @@ class VectorSpec extends SparkSpec {
     if (q0.nonEmpty) q0.head._2 shouldBe 1L
   }
 
+  // Pins the retired-from-catalog v6 path (QueriesVector.scala): the
+  // float KMeans fit is not SQL-reproducible, so the operator is held
+  // to a seeded-determinism contract plus a recall@k floor against the
+  // exact top-k (v1) instead of a DuckDB oracle.
+  test("ivfTopK is deterministic across runs (seeded KMeans fit)") {
+    val df = clusteredVecs.toDF("vec_id", "embedding")
+    def run() = Similarity.ivfTopK(df, col("vec_id"), col("embedding"),
+      nCells = 4, k = 5, seed = 7L, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    run() shouldBe run()
+  }
+
+  test("ivfTopK recall@5 vs exact cosine top-k is at least 0.6") {
+    val df = clusteredVecs.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(df, df, col("vec_id"), col("embedding"), 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(df, col("vec_id"), col("embedding"),
+      nCells = 4, k = 5, seed = 7L, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    recall should be >= 0.6
+  }
+
+  /** 60 vectors in 4 tight clusters around orthogonal axes (seeded). */
+  private def clusteredVecs: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(13)
+    (0 until 60).map { i =>
+      val axis = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d == axis) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v)
+    }
+  }
+
   test("intIvfTopK is deterministic across runs (integer build)") {
     val df = vecs.toDF("vec_id", "embedding")
     def run() = Similarity.intIvfTopK(df, col("vec_id"), col("embedding"),
