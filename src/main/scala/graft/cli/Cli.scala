@@ -120,16 +120,23 @@ object Cli {
         // whole stream).
         import spark.implicits._
         import org.apache.spark.sql.expressions.Window
-        val content = spark.read.option("wholetext", "true").text(in)
-          .as[String].collect().mkString("\n")
-        val chunks = Sources.aidaChunks(content).zipWithIndex
-        spark.createDataset(chunks)
+        // Distributed chunking (no driver materialize): lineSep splits
+        // the file into records AT each -DOCSTART- marker — the same
+        // boundaries as aidaChunks' lookahead split, with the marker
+        // consumed (re-prepended below so parseAidaChunk sees the
+        // byte-identical header line). RDD zipWithIndex numbers records
+        // in byte-offset order = file order, the same technique as
+        // eval-clusters' mid; the ordinal only feeds the ORDER BY, so
+        // the dropped empty pre-marker record shifting it by one is
+        // immaterial.
+        spark.read.option("lineSep", "-DOCSTART-").textFile(in)
+          .rdd.zipWithIndex()
           .flatMap { case (c, ord) =>
-            Sources.parseAidaChunk(c).toSeq.flatMap { d =>
+            Sources.parseAidaChunk("-DOCSTART-" + c).toSeq.flatMap { d =>
               d.mentions.zipWithIndex.collect {
                 case (m, i) if m.entityId != "--NME--" =>
                   (d.text.take(m.start), d.text.slice(m.start, m.end), d.text.drop(m.end),
-                    m.entityId, d.docId, ord.toLong, i.toLong)
+                    m.entityId, d.docId, ord, i.toLong)
               }
             }
           }
