@@ -240,11 +240,11 @@ object Cli {
           flags.get("tree").foreach { treePath =>
             Sources.writeDendrogramTsv(
               both.where(col("kind") === "node")
-                .select(col("uid"), col("parent_uid"), col("label")), treePath)
+                .select(col("node_uid").as("uid"), col("parent_uid"), col("label")), treePath)
           }
           flags.get("output").foreach { outPath =>
             val pairs = both.where(col("kind") === "pair")
-              .select(col("uid").cast("long").as("id"), col("pred_cluster"))
+              .select(col("point_id").as("id"), col("pred_cluster"))
             val withTrue = Relational.dictEncode(
               emb.join(pairs, emb("uid") === pairs("id")),
               col("entity_id"), emb("uid"), "true_id")

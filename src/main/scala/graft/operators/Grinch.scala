@@ -635,21 +635,19 @@ object Grinch {
   def dendrogram(df: DataFrame, id: Column, vec: Column, order: Column, label: Column,
                  p: Params): DataFrame =
     dendrogramAndClusters(df, id, vec, order, label, p, clusters = None)
-      .select(col("uid"), col("parent_uid"), col("label"))
+      .select(col("node_uid").as("uid"), col("parent_uid"), col("label"))
 
   /** One build, optionally two relations — the CLI's --tree + --output
     * path (`cluster_w_grinch.py` builds once; a naive twin would run
-    * the O(n·limit) automaton twice). Rows tagged kind ∈ {node, pair}:
-    * node → (uid, parent_uid, label); pair → (uid = point id,
-    * pred_cluster) with the cut at `clusters = Some((threshold,
-    * target))` — explicit θ, or bisection toward `target` when None.
-    * With `clusters = None` only node rows are emitted.
-    *
-    * WARNING: `uid` carries TWO id spaces — node rows hold automaton
-    * slot indices (leaf slots = stream positions, internals above n),
-    * pair rows hold the caller's original point ids. ALWAYS filter on
-    * `kind` before joining or interpreting `uid`; a consumer that
-    * mixes the two silently joins the wrong entities.
+    * the O(n·limit) automaton twice). Rows tagged kind ∈ {node, pair},
+    * with the two id spaces in two COLUMNS so no consumer can join the
+    * wrong one: node → (node_uid, parent_uid, label) in automaton slot
+    * indices (leaf slots = stream positions, internals above n), with
+    * point_id/pred_cluster null; pair → (point_id, pred_cluster) in
+    * the caller's original point ids, with the node columns null. The
+    * cut comes from `clusters = Some((threshold, target))` — explicit
+    * θ, or bisection toward `target` when None. With `clusters = None`
+    * only node rows are emitted.
     */
   def dendrogramAndClusters(df: DataFrame, id: Column, vec: Column, order: Column,
                             label: Column, p: Params,
@@ -667,20 +665,22 @@ object Grinch {
         else {
           val g = build(rows.map(_._2), p)
           val nodes = g.treeNodes(i => Option(rows(i)._4)).iterator
-            .map(t => ("node", t.uid, t.parentUid.orNull, t.label.orNull, null.asInstanceOf[java.lang.Long]))
+            .map(t => ("node", t.uid, t.parentUid.orNull, t.label.orNull,
+              null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long]))
           val pairs = clusters.iterator.flatMap { case (threshold, target) =>
             val assign = threshold match {
               case Some(t) => g.flatClustering(t)
               case None => bisectCut(g, rows.length, target, maxIters)
             }
             rows.iterator.zipWithIndex.map { case ((rid, _, _, _), i) =>
-              ("pair", rid.toString, null.asInstanceOf[String], null.asInstanceOf[String],
+              ("pair", null.asInstanceOf[String], null.asInstanceOf[String],
+                null.asInstanceOf[String], java.lang.Long.valueOf(rid),
                 java.lang.Long.valueOf(assign(i).toLong))
             }
           }
           nodes ++ pairs
         }
       }
-      .toDF("kind", "uid", "parent_uid", "label", "pred_cluster")
+      .toDF("kind", "node_uid", "parent_uid", "label", "point_id", "pred_cluster")
   }
 }

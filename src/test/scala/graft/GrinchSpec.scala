@@ -69,6 +69,25 @@ class GrinchSpec extends SparkSpec {
     tree.count(_.label.isDefined) shouldBe pts.length
   }
 
+  test("dendrogramAndClusters keeps node uids and point ids in separate columns") {
+    val (pts, labels) = twoClusterPoints(8)
+    // non-slot point ids (i*10+3) so a node/point id-space mixup cannot
+    // accidentally line up
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong * 10 + 3, v, i.toLong, labels(i).toString) }
+      .toSeq.toDF("id", "vec", "ord", "lab")
+    val both = Grinch.dendrogramAndClusters(df, col("id"), col("vec"), col("ord"),
+      col("lab"), Grinch.Params(), clusters = Some((Some(0.5), 0L)))
+    val nodes = both.where(col("kind") === "node")
+    val pairs = both.where(col("kind") === "pair")
+    nodes.where(col("node_uid").isNull || col("point_id").isNotNull).count() shouldBe 0L
+    pairs.where(col("point_id").isNull || col("node_uid").isNotNull).count() shouldBe 0L
+    // pair rows carry the caller's ORIGINAL ids, one per input point
+    pairs.select("point_id").as[Long].collect().sorted.toSeq shouldBe
+      (0 until pts.length).map(_.toLong * 10 + 3)
+    // node leaf slots are stream positions [0, n) — disjoint space
+    nodes.where(col("label").isNotNull).count() shouldBe pts.length.toLong
+  }
+
   test("flatCluster Spark operator matches the driver-side automaton") {
     val (pts, _) = twoClusterPoints(8)
     val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
