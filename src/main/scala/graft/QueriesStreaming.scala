@@ -22,13 +22,35 @@ object QueriesStreaming {
     * EMPTY stores whose checkpoint upkeep dominates wall time. Results
     * are partition-invariant (every query orders its output). The conf
     * is restored afterwards; streams capture it at start.
+    *
+    * State-store provider toggle: `spark.graft.stateStore=rocksdb`
+    * (session conf, or the SPARK_GRAFT_STATE_STORE env var) routes
+    * every streaming twin through RocksDBStateStoreProvider instead of
+    * the default HDFS-backed in-memory provider. At 100 TB streaming
+    * state the RocksDB provider is the production choice (state spills
+    * to local disk instead of executor heap, incremental checkpoints);
+    * outputs are provider-invariant — StreamingSpec runs st17 under
+    * both and asserts identical results.
     */
   private[graft] def withShufflePartitions[T](
       s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = sys.env.get("SPARK_GRAFT_STATE_STORE")
+      .orElse(s.conf.getOption("spark.graft.stateStore"))
+      .exists(_.equalsIgnoreCase("rocksdb"))
     val prev = s.conf.get(key)
+    val prevP = s.conf.getOption(pKey)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    if (rocks) s.conf.set(pKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      s.conf.set(key, prev)
+      if (rocks) prevP match {
+        case Some(p) => s.conf.set(pKey, p)
+        case None => s.conf.unset(pKey)
+      }
+    }
   }
 
   // State stores per micro-batch = shuffle partitions. Round-6 A/B at

@@ -322,6 +322,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("spark.graft.stateStore=rocksdb routes streams through RocksDBStateStoreProvider") {
+    spark.conf.set("spark.graft.stateStore", "rocksdb")
+    try {
+      QueriesStreaming.withShufflePartitions(spark, 4) {
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass") should
+          include("RocksDBStateStoreProvider")
+      }
+      // restored on exit — later streams are back on the default
+      // provider (conf.get falls back to the HDFS-backed default)
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass") should
+        not include "RocksDB"
+    } finally spark.conf.unset("spark.graft.stateStore")
+  }
+
+  test("st17 streaming CMS output is identical under the RocksDB state store") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    def run(): Seq[Seq[Any]] =
+      SparkEntry.queries("st17_streaming_cms")(spark, dir)
+        .collect().map(_.toSeq.toList).toSeq
+    val default = run()
+    default should not be empty
+    spark.conf.set("spark.graft.stateStore", "rocksdb")
+    try run() shouldBe default
+    finally spark.conf.unset("spark.graft.stateStore")
+  }
+
   test("streaming sessionization: sessions continue and split across micro-batches") {
     import graft.streaming.StreamingSessions
     import graft.streaming.StreamingSessions.SessionEvent
