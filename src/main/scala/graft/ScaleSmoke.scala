@@ -1,0 +1,52 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scale smoke (VERDICT r7 #2): run the iterative/wide
+  * catalog queries at two or more scale-factor directories and emit
+  * one JSON line per (dir, query) with raw per-iteration wall times,
+  * the min, and — for d7 — the connected-components round count, so
+  * SCALE.md's 100x argument carries executed evidence, not only a
+  * plan audit. The 10x dataset comes from `scripts/gen_sf1.py`
+  * (schema- and shape-matched to the driver's sf0.1; the smoke
+  * measures scaling, not oracle hashes).
+  *
+  * Usage: runMain graft.ScaleSmoke <sfDir> [<sfDir> ...]
+  * Env: SPARK_GRAFT_SMOKE_ITERS (default 2),
+  *      SPARK_GRAFT_SMOKE_ONLY (comma-separated query names).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleSmoke <sfDir> [<sfDir> ...]")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ITERS", "2").toInt.max(1)
+    val names = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").toSeq).getOrElse(Seq(
+        "d7_cc_dedup", "d8_keep_best", "t8_top_ngrams", "g4_find_threshold",
+        "x1_char_bigram_tf", "k4_token_quantiles", "j6_range_join"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    args.foreach { dir =>
+      names.foreach { n =>
+        System.gc(); Thread.sleep(50)
+        val times = (0 until iters).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val rounds =
+          if (n == "d7_cc_dedup") s""","cc_rounds":${operators.Dedup.lastCcRounds}"""
+          else ""
+        println(s"""{"smoke":"$n","sf":"$dir","min":${fmt(times.min)},"times":[${times.map(fmt).mkString(",")}]$rounds}""")
+      }
+    }
+    spark.stop()
+  }
+}

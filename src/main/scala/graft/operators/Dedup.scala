@@ -105,6 +105,13 @@ object Dedup {
     *
     * Returns (node, comp): comp = min node id of the component.
     */
+  /** Diagnostic only: rounds the most recent [[connectedComponents]]
+    * call took to converge (driver-side, written after its loop) —
+    * read by [[graft.ScaleSmoke]] to report convergence depth against
+    * the maxRounds cap. Not part of any query's semantics.
+    */
+  @volatile var lastCcRounds: Int = 0
+
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
                           maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(a.cast("long").as("src"), b.cast("long").as("dst"))
@@ -139,6 +146,7 @@ object Dedup {
       rounds += 1
     }
     sym.unpersist()
+    lastCcRounds = rounds
     require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
     labels
   }
