@@ -895,6 +895,37 @@ object QueriesRelational {
       |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) as bigint) AS rolling_7d_cents
       |FROM d ORDER BY user_id, day""".stripMargin
 
+  // ---------------------------------------------------------------- w5
+  // Cohort retention — the activation/retention matrix every event-log
+  // pipeline reports: users cohorted by first-active day, retention =
+  // distinct users active at each day offset from their cohort. Shape:
+  // one distinct over (user, day) — after which EVERYTHING is bounded
+  // by users × days, never the event count — a per-user min (partial
+  // agg), a user-key join (co-partitioned with the distinct's
+  // exchange), and a final small-key aggregation with map-side
+  // partials. The distinct (user, day) guarantees each user counts
+  // once per offset, so count(*) IS count(distinct user) without a
+  // distinct aggregate's extra exchange.
+  val w5CohortRetention: Q = (s, dir) => {
+    val dayNs = 86400000000000L
+    val activity = t(s, dir, "events")
+      .select(col("user_id"), expr(s"ts div ${dayNs}L").as("day"))
+      .distinct()
+    val cohort = activity.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val w5CohortRetentionSql: String =
+    """WITH a AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+      |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+      |       cast(count(*) as bigint) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "j4_asof_join" -> j4AsofJoin,
     "j5_rollup" -> j5Rollup,
@@ -904,6 +935,7 @@ object QueriesRelational {
     "w2_sessionize" -> w2Sessionize,
     "w3_rolling" -> w3Rolling,
     "w4_funnel" -> w4Funnel,
+    "w5_cohort_retention" -> w5CohortRetention,
     "q1_pricing" -> q1Pricing,
     "q5_local_supplier" -> q5LocalSupplier,
     "w1_event_windows" -> w1EventWindows,
@@ -936,6 +968,7 @@ object QueriesRelational {
     "w2_sessionize" -> w2SessionizeSql,
     "w3_rolling" -> w3RollingSql,
     "w4_funnel" -> w4FunnelSql,
+    "w5_cohort_retention" -> w5CohortRetentionSql,
     "q1_pricing" -> q1PricingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
     "w1_event_windows" -> w1EventWindowsSql,

@@ -320,6 +320,28 @@ object QueriesText {
        |  FROM documents)
        |WHERE rn <= $quotaK ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- p12
+  // Deterministic global uniform k-sample — the reservoir-sampling
+  // primitive ("exactly k docs, uniformly") as bottom-k by seeded hash:
+  // mergeable, so the plan is TakeOrderedAndProject (each partition
+  // forwards its own k, no global sort — QualitySpec asserts the node)
+  // and the streaming twin st21 keeps exactly k rows of state. Same
+  // Knuth-mix hash as p10/p11 ⇒ the oracle replays the selection.
+  private[graft] val bottomK = 120
+
+  val p12BottomkSample: Q = (s, dir) =>
+    graft.operators.Sampling.bottomKSample(
+      Tables.load(s, dir, "documents"), col("doc_id"), bottomK, seed = 11L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val p12BottomkSampleSql: String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang FROM documents
+       |  ORDER BY (((doc_id % $P) * 2654435761 + 11) % $P + $P) % $P, doc_id
+       |  LIMIT $bottomK)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- k4
   // Exact corpus length-distribution percentiles (p50/p90/p95/p99 of
   // whitespace token counts) — the k-family EXACT aggregate next to k2's
@@ -677,6 +699,50 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- st21
+  // The deterministic reservoir as a live stream: documents arrive in
+  // three micro-batches, the keyed state is exactly the k smallest
+  // (hash, id) pairs, and because bottom-k is a merge law the final
+  // reservoir equals the batch p12 selection row-for-row — st21
+  // hash-matches the SAME oracle: streaming = batch = SQL for the
+  // uniform-sampling stage of the pipeline too.
+  val st21StreamingSample: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSampling
+    import graft.streaming.StreamingSampling.SampleEvent
+    val rows = Tables.load(s, dir, "documents")
+      // reduce mod P before the multiply (overflow/sign guard, = batch p12)
+      .withColumn("h", (((col("doc_id") % P) * 2654435761L + 11L) % P + P) % P)
+      .select(col("doc_id"), col("h"))
+      .orderBy("doc_id")
+      .as[(Long, Long)]
+      .collect()
+      .map { case (id, h) => SampleEvent("all", id, h) }
+
+    QueriesStreaming.withShufflePartitions(s, 4) {
+      val input = MemoryStream[SampleEvent]
+      val query = StreamingSampling.bottomK(input.toDS(), bottomK)
+        .writeStream.format("memory").queryName("st21_sink").outputMode("append").start()
+      try {
+        rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    // the sample = the LAST batch's whole-reservoir snapshot (an id
+    // present at an earlier step may have been evicted since)
+    val snap = s.table("st21_sink")
+    val last = snap.groupBy().agg(max(col("step")).as("ms"))
+    snap.join(broadcast(last), snap("step") === last("ms"))
+      .select(col("id").as("doc_id"))
+      .join(Tables.load(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "st6_streaming_neardup" -> st6StreamingNeardup,
     "t1_token_quality" -> t1TokenQuality,
@@ -694,6 +760,8 @@ object QueriesText {
     "st8_streaming_cc" -> st8StreamingCc,
     "p10_stratified_sample" -> p10StratifiedSample,
     "p11_quota_sample" -> p11QuotaSample,
+    "p12_bottomk_sample" -> p12BottomkSample,
+    "st21_streaming_sample" -> st21StreamingSample,
     "k4_token_quantiles" -> k4TokenQuantiles,
     "k5_grouped_quantiles" -> k5GroupedQuantiles,
     "t5_decontamination" -> t5Decontamination,
@@ -717,6 +785,8 @@ object QueriesText {
     "st8_streaming_cc" -> d7CcDedupSql,
     "p10_stratified_sample" -> p10StratifiedSampleSql,
     "p11_quota_sample" -> p11QuotaSampleSql,
+    "p12_bottomk_sample" -> p12BottomkSampleSql,
+    "st21_streaming_sample" -> p12BottomkSampleSql,
     "k4_token_quantiles" -> k4TokenQuantilesSql,
     "k5_grouped_quantiles" -> k5GroupedQuantilesSql,
     "t5_decontamination" -> t5DecontaminationSql,

@@ -74,6 +74,31 @@ object Sampling {
       .drop("_qrn")
   }
 
+  /** Deterministic global uniform k-sample — the reservoir-sampling
+    * primitive of a training-data pipeline ("give me exactly k docs,
+    * uniformly"), re-expressed so it distributes AND streams: keep the
+    * k rows with the SMALLEST seeded hash of their id (ties by id).
+    * At a fixed seed the hash order is a uniform-ish permutation, so
+    * bottom-k by hash ≡ a uniform k-sample, but — unlike an RNG
+    * reservoir — the selection is reproducible across runs,
+    * partitionings, and engines (the oracle recomputes the hash).
+    *
+    * Scale: bottom-k is MERGEABLE (the bottom-k of a union is the
+    * bottom-k of the parts' bottom-k's), so `orderBy(h).limit(k)`
+    * compiles to TakeOrderedAndProject — each partition forwards only
+    * its own k rows and the driver merges #partitions × k, never a
+    * global sort (asserted in QualitySpec). The same merge law gives
+    * the streaming twin (st21) exactly k rows of state and
+    * batching-independent results.
+    */
+  def bottomKSample(df: DataFrame, id: Column, k: Int, seed: Long = 11L): DataFrame = {
+    val h = (((id.cast("long") % P) * 2654435761L + seed) % P + P) % P
+    df.withColumn("_bh", h)
+      .orderBy(col("_bh").asc, id.asc)
+      .limit(k)
+      .drop("_bh")
+  }
+
   def tripletSample(df: DataFrame, entity: Column, id: Column, seed: Long = 42L): DataFrame = {
     // reduce rid mod P before the multiply so the product stays well
     // inside int64 — DuckDB errors on bigint overflow where Spark wraps

@@ -63,6 +63,31 @@ class QualitySpec extends SparkSpec {
     plan should include("WindowGroupLimit")
   }
 
+  test("bottomKSample: exactly k rows, partitioning-invariant, mergeable") {
+    val df = (0L until 1000L).map(i => (i, s"t$i")).toDF("id", "v")
+    def run(parts: Int) = Sampling.bottomKSample(df.repartition(parts), col("id"), k = 50)
+      .select("id").as[Long].collect().toSet
+    val a = run(2)
+    a.size shouldBe 50
+    a shouldBe run(9) // partitioning-invariant
+    // merge law: bottom-k of a union == bottom-k of the parts' bottom-k's
+    val left = df.where(col("id") < 400)
+    val right = df.where(col("id") >= 400)
+    val merged = Sampling.bottomKSample(
+      Sampling.bottomKSample(left, col("id"), 50)
+        .union(Sampling.bottomKSample(right, col("id"), 50)), col("id"), 50)
+      .select("id").as[Long].collect().toSet
+    merged shouldBe a
+  }
+
+  test("bottomKSample: compiles to TakeOrderedAndProject (no global sort)") {
+    val df = (0L until 1000L).map(i => (i, s"t$i")).toDF("id", "v").repartition(8)
+    val plan = Sampling.bottomKSample(df, col("id"), k = 50)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Sort ["
+  }
+
   test("histogramQuantiles matches brute-force sorted-rank percentiles") {
     // skewed lengths so the percentiles actually separate
     val vals = (0 until 500).map(i => (i.toLong, (i % 7) + (if (i % 50 == 0) 400L else i % 23)))

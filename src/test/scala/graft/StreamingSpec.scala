@@ -398,6 +398,35 @@ class StreamingSpec extends SparkSpec {
     oneShot shouldBe (200.0 +- 60.0) // and in the right ballpark
   }
 
+  test("streaming reservoir: final bottom-k sample is batching-independent and equals batch") {
+    import graft.streaming.StreamingSampling
+    import graft.streaming.StreamingSampling.SampleEvent
+    implicit val sqlCtx = spark.sqlContext
+    val P = 1000000007L
+    val k = 25
+    val evts = (0L until 500L).map { id =>
+      SampleEvent("all", id, ((id % P) * 2654435761L + 11L) % P + P) // stays positive
+    }
+    // batch reference: the k smallest (h, id)
+    val expect = evts.map(e => (e.h, e.id)).sorted.take(k).map(_._2).toSet
+    def run(chunks: Seq[Seq[SampleEvent]], sink: String): Set[Long] = {
+      val input = MemoryStream[SampleEvent]
+      val query = StreamingSampling.bottomK(input.toDS(), k)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      } finally query.stop()
+      val t = spark.table(sink)
+      val last = t.agg(max("step")).as[Long].collect().head
+      t.where(col("step") === last).select("id").as[Long].collect().toSet
+    }
+    run(Seq(evts), "res_one") shouldBe expect
+    run(evts.grouped(83).toSeq, "res_many") shouldBe expect
+    // a reshuffled arrival order converges to the same sample (merge law)
+    val shuffled = new scala.util.Random(3).shuffle(evts)
+    run(shuffled.grouped(120).toSeq, "res_shuf") shouldBe expect
+  }
+
   test("streaming counters: exact, batching-independent, emission bounded by touched cells") {
     import graft.streaming.StreamingSketch
     import graft.streaming.StreamingSketch.IncEvent
