@@ -259,15 +259,22 @@ object QueriesVector {
       isQuery = v => v % 50 === 0)
       .orderBy("query_id", "rank")
 
-  val v9IntIvfSql: String = {
-    // integer squared distance / dot product between two BIGINT lists
-    def isq(a: String, b: String): String =
-      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $Dim), " +
-        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
-    def idot(a: String, b: String): String =
-      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $Dim), " +
-        s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
-    s"""WITH gs AS (
+  // integer squared distance / dot product between two BIGINT lists
+  private def sqlIsq(a: String, b: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $Dim), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+  private def sqlIdot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $Dim), " +
+      s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  /** Shared oracle CTE prefix — the v9 integer IVF build (global int8
+    * scale, smallest-id centroid init, one integer Lloyd round) ending
+    * at `m2` = the final (vec_id, q, cell) assignment. Reused verbatim
+    * by the d9 semantic-dedup oracle so both replay the IDENTICAL
+    * build [[graft.operators.Similarity.intIvfAssign]] runs.
+    */
+  private val sqlIntIvfPrefix: String =
+    s"""gs AS (
        |  SELECT max(list_reduce(list_prepend(0.0::DOUBLE,
        |    list_transform(generate_series(1, $Dim), mi -> abs(embedding[mi]::DOUBLE))),
        |    (acc, x) -> greatest(acc, x))) AS maxabs
@@ -282,7 +289,7 @@ object QueriesVector {
        |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $IvfCells)),
        |a1 AS (
        |  SELECT vec_id, q, cell,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY ${isq("q", "cent")}, cell) AS rk
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ${sqlIsq("q", "cent")}, cell) AS rk
        |  FROM qv, c0),
        |m1 AS (SELECT vec_id, q, cell FROM a1 WHERE rk = 1),
        |upd AS (
@@ -292,11 +299,14 @@ object QueriesVector {
        |  SELECT cell, list((s // n)::BIGINT ORDER BY i) AS cent FROM upd GROUP BY cell),
        |a2 AS (
        |  SELECT vec_id, q, cell,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY ${isq("q", "cent")}, cell) AS rk
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ${sqlIsq("q", "cent")}, cell) AS rk
        |  FROM qv, c1),
-       |m2 AS (SELECT vec_id, q, cell FROM a2 WHERE rk = 1),
+       |m2 AS (SELECT vec_id, q, cell FROM a2 WHERE rk = 1)""".stripMargin
+
+  val v9IntIvfSql: String =
+    s"""WITH $sqlIntIvfPrefix,
        |cand AS (
-       |  SELECT a.vec_id AS qid, b.vec_id AS cid, ${idot("a.q", "b.q")} AS idot
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid, ${sqlIdot("a.q", "b.q")} AS idot
        |  FROM m2 a JOIN m2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
        |  WHERE a.vec_id % 50 = 0),
        |ranked AS (
@@ -304,7 +314,37 @@ object QueriesVector {
        |  FROM cand)
        |SELECT qid AS query_id, cid AS neighbor_id, rank, idot
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-  }
+
+  // ---------------------------------------------------------------- d9
+  // SemDeDup-style semantic dedup on the v9 integer cells: each cell's
+  // min-id member represents it; any other member whose quantized
+  // cosine to the representative reaches τ = 0.9 is dropped. The
+  // cosine test is exact integer arithmetic (idot²·10⁴ vs
+  // τpct²·|x|²·|r|²), so the whole operator — build included — replays
+  // in the oracle below via the shared v9 CTE prefix.
+  private val SemTauPct = 90
+
+  val d9SemanticDedup: Q = (s, dir) =>
+    Similarity.semanticDedup(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), nCells = IvfCells, tauPct = SemTauPct)
+      .orderBy("vec_id")
+
+  val d9SemanticDedupSql: String =
+    s"""WITH $sqlIntIvfPrefix,
+       |rep AS (
+       |  SELECT m.cell, m.rep_id, q2.q AS rq
+       |  FROM (SELECT cell, min(vec_id) AS rep_id FROM m2 GROUP BY cell) m
+       |  JOIN m2 q2 ON q2.vec_id = m.rep_id),
+       |scored AS (
+       |  SELECT m2.vec_id, m2.cell, rep.rep_id,
+       |         ${sqlIdot("m2.q", "rep.rq")} AS si,
+       |         ${sqlIdot("m2.q", "m2.q")} AS nx,
+       |         ${sqlIdot("rep.rq", "rep.rq")} AS nr
+       |  FROM m2 JOIN rep ON m2.cell = rep.cell)
+       |SELECT vec_id, cell, rep_id,
+       |       (vec_id = rep_id OR si < 0
+       |        OR si * si * 10000 < ${SemTauPct.toLong * SemTauPct} * nx * nr) AS kept
+       |FROM scored ORDER BY vec_id""".stripMargin
 
   // --------------------------------------------------------------- v10
   // Product quantization top-3 (M=8 sub-codebooks × 16 codes — a 64-dim
@@ -388,11 +428,13 @@ object QueriesVector {
     "v7_rhp_multitable" -> v7RhpMultiTable,
     "v8_quantize_int8" -> v8QuantizeInt8,
     "v9_int_ivf" -> v9IntIvf,
+    "d9_semantic_dedup" -> d9SemanticDedup,
     "v10_pq_topk" -> v10PqTopk,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
   val oracles: Map[String, String] = Map(
     "v9_int_ivf" -> v9IntIvfSql,
+    "d9_semantic_dedup" -> d9SemanticDedupSql,
     "v10_pq_topk" -> v10PqTopkSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_rhp_ann" -> v2RhpAnnSql,

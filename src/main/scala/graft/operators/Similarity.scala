@@ -227,8 +227,14 @@ object Similarity {
     *
     * `isQuery` filters which rows get neighbors (the probe subset).
     */
-  def intIvfTopK(df: DataFrame, id: Column, vec: Column, nCells: Int, k: Int,
-                 isQuery: Column => Column): DataFrame = {
+  /** Shared deterministic integer IVF build (v9's steps 1-3, reused by
+    * d9's semantic dedup): one GLOBAL int8 scale, centroid init = the
+    * nCells smallest-id code vectors, one Lloyd round in pure integer
+    * arithmetic. Returns the persisted (vid, q, cell) assignment —
+    * every step engine-replayable, so consumers keep full hash-checked
+    * oracles.
+    */
+  def intIvfAssign(df: DataFrame, id: Column, vec: Column, nCells: Int): DataFrame = {
     val base = df.select(id.cast("long").as("vid"), vec.as("v"))
     val maxAbs = base.agg(max(aggregate(col("v"), lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
@@ -262,7 +268,12 @@ object Similarity {
         .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ps"))
         .select(col("cell"), expr("transform(ps, p -> p.c)").as("cent"))
 
-    val fin = assign(update(assign(c0))).persist()
+    assign(update(assign(c0))).persist()
+  }
+
+  def intIvfTopK(df: DataFrame, id: Column, vec: Column, nCells: Int, k: Int,
+                 isQuery: Column => Column): DataFrame = {
+    val fin = intIvfAssign(df, id, vec, nCells)
     val qs = fin.where(isQuery(col("vid")))
       .select(col("cell"), col("vid").as("qid"), col("q").as("qq"))
     val cs = fin.select(col("cell"), col("vid").as("cid"), col("q").as("cq"))
@@ -273,6 +284,39 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("idot"))
+  }
+
+  /** d9 — SemDeDup-style semantic deduplication: cluster the corpus by
+    * the deterministic integer IVF build, elect each cell's min-id
+    * member as its representative, and drop every other member whose
+    * cosine to the representative reaches τ (they say the same thing —
+    * keep one). The cosine test runs in EXACT integers on the
+    * quantized vectors — cos ≥ τ ⇔ idot ≥ 0 ∧ idot²·10⁴ ≥
+    * τpct²·|x|²·|r|² (τ as integer percent; all terms ≤ ~1e16 at
+    * int8×64-dim, well inside int64) — so the whole operator replays
+    * in the SQL oracle, unlike float-cosine SemDeDup.
+    *
+    * Scale: the assignment is v9's broadcast-centroid min_by shape
+    * (one vid-keyed shuffle); representatives are a nCells-row
+    * relation joined back broadcast; the verdict is a map-side
+    * expression. Nothing is pairwise — the cell structure replaces
+    * the O(n²) similarity matrix, the SemDeDup paper's own argument.
+    */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column, nCells: Int,
+                    tauPct: Int): DataFrame = {
+    require(tauPct >= 0 && tauPct <= 100, s"tauPct must be a percent: $tauPct")
+    val fin = intIvfAssign(df, id, vec, nCells)
+    val rep = fin.groupBy(col("cell")).agg(min(col("vid")).as("rep_id"))
+      .join(fin.select(col("vid").as("rep_id"), col("q").as("rq")), Seq("rep_id"))
+    val simI = VectorFunctions.intDot(col("q"), col("rq"))
+    val nx = VectorFunctions.intDot(col("q"), col("q"))
+    val nr = VectorFunctions.intDot(col("rq"), col("rq"))
+    fin.join(broadcast(rep), Seq("cell"))
+      .withColumn("si", simI).withColumn("nx", nx).withColumn("nr", nr)
+      .select(col("vid").as("vec_id"), col("cell"), col("rep_id"),
+        (col("vid") === col("rep_id") || col("si") < 0 ||
+          col("si") * col("si") * lit(10000L) <
+            lit(tauPct.toLong * tauPct) * col("nx") * col("nr")).as("kept"))
   }
 
   /** Product quantization top-k — the classic memory-for-recall ANN

@@ -174,6 +174,23 @@ class VectorSpec extends SparkSpec {
     recall should be >= 0.6
   }
 
+  test("semanticDedup: reps always kept, tight-cluster members dropped, partitioning-invariant") {
+    val df = clusteredVecs.toDF("vec_id", "embedding")
+    def run(parts: Int) = Similarity.semanticDedup(
+      df.repartition(parts), col("vec_id"), col("embedding"), nCells = 4, tauPct = 90)
+      .select("vec_id", "cell", "rep_id", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val out = run(3)
+    out.map(_._1) shouldBe (0L until 60L)
+    // the representative of every cell keeps itself
+    out.foreach { case (vid, _, rep, kept) => if (vid == rep) kept shouldBe true }
+    // tight clusters: most non-rep members are semantic duplicates of
+    // their rep (cos >= 0.9) and get dropped
+    val dropped = out.count(!_._4)
+    dropped should be >= 30
+    out shouldBe run(7) // partitioning-invariant (integer build)
+  }
+
   /** 60 vectors in 4 tight clusters around orthogonal axes (seeded). */
   private def clusteredVecs: Seq[(Long, Array[Float])] = {
     val rnd = new scala.util.Random(13)
