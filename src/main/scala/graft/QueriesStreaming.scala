@@ -833,7 +833,44 @@ object QueriesStreaming {
       .orderBy("user_id")
   }
 
+  /** st22 — cohort retention as a live stream: per-user (cohort day,
+    * offset bitmask) state, delta emission of newly counted cells;
+    * the sink count per (cohort_day, day_offset) equals batch w5 and
+    * hash-matches the SAME oracle. Feed is ts-ascending (the stream
+    * contract), so the first event fixes each user's cohort.
+    */
+  val st22StreamingRetention: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingRetention
+    import graft.streaming.StreamingRetention.DayEvent
+    val feed = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000L").as("day"), col("ts"))
+      .orderBy("ts")
+      .select("user_id", "day")
+      .as[(Long, Long)].collect()
+      .map { case (u, d) => DayEvent(u, d) }
+
+    withShufflePartitions(s, StP) {
+      val input = MemoryStream[DayEvent]
+      val query = StreamingRetention.cohortOffsets(input.toDS())
+        .writeStream.format("memory").queryName("st22_sink").outputMode("append").start()
+      try {
+        feed.grouped(feed.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    s.table("st22_sink")
+      .groupBy(col("cohortDay").as("cohort_day"), col("dayOffset").as("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st22_streaming_retention" -> st22StreamingRetention,
     "st20_streaming_funnel" -> st20StreamingFunnel,
     "st19_streaming_range_join" -> st19StreamingRangeJoin,
     "st18_streaming_quantiles" -> st18StreamingQuantiles,
@@ -854,6 +891,7 @@ object QueriesStreaming {
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
     "st20_streaming_funnel" -> QueriesRelational.w4FunnelSql,
+    "st22_streaming_retention" -> QueriesRelational.w5CohortRetentionSql,
     "st19_streaming_range_join" -> st19StreamingRangeJoinSql,
     "st18_streaming_quantiles" -> QueriesText.k4TokenQuantilesSql,
     "st17_streaming_cms" -> QueriesRelational.k3CmsTopkSql,

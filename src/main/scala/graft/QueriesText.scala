@@ -392,6 +392,41 @@ object QueriesText {
        |WHERE cum.cum >= (pct * n + 99) // 100
        |GROUP BY cum.lang, pct ORDER BY cum.lang, pct""".stripMargin
 
+  // ---------------------------------------------------------------- t9
+  // Per-stratum quality-percentile filter — the data-mixing FILTER the
+  // sampling ops (p10-p12) complement: keep a document only if its
+  // token count reaches its own LANGUAGE's median, so one verbose
+  // language cannot set the bar for another (the per-language
+  // threshold is how real pipelines apply quality cutoffs across
+  // mixed-language corpora). Composes k5's one-pass grouped histogram
+  // quantiles; the threshold relation is #langs rows joined back
+  // broadcast — two corpus scans total (histogram + filter), no
+  // per-row state, no window over the corpus.
+  val t9QualityFilter: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val nToks = size(TextFunctions.tokens(col("text"))).cast("long")
+    val p50 = graft.operators.Quantiles.groupedHistogramQuantiles(
+      s, docs, col("lang"), nToks, Seq(50), "lang_p50")
+      .select(col("g").as("lang"), col("lang_p50"))
+    docs.select(col("doc_id"), col("lang"), nToks.as("n_tokens"))
+      .join(broadcast(p50), "lang")
+      .where(col("n_tokens") >= col("lang_p50"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("lang_p50"))
+      .orderBy("doc_id")
+  }
+
+  val t9QualityFilterSql: String =
+    s"""WITH tok AS (SELECT doc_id, lang, len($sqlToks)::BIGINT AS v FROM documents),
+       |hist AS (SELECT lang, v, count(*)::BIGINT AS c FROM tok GROUP BY lang, v),
+       |cum AS (SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+       |tot AS (SELECT lang, count(*)::BIGINT AS n FROM tok GROUP BY lang),
+       |thr AS (SELECT cum.lang, min(v)::BIGINT AS lang_p50
+       |        FROM cum JOIN tot ON cum.lang = tot.lang
+       |        WHERE cum.cum >= (50 * n + 99) // 100 GROUP BY cum.lang)
+       |SELECT doc_id, tok.lang, v AS n_tokens, lang_p50
+       |FROM tok JOIN thr ON tok.lang = thr.lang
+       |WHERE v >= lang_p50 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t5
   // Benchmark decontamination: every corpus doc's max shingle-set
   // overlap against a (small, broadcast) benchmark set, argmax bench
@@ -766,7 +801,8 @@ object QueriesText {
     "k5_grouped_quantiles" -> k5GroupedQuantiles,
     "t5_decontamination" -> t5Decontamination,
     "t7_bloom_decontam" -> t7BloomDecontam,
-    "t6_repetition" -> t6Repetition)
+    "t6_repetition" -> t6Repetition,
+    "t9_quality_filter" -> t9QualityFilter)
 
   val oracles: Map[String, String] = Map(
     "st6_streaming_neardup" -> st6StreamingNeardupSql,
@@ -791,5 +827,6 @@ object QueriesText {
     "k5_grouped_quantiles" -> k5GroupedQuantilesSql,
     "t5_decontamination" -> t5DecontaminationSql,
     "t7_bloom_decontam" -> t7BloomDecontamSql,
-    "t6_repetition" -> t6RepetitionSql)
+    "t6_repetition" -> t6RepetitionSql,
+    "t9_quality_filter" -> t9QualityFilterSql)
 }

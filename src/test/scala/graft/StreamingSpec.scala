@@ -427,6 +427,33 @@ class StreamingSpec extends SparkSpec {
     run(shuffled.grouped(120).toSeq, "res_shuf") shouldBe expect
   }
 
+  test("streaming retention: batching-independent cells, delta emission, cohort fixed by first event") {
+    import graft.streaming.StreamingRetention
+    import graft.streaming.StreamingRetention.{DayEvent, OffsetHit}
+    implicit val sqlCtx = spark.sqlContext
+    // 40 users, ts-ascending day walk; several revisit days (no re-emission)
+    val evts = for (d <- 0L until 12L; u <- 0L until 40L; if (u + d) % 3 != 0)
+      yield DayEvent(u, d)
+    def run(chunks: Seq[Seq[DayEvent]], sink: String): (Seq[(Long, Long)], Long) = {
+      val input = MemoryStream[DayEvent]
+      val query = StreamingRetention.cohortOffsets(input.toDS())
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      } finally query.stop()
+      val rows = spark.table(sink).as[OffsetHit].collect()
+      (rows.map(h => (h.cohortDay, h.dayOffset)).sorted.toSeq, rows.length.toLong)
+    }
+    val (one, nOne) = run(Seq(evts), "ret_one")
+    val (many, nMany) = run(evts.grouped(117).toSeq, "ret_many")
+    many shouldBe one // cells batching-independent
+    // delta emission: total sink rows == distinct (user, offset) cells,
+    // regardless of batching — revisited days never re-emit
+    val expected = evts.map(e => (e.userId, e.day)).distinct.size.toLong
+    nOne shouldBe expected
+    nMany shouldBe expected
+  }
+
   test("streaming counters: exact, batching-independent, emission bounded by touched cells") {
     import graft.streaming.StreamingSketch
     import graft.streaming.StreamingSketch.IncEvent
