@@ -315,6 +315,34 @@ object QueriesVector {
        |SELECT qid AS query_id, cid AS neighbor_id, rank, idot
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- v11
+  // The production ANN recipe — integer-IVF candidate generation +
+  // exact FLOAT cosine re-rank: cells decide WHO gets compared (the
+  // engine-replayable v9 build via the shared CTE prefix), v1's exact
+  // left-fold decides the ORDER, so the hybrid keeps both the
+  // hash-checked build and full float ranking precision.
+  val v11IvfRerank: Q = (s, dir) =>
+    Similarity.intIvfRerankTopK(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), nCells = IvfCells, k = 3,
+      isQuery = v => v % 50 === 0)
+      .orderBy("query_id", "rank")
+
+  val v11IvfRerankSql: String =
+    s"""WITH $sqlIntIvfPrefix,
+       |e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |cand AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |         ${sqlDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS sim
+       |  FROM m2 a JOIN m2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE a.vec_id % 50 = 0),
+       |ranked AS (
+       |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM cand)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank, sim
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- d9
   // SemDeDup-style semantic dedup on the v9 integer cells: each cell's
   // min-id member represents it; any other member whose quantized
@@ -429,12 +457,14 @@ object QueriesVector {
     "v8_quantize_int8" -> v8QuantizeInt8,
     "v9_int_ivf" -> v9IntIvf,
     "d9_semantic_dedup" -> d9SemanticDedup,
+    "v11_ivf_rerank" -> v11IvfRerank,
     "v10_pq_topk" -> v10PqTopk,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
   val oracles: Map[String, String] = Map(
     "v9_int_ivf" -> v9IntIvfSql,
     "d9_semantic_dedup" -> d9SemanticDedupSql,
+    "v11_ivf_rerank" -> v11IvfRerankSql,
     "v10_pq_topk" -> v10PqTopkSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_rhp_ann" -> v2RhpAnnSql,

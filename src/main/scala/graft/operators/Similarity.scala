@@ -286,6 +286,33 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("idot"))
   }
 
+  /** v11 — the production ANN recipe: coarse candidate generation from
+    * the deterministic integer IVF cells, exact FLOAT cosine re-rank of
+    * the candidates. Separating the two concerns keeps the index build
+    * engine-replayable (v9's argument) while final ranking carries full
+    * float precision — the cells only decide WHO gets compared, so the
+    * ranking math is v1's exact left-fold and the whole query replays
+    * in SQL. Scale: one cell-keyed join (candidates ∝ cell occupancy,
+    * never n²), per-query top-k window over candidate rows only.
+    */
+  def intIvfRerankTopK(df: DataFrame, id: Column, vec: Column, nCells: Int,
+                       k: Int, isQuery: Column => Column): DataFrame = {
+    val fin = intIvfAssign(df, id, vec, nCells)
+    val v = df.select(id.cast("long").as("fid"), vec.as("fv"),
+      VectorFunctions.l2Norm(vec).as("fn"))
+    val withV = fin.join(v, col("vid") === col("fid"))
+      .select(col("cell"), col("vid"), col("fv"), col("fn"))
+    val qs = withV.where(isQuery(col("vid")))
+      .select(col("cell"), col("vid").as("qid"), col("fv").as("qv"), col("fn").as("qn"))
+    val cs = withV.select(col("cell"), col("vid").as("cid"), col("fv").as("cv"), col("fn").as("cn"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    qs.join(cs, Seq("cell")).where(col("qid") =!= col("cid"))
+      .withColumn("sim", cosOf(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
   /** d9 — SemDeDup-style semantic deduplication: cluster the corpus by
     * the deterministic integer IVF build, elect each cell's min-id
     * member as its representative, and drop every other member whose

@@ -174,6 +174,27 @@ class VectorSpec extends SparkSpec {
     recall should be >= 0.6
   }
 
+  test("intIvfRerankTopK: same candidate set as the integer ranker, float-ordered") {
+    val df = clusteredVecs.toDF("vec_id", "embedding")
+    // k large enough to keep every same-cell candidate: the re-rank
+    // changes ORDER, never WHO is a candidate (cells decide that)
+    def pairs(out: org.apache.spark.sql.DataFrame) =
+      out.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ints = Similarity.intIvfTopK(df, col("vec_id"), col("embedding"),
+      nCells = 4, k = 60, isQuery = _ => lit(true))
+    val rr = Similarity.intIvfRerankTopK(df, col("vec_id"), col("embedding"),
+      nCells = 4, k = 60, isQuery = _ => lit(true))
+    pairs(rr) shouldBe pairs(ints)
+    // ranks are dense from 1 and sims descend per query
+    val byQ = rr.select("query_id", "rank", "sim").as[(Long, Long, Double)]
+      .collect().groupBy(_._1)
+    byQ.values.foreach { rows =>
+      rows.map(_._2).sorted.toSeq shouldBe (1L to rows.length).toSeq
+      val sims = rows.sortBy(_._2).map(_._3)
+      sims.zip(sims.tail).foreach { case (a, b) => a should be >= b }
+    }
+  }
+
   test("semanticDedup: reps always kept, tight-cluster members dropped, partitioning-invariant") {
     val df = clusteredVecs.toDF("vec_id", "embedding")
     def run(parts: Int) = Similarity.semanticDedup(
