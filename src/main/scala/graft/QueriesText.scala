@@ -734,6 +734,35 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- p13
+  // Deterministic temperature-scaled source mixing (T=2) — the corpus
+  // rebalancing LLM pipelines run before training: per-source keep
+  // rate ∝ √n_i / n_i (small sources up-weighted), documents selected
+  // by seeded id hash. The float math (√, source-ordered left-fold
+  // sum) is bit-identical on both engines, so even the derived rates
+  // hash-match; the keep test itself is a map-side filter against a
+  // broadcast #sources-row rate table.
+  private val mixKeepFrac = 0.3
+
+  val p13TemperatureMix: Q = (s, dir) =>
+    graft.operators.Sampling.temperatureMix(
+      Tables.load(s, dir, "documents"), col("source"), col("doc_id"),
+      keepFrac = mixKeepFrac, seed = 17L)
+      .select(col("doc_id"), col("source"), col("rate"))
+      .orderBy("doc_id")
+
+  val p13TemperatureMixSql: String =
+    s"""WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+       |s AS (SELECT list_reduce(list_prepend(0.0::DOUBLE, list(sqrt(n::DOUBLE) ORDER BY source)),
+       |                         (acc, x) -> acc + x) AS sw,
+       |             sum(n)::BIGINT AS tot FROM c),
+       |r AS (SELECT source, cast(round(10000 * ($mixKeepFrac * tot) * sqrt(n::DOUBLE) / (sw * n), 0) AS BIGINT) AS rate
+       |      FROM c, s)
+       |SELECT doc_id, documents.source, rate
+       |FROM documents JOIN r USING (source)
+       |WHERE ((((doc_id % $P) * 2654435761 + 17) % $P + $P) % $P) % 10000 < rate
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- st21
   // The deterministic reservoir as a live stream: documents arrive in
   // three micro-batches, the keyed state is exactly the k smallest
@@ -796,6 +825,7 @@ object QueriesText {
     "p10_stratified_sample" -> p10StratifiedSample,
     "p11_quota_sample" -> p11QuotaSample,
     "p12_bottomk_sample" -> p12BottomkSample,
+    "p13_temperature_mix" -> p13TemperatureMix,
     "st21_streaming_sample" -> st21StreamingSample,
     "k4_token_quantiles" -> k4TokenQuantiles,
     "k5_grouped_quantiles" -> k5GroupedQuantiles,
@@ -822,6 +852,7 @@ object QueriesText {
     "p10_stratified_sample" -> p10StratifiedSampleSql,
     "p11_quota_sample" -> p11QuotaSampleSql,
     "p12_bottomk_sample" -> p12BottomkSampleSql,
+    "p13_temperature_mix" -> p13TemperatureMixSql,
     "st21_streaming_sample" -> p12BottomkSampleSql,
     "k4_token_quantiles" -> k4TokenQuantilesSql,
     "k5_grouped_quantiles" -> k5GroupedQuantilesSql,

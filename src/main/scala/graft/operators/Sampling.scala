@@ -99,6 +99,46 @@ object Sampling {
       .drop("_bh")
   }
 
+  /** Deterministic temperature-scaled source mixing (T = 2) — the
+    * corpus-rebalancing recipe LLM pipelines run before training (the
+    * Pile/ROOTS-style resampling): target share of source i ∝
+    * n_i^(1/T), so small sources are up-weighted relative to their raw
+    * share, and each document keeps with per-source rate
+    * r_i = keepFrac · tot · √n_i / (Σ√n · n_i) (per-myriad integer),
+    * selected by the same seeded id hash as p10 — reproducible across
+    * runs, partitionings, and engines.
+    *
+    * Engine-exactness of the float math: √ is IEEE-correctly-rounded
+    * on both engines, and Σ√n runs as a LEFT FOLD over sources in
+    * source-name order on both sides (order pinned — double addition
+    * is not associative), so the derived integer rates are
+    * bit-identical. The rate table is #sources rows computed on the
+    * driver (bounded, like p10's literal CASE) and joined broadcast;
+    * the keep test is a pure map-side filter.
+    */
+  def temperatureMix(df: DataFrame, source: Column, id: Column,
+                     keepFrac: Double, seed: Long = 17L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // reserved temp names so the rate-table join can't capture a
+    // caller column (fail fast instead of an ambiguous-reference or,
+    // worse, a silently wrong join)
+    val reserved = Seq("_tm_src", "rate").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"temperatureMix reserves columns ${reserved.mkString(", ")}; rename them in the input")
+    val counts = df.groupBy(source.as("_tm_src")).agg(count(lit(1)).as("_tm_n"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val tot = counts.map(_._2).sum
+    val sw = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
+    val rates = counts.map { case (s, n) =>
+      (s, (10000.0 * (keepFrac * tot) * math.sqrt(n.toDouble) / (sw * n)).round)
+    }.toSeq.toDF("_tm_src", "rate")
+    val h = (((id.cast("long") % P) * 2654435761L + seed) % P + P) % P
+    df.join(broadcast(rates), source === col("_tm_src"))
+      .where(h % 10000L < col("rate"))
+      .drop("_tm_src")
+  }
+
   def tripletSample(df: DataFrame, entity: Column, id: Column, seed: Long = 42L): DataFrame = {
     // reduce rid mod P before the multiply so the product stays well
     // inside int64 — DuckDB errors on bigint overflow where Spark wraps

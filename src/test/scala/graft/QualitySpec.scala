@@ -63,6 +63,26 @@ class QualitySpec extends SparkSpec {
     plan should include("WindowGroupLimit")
   }
 
+  test("temperatureMix: small sources up-weighted, selection partitioning-invariant") {
+    // 900 docs in "big", 100 in "small": raw shares 90%/10%, T=2
+    // targets ∝ √n → small's PER-DOC keep rate should be 3× big's
+    val df = ((0L until 900L).map(i => (i, "big")) ++ (900L until 1000L).map(i => (i, "small")))
+      .toDF("id", "src")
+    def run(parts: Int) = Sampling.temperatureMix(
+      df.repartition(parts), col("src"), col("id"), keepFrac = 0.3)
+      .select("id", "src", "rate").as[(Long, String, Long)].collect().toSet
+    val out = run(2)
+    out shouldBe run(7) // partitioning-invariant
+    val rates = out.groupBy(_._2).map { case (s, rows) => s -> rows.head._3 }
+    // √900 : √100 = 3 : 1 normalized over per-source size 900 : 100
+    // → per-doc rates 0.3·1000·30/(40·900) vs 0.3·1000·10/(40·100)
+    rates("small").toDouble / rates("big").toDouble shouldBe 3.0 +- 0.01
+    // kept counts land near the binomial expectation of their rates
+    val kept = out.groupBy(_._2).map { case (s, rows) => s -> rows.size.toLong }
+    kept("big") should be((900L * rates("big") / 10000L) +- 30L)
+    kept("small") should be((100L * rates("small") / 10000L) +- 20L)
+  }
+
   test("bottomKSample: exactly k rows, partitioning-invariant, mergeable") {
     val df = (0L until 1000L).map(i => (i, s"t$i")).toDF("id", "v")
     def run(parts: Int) = Sampling.bottomKSample(df.repartition(parts), col("id"), k = 50)
