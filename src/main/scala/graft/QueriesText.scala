@@ -763,6 +763,37 @@ object QueriesText {
        |WHERE ((((doc_id % $P) * 2654435761 + 17) % $P + $P) % $P) % 10000 < rate
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- p14
+  // Sequence packing — the concat-and-chunk step that turns the
+  // filtered/mixed corpus into fixed-length training sequences: each
+  // document is routed to a writer shard by the seeded id hash,
+  // ordered within its shard by (hash, id), and its [tok_start,
+  // tok_end) interval + spanned seqLen-chunks come from ONE running-sum
+  // window PARTITIONED BY shard — the per-writer pack topology that
+  // needs no global sort (each window sort is one shard's rows). All
+  // non-negative int64, so `div` is exact floor on both engines.
+  private[graft] val packShards = 8
+  private[graft] val packSeqLen = 64
+
+  val p14SequencePack: Q = (s, dir) =>
+    graft.operators.Packing.packSequences(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      size(TextFunctions.tokens(col("text"))), packShards, packSeqLen, seed = 23L)
+      .orderBy("doc_id")
+
+  val p14SequencePackSql: String =
+    s"""WITH t AS (SELECT doc_id, len($sqlToks)::BIGINT AS ntok,
+       |                  (((doc_id % $P) * 2654435761 + 23) % $P + $P) % $P AS h
+       |           FROM documents),
+       |w AS (SELECT doc_id, h % $packShards AS shard, ntok,
+       |             sum(ntok) OVER (PARTITION BY h % $packShards ORDER BY h, doc_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+       |      FROM t)
+       |SELECT doc_id, shard, tok_end - ntok AS tok_start, tok_end,
+       |       (tok_end - ntok) // $packSeqLen AS first_seq,
+       |       greatest(tok_end - ntok, tok_end - 1) // $packSeqLen AS last_seq
+       |FROM w ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- st21
   // The deterministic reservoir as a live stream: documents arrive in
   // three micro-batches, the keyed state is exactly the k smallest
@@ -826,6 +857,7 @@ object QueriesText {
     "p11_quota_sample" -> p11QuotaSample,
     "p12_bottomk_sample" -> p12BottomkSample,
     "p13_temperature_mix" -> p13TemperatureMix,
+    "p14_sequence_pack" -> p14SequencePack,
     "st21_streaming_sample" -> st21StreamingSample,
     "k4_token_quantiles" -> k4TokenQuantiles,
     "k5_grouped_quantiles" -> k5GroupedQuantiles,
@@ -853,6 +885,7 @@ object QueriesText {
     "p11_quota_sample" -> p11QuotaSampleSql,
     "p12_bottomk_sample" -> p12BottomkSampleSql,
     "p13_temperature_mix" -> p13TemperatureMixSql,
+    "p14_sequence_pack" -> p14SequencePackSql,
     "st21_streaming_sample" -> p12BottomkSampleSql,
     "k4_token_quantiles" -> k4TokenQuantilesSql,
     "k5_grouped_quantiles" -> k5GroupedQuantilesSql,

@@ -216,4 +216,52 @@ class QualitySpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     plan should include ("TakeOrderedAndProject")
   }
+
+  test("packSequences: per-shard intervals tile the stream exactly and chunk ids are consistent") {
+    val df = (0L until 500L).map(i => (i, 1L + i % 37)).toDF("id", "ntok")
+    val packed = graft.operators.Packing.packSequences(
+      df, col("id"), col("ntok"), shards = 4, seqLen = 64)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    packed.length shouldBe 500
+    // within each shard, sorted by tok_start, the intervals tile [0, total)
+    packed.groupBy(_._2).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._3)
+      withClue(s"shard=$shard: ") {
+        sorted.head._3 shouldBe 0L
+        sorted.sliding(2).foreach {
+          case Seq((_, _, _, aEnd, _, _), (_, _, bStart, _, _, _)) => bStart shouldBe aEnd
+          case _ => ()
+        }
+      }
+    }
+    // chunk ids are the floor-div of the interval bounds
+    packed.foreach { case (_, _, s0, e0, f, l) =>
+      f shouldBe s0 / 64
+      l shouldBe math.max(s0, e0 - 1) / 64
+    }
+  }
+
+  test("packSequences: partitioning-invariant, window partitioned by shard (no single-partition sort)") {
+    val df = (0L until 1000L).map(i => (i, 1L + i % 11)).toDF("id", "ntok")
+    def run(parts: Int) = graft.operators.Packing.packSequences(
+      df.repartition(parts), col("id"), col("ntok"), shards = 8, seqLen = 32)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val a = run(2)
+    a shouldBe run(7)
+    // a zero-token document occupies an empty interval at its slot
+    val withEmpty = (0L until 50L).map(i => (i, if (i == 25L) 0L else 5L)).toDF("id", "ntok")
+    val rows = graft.operators.Packing.packSequences(
+      withEmpty, col("id"), col("ntok"), shards = 2, seqLen = 16)
+      .where(col("tok_start") === col("tok_end"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    rows.length shouldBe 1
+    rows.head._5 shouldBe rows.head._6 // first_seq == last_seq
+    // the physical window is partitioned by shard — no WindowExec over a
+    // single partition (the per-writer topology that survives 100x)
+    val plan = graft.operators.Packing.packSequences(
+      df, col("id"), col("ntok"), shards = 8, seqLen = 32)
+      .queryExecution.executedPlan.toString
+    plan should include ("Window")
+    (plan should not).include("SinglePartition")
+  }
 }
