@@ -794,6 +794,48 @@ object QueriesText {
        |       greatest(tok_end - ntok, tok_end - 1) // $packSeqLen AS last_seq
        |FROM w ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- st23
+  // Sequence packing as a live stream: documents arrive in three
+  // micro-batches in the deterministic (hash, id) pack order, each
+  // shard's state is ONE long (its running token offset), and because
+  // offsets are prefix-stable the appended assignments equal the batch
+  // window recompute row for row — st23 hash-matches p14's SQL oracle:
+  // streaming = batch = SQL for the packing stage of the pipeline too.
+  val st23StreamingPack: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingPacking
+    import graft.streaming.StreamingPacking.PackEvent
+    // same routing hash + shard as batch p14 (mod-P before the multiply)
+    val rows = Tables.load(s, dir, "documents")
+      .withColumn("h", (((col("doc_id") % P) * 2654435761L + 23L) % P + P) % P)
+      .select(col("h") % packShards, col("doc_id"),
+        col("h"), size(TextFunctions.tokens(col("text"))).cast("long"))
+      .orderBy("h", "doc_id") // the per-shard (hash, id) ingest contract
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .map { case (sh, id, h, n) => PackEvent(sh, id, h, n) }
+
+    QueriesStreaming.withShufflePartitions(s, 4) {
+      val input = MemoryStream[PackEvent]
+      val query = StreamingPacking.pack(input.toDS(), packSeqLen)
+        .writeStream.format("memory").queryName("st23_sink").outputMode("append").start()
+      try {
+        rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    s.table("st23_sink")
+      .select(col("docId").as("doc_id"), col("shard"),
+        col("tokStart").as("tok_start"), col("tokEnd").as("tok_end"),
+        col("firstSeq").as("first_seq"), col("lastSeq").as("last_seq"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- st21
   // The deterministic reservoir as a live stream: documents arrive in
   // three micro-batches, the keyed state is exactly the k smallest
@@ -858,6 +900,7 @@ object QueriesText {
     "p12_bottomk_sample" -> p12BottomkSample,
     "p13_temperature_mix" -> p13TemperatureMix,
     "p14_sequence_pack" -> p14SequencePack,
+    "st23_streaming_pack" -> st23StreamingPack,
     "st21_streaming_sample" -> st21StreamingSample,
     "k4_token_quantiles" -> k4TokenQuantiles,
     "k5_grouped_quantiles" -> k5GroupedQuantiles,
@@ -886,6 +929,7 @@ object QueriesText {
     "p12_bottomk_sample" -> p12BottomkSampleSql,
     "p13_temperature_mix" -> p13TemperatureMixSql,
     "p14_sequence_pack" -> p14SequencePackSql,
+    "st23_streaming_pack" -> p14SequencePackSql,
     "st21_streaming_sample" -> p12BottomkSampleSql,
     "k4_token_quantiles" -> k4TokenQuantilesSql,
     "k5_grouped_quantiles" -> k5GroupedQuantilesSql,

@@ -592,4 +592,36 @@ class StreamingSpec extends SparkSpec {
       (1L, 11L), (2L, 11L),  // batch-1 windows × batch-2 probe (cross-batch)
       (3L, 12L), (4L, 13L))
   }
+
+  test("streaming packing: prefix-stable offsets equal batch p14 under any batching") {
+    import graft.streaming.StreamingPacking
+    import graft.streaming.StreamingPacking.PackEvent
+    implicit val sqlCtx = spark.sqlContext
+    val P = 1000000007L
+    val seqLen = 32
+    val docs = (0L until 400L).map { id =>
+      val h = (((id % P) * 2654435761L + 23L) % P + P) % P
+      PackEvent(h % 4, id, h, 1L + id % 13)
+    }.sortBy(e => (e.h, e.docId)) // the per-shard ingest order contract
+    // batch reference: the p14 operator on the same rows
+    val df = docs.toSeq.toDF("shard0", "doc_id", "h0", "ntok")
+    val expect = graft.operators.Packing.packSequences(
+      df, col("doc_id"), col("ntok"), shards = 4, seqLen = seqLen)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    def run(chunks: Seq[Seq[PackEvent]], sink: String): Set[(Long, Long, Long, Long, Long, Long)] = {
+      val input = MemoryStream[PackEvent]
+      val query = StreamingPacking.pack(input.toDS(), seqLen)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      } finally query.stop()
+      spark.table(sink)
+        .select("docId", "shard", "tokStart", "tokEnd", "firstSeq", "lastSeq")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    }
+    run(Seq(docs), "pack_one") shouldBe expect
+    run(docs.grouped(71).toSeq, "pack_many") shouldBe expect // batching-independent
+    // emission is append-only: every doc appears exactly once
+    spark.table("pack_many").count() shouldBe 400L
+  }
 }
