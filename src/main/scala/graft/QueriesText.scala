@@ -763,6 +763,52 @@ object QueriesText {
        |WHERE ((((doc_id % $P) * 2654435761 + 17) % $P + $P) % $P) % 10000 < rate
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- t10
+  // Within-document duplicated n-gram fraction (n = 2, 3, 4) — the
+  // Gopher-class repetition rules next to t6's most-common-trigram
+  // share: per document, the fraction of n-gram occurrences belonging
+  // to n-grams that appear ≥ 2 times in that document. Each n is ONE
+  // compiled map-side pass (DupNgramStats, a per-doc hashmap) — the
+  // whole query is a scan with zero shuffles (plan-asserted in
+  // QualitySpec), the right 100 TB shape for per-doc quality signals.
+  // All counts exact int64; each fraction one final division (NULL when
+  // the doc is shorter than n tokens).
+  val t10DupNgrams: Q = (s, dir) => {
+    val toks = TextFunctions.tokens(col("text"))
+    val cols = (2 to 4).flatMap { n =>
+      val st = TextFunctions.dupNgramStats(toks, n)
+      val dup = st.getField("dup_occ")
+      val tot = st.getField("n_ngrams")
+      Seq(
+        dup.as(s"n${n}_dup"),
+        tot.as(s"n${n}_tot"),
+        when(tot === 0, lit(null).cast("double"))
+          .otherwise(dup.cast("double") / tot.cast("double")).as(s"n${n}_frac"))
+    }
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id") +: cols: _*)
+      .orderBy("doc_id")
+  }
+
+  val t10DupNgramsSql: String = {
+    def sh(n: Int) =
+      s"list_transform(generate_series(1, greatest(len(toks)-${n - 1}, 0)), i -> array_to_string(list_slice(toks, i, i+${n - 1}), ' '))"
+    val inner = (2 to 4).map { n =>
+      s"""       len(list_filter(${sh(n)}, g -> len(list_filter(${sh(n)}, g2 -> g2 = g)) >= 2))::BIGINT AS n${n}_dup,
+         |       greatest(len(toks)-${n - 1}, 0)::BIGINT AS n${n}_tot""".stripMargin
+    }.mkString(",\n")
+    val outer = (2 to 4).map { n =>
+      s"       n${n}_dup, n${n}_tot, cast(n${n}_dup as double) / nullif(n${n}_tot, 0) AS n${n}_frac"
+    }.mkString(",\n")
+    s"""SELECT doc_id,
+       |$outer
+       |FROM (
+       |SELECT doc_id,
+       |$inner
+       |FROM (SELECT doc_id, $sqlToks AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- p14
   // Sequence packing — the concat-and-chunk step that turns the
   // filtered/mixed corpus into fixed-length training sequences: each
@@ -907,7 +953,8 @@ object QueriesText {
     "t5_decontamination" -> t5Decontamination,
     "t7_bloom_decontam" -> t7BloomDecontam,
     "t6_repetition" -> t6Repetition,
-    "t9_quality_filter" -> t9QualityFilter)
+    "t9_quality_filter" -> t9QualityFilter,
+    "t10_dup_ngrams" -> t10DupNgrams)
 
   val oracles: Map[String, String] = Map(
     "st6_streaming_neardup" -> st6StreamingNeardupSql,
@@ -936,5 +983,6 @@ object QueriesText {
     "t5_decontamination" -> t5DecontaminationSql,
     "t7_bloom_decontam" -> t7BloomDecontamSql,
     "t6_repetition" -> t6RepetitionSql,
-    "t9_quality_filter" -> t9QualityFilterSql)
+    "t9_quality_filter" -> t9QualityFilterSql,
+    "t10_dup_ngrams" -> t10DupNgramsSql)
 }

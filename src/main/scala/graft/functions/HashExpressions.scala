@@ -232,6 +232,57 @@ case class RepetitionStats(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Within-document duplicated n-gram statistics — the Gopher-class
+  * repetition signal next to [[RepetitionStats]]' most-common-n-gram
+  * share: `struct(dup_occ, n_ngrams)` where `dup_occ` counts ALL
+  * occurrences of token n-grams appearing ≥ 2 times in the document
+  * (so `dup_occ / n_ngrams` is the "fraction of n-grams in duplicated
+  * n-grams" quality rule). One compiled pass with a per-document
+  * hashmap — the whole operator stays map-side, no shuffle: at 100 TB
+  * this is a scan, not an aggregation.
+  *
+  * Same n-tuple keying as RepetitionStats: tokens come from
+  * split(text, ' ') and contain no spaces, so tuple equality matches
+  * equality of the space-joined shingle string the oracle groups by.
+  */
+case class DupNgramStats(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_occ", LongType, nullable = false),
+    StructField("n_ngrams", LongType, nullable = false)))
+  override def prettyName: String = "dup_ngram_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val total = len - n + 1
+    if (total <= 0) return InternalRow(0L, 0L)
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val counts = new java.util.HashMap[java.util.List[UTF8String], Long](total * 2)
+    // dup_occ in the same pass: an n-gram's 2nd occurrence adds 2 (itself
+    // + the retroactively-duplicated 1st), each later occurrence adds 1
+    var dup = 0L
+    var start = 0
+    while (start < total) {
+      val key = java.util.Arrays.asList(java.util.Arrays.copyOfRange(toks, start, start + n): _*)
+      val c = counts.merge(key, 1L, (a, b) => a + b)
+      if (c == 2L) dup += 2L else if (c > 2L) dup += 1L
+      start += 1
+    }
+    InternalRow(dup, total.toLong)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DupNgramStats =
+    copy(child = newChild)
+}
+
 /** Distinct hashed character n-grams of a string, first-occurrence
   * order — poly_hash over each length-n char window, one compiled pass.
   */

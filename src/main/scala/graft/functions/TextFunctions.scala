@@ -65,6 +65,14 @@ object TextFunctions {
   def repetitionStats(toks: Column, n: Int): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(toks), n))
 
+  /** (occurrences of duplicated n-grams, total n-grams) of a token
+    * array — struct(dup_occ, n_ngrams), one compiled pass
+    * ([[DupNgramStats]]); dup_occ/n_ngrams is the Gopher-class
+    * "fraction of n-grams in duplicated n-grams" repetition rule.
+    */
+  def dupNgramStats(toks: Column, n: Int): Column =
+    ExpressionUtils.column(DupNgramStats(ExpressionUtils.expression(toks), n))
+
   /** Distinct character-n-gram hash set (char-shingle analog of the
     * reference's char-bigram vectorizer, `fit_vectorizer.py:20-21`).
     * Native one-pass expression.

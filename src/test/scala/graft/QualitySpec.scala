@@ -217,6 +217,38 @@ class QualitySpec extends SparkSpec {
     plan should include ("TakeOrderedAndProject")
   }
 
+  test("dupNgramStats: matches a brute-force recount and the whole t10 query plan has no shuffle") {
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 200L).map { id =>
+      (id, Seq.fill(rnd.nextInt(40))(s"w${rnd.nextInt(8)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (n <- 2 to 4) {
+      val got = df.select(col("doc_id"),
+          TextFunctions.dupNgramStats(TextFunctions.tokens(col("text")), n).as("st"))
+        .select(col("doc_id"), col("st.dup_occ"), col("st.n_ngrams"))
+        .as[(Long, Long, Long)].collect().map { case (id, d, t) => id -> ((d, t)) }.toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ", -1).toSeq
+        val grams = if (toks == Seq("")) Seq.empty
+                    else toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).map { case (g, o) => g -> o.size }
+        val dup = grams.count(g => counts(g) >= 2).toLong
+        withClue(s"doc=$id n=$n: ") { got(id) shouldBe ((dup, grams.length.toLong)) }
+      }
+    }
+    // per-doc quality signals must stay a scan: no aggregation shuffle
+    // anywhere in the plan (the only exchange is the final ORDER BY's
+    // range partitioning, which exists for the oracle compare)
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = QueriesText.queries("t10_dup_ngrams")(spark, dir)
+      .queryExecution.executedPlan.toString
+    (plan should not).include("hashpartitioning")
+    (plan should not).include("HashAggregate")
+  }
+
   test("packSequences: per-shard intervals tile the stream exactly and chunk ids are consistent") {
     val df = (0L until 500L).map(i => (i, 1L + i % 37)).toDF("id", "ntok")
     val packed = graft.operators.Packing.packSequences(
