@@ -551,6 +551,48 @@ object QueriesText {
        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- d10
+  // Cross-document duplicated-shingle fraction — the span-dedup
+  // decision signal (which documents carry corpus-repeated passages):
+  // per document, the fraction of its DISTINCT 3-token shingles that
+  // appear in ≥ 2 documents. Reuses the d2/d5 shingle sets; shingle
+  // document-frequency is one count on the shingle key, joined back on
+  // the same key, rolled up per doc — three key-partitioned shuffles,
+  // all on corpus-linear relations, no window, no driver state. Counts
+  // exact int64, one final division (NULL for shingle-less docs).
+  val d10SharedShingles: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val sets = docs.select(col("doc_id"), explode(shingleSet).as("h"))
+    // sets are distinct per doc, so count(*) per shingle = doc frequency
+    val freq = sets.groupBy("h").agg(count(lit(1)).as("nd"))
+    val perDoc = sets.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ns"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("ss"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ns"), lit(0L)).as("n_shingles"),
+        coalesce(col("ss"), lit(0L)).as("shared_shingles"))
+      .withColumn("shared_frac",
+        when(col("n_shingles") === 0, lit(null).cast("double"))
+          .otherwise(col("shared_shingles").cast("double") / col("n_shingles").cast("double")))
+      .orderBy("doc_id")
+  }
+
+  val d10SharedShinglesSql: String =
+    s"""WITH sh AS (SELECT doc_id, $sqlHs AS hs FROM documents),
+       |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+       |f AS (SELECT h, count(*)::BIGINT AS nd FROM e GROUP BY h),
+       |pd AS (SELECT doc_id, count(*)::BIGINT AS ns,
+       |              cast(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) as BIGINT) AS ss
+       |       FROM e JOIN f USING (h) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(ns, 0) AS n_shingles,
+       |       coalesce(ss, 0) AS shared_shingles,
+       |       cast(coalesce(ss, 0) as double) / nullif(coalesce(ns, 0), 0) AS shared_frac
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d7
   // Duplicate-group assembly: connected components over the verified
   // near-dup pairs (d3's output graph); canonical doc = min id per
@@ -939,6 +981,7 @@ object QueriesText {
     "d5_ngram_jaccard" -> d5NgramJaccard,
     "d7_cc_dedup" -> d7CcDedup,
     "d8_keep_best" -> d8KeepBest,
+    "d10_shared_shingles" -> d10SharedShingles,
     "t8_top_ngrams" -> t8TopNgrams,
     "st8_streaming_cc" -> st8StreamingCc,
     "p10_stratified_sample" -> p10StratifiedSample,
@@ -969,6 +1012,7 @@ object QueriesText {
     "d5_ngram_jaccard" -> d5NgramJaccardSql,
     "d7_cc_dedup" -> d7CcDedupSql,
     "d8_keep_best" -> d8KeepBestSql,
+    "d10_shared_shingles" -> d10SharedShinglesSql,
     "t8_top_ngrams" -> t8TopNgramsSql,
     "st8_streaming_cc" -> d7CcDedupSql,
     "p10_stratified_sample" -> p10StratifiedSampleSql,

@@ -161,4 +161,32 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include ("partial_max")
   }
+
+  test("d10 shared-shingle fraction: planted shared passage scores 1.0 on the copy, unique doc 0.0") {
+    import org.apache.spark.sql.functions.col
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, passage),                       // fully shared with doc 1
+      (1L, passage),                       // identical copy
+      (2L, s"$passage unique trailing words here"), // shares a prefix span
+      (3L, "totally different words nothing repeats"),
+      (4L, "xy")                           // < 3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    // run the catalog query shape against a temp dir-less frame: reuse
+    // the operator pipeline by writing docs to a temp parquet "dir"
+    val dir = java.nio.file.Files.createTempDirectory("d10spec").toString
+    docs.select(col("doc_id"), col("text"),
+        org.apache.spark.sql.functions.lit("en").as("lang"),
+        org.apache.spark.sql.functions.lit("src0").as("source"),
+        org.apache.spark.sql.functions.length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = QueriesText.queries("d10_shared_shingles")(spark, dir)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map { case (id, ns, ss, f) => id -> ((ns, ss, f)) }.toMap
+    out(0L)._3 shouldBe Some(1.0) // every shingle of the passage recurs
+    out(1L)._3 shouldBe Some(1.0)
+    out(2L)._2 shouldBe 4L        // the 4 shingles fully inside the shared passage
+    out(3L) shouldBe ((3L, 0L, Some(0.0)))
+    out(4L) shouldBe ((0L, 0L, None)) // shingle-less doc: NULL fraction, still present
+  }
 }
