@@ -343,6 +343,38 @@ object QueriesVector {
        |SELECT qid AS query_id, cid AS neighbor_id, rank, sim
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- v12
+  // Prototypicality pruning on the v9 integer cells — the
+  // SSL-prototypes data-curation recipe (keep each cluster's most
+  // prototypical examples): every vector scored by integer squared
+  // distance to its cell's final centroid (the same truncating
+  // integer-mean update rule the build runs), ranked ascending within
+  // the cell, top-`ProtoK` flagged kept. Shared v9 CTE prefix ⇒ the
+  // whole build + scoring hash-matches.
+  private val ProtoK = 20
+
+  val v12Prototypicality: Q = (s, dir) =>
+    Similarity.prototypicality(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), nCells = IvfCells, keepK = ProtoK)
+      .orderBy("vec_id")
+
+  val v12PrototypicalitySql: String =
+    s"""WITH $sqlIntIvfPrefix,
+       |upd2 AS (
+       |  SELECT cell, i, sum(q[i]) AS s, count(*) AS n
+       |  FROM m2, generate_series(1, $Dim) AS t(i) GROUP BY cell, i),
+       |c2 AS (
+       |  SELECT cell, list((s // n)::BIGINT ORDER BY i) AS cent FROM upd2 GROUP BY cell),
+       |scored AS (
+       |  SELECT m2.vec_id, m2.cell, ${sqlIsq("m2.q", "c2.cent")} AS isq
+       |  FROM m2 JOIN c2 USING (cell)),
+       |ranked AS (
+       |  SELECT vec_id, cell, isq,
+       |         row_number() OVER (PARTITION BY cell ORDER BY isq, vec_id) AS rank
+       |  FROM scored)
+       |SELECT vec_id, cell, isq, rank::BIGINT AS rank, rank <= $ProtoK AS kept
+       |FROM ranked ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- d9
   // SemDeDup-style semantic dedup on the v9 integer cells: each cell's
   // min-id member represents it; any other member whose quantized
@@ -458,6 +490,7 @@ object QueriesVector {
     "v9_int_ivf" -> v9IntIvf,
     "d9_semantic_dedup" -> d9SemanticDedup,
     "v11_ivf_rerank" -> v11IvfRerank,
+    "v12_prototypicality" -> v12Prototypicality,
     "v10_pq_topk" -> v10PqTopk,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
@@ -465,6 +498,7 @@ object QueriesVector {
     "v9_int_ivf" -> v9IntIvfSql,
     "d9_semantic_dedup" -> d9SemanticDedupSql,
     "v11_ivf_rerank" -> v11IvfRerankSql,
+    "v12_prototypicality" -> v12PrototypicalitySql,
     "v10_pq_topk" -> v10PqTopkSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_rhp_ann" -> v2RhpAnnSql,

@@ -346,6 +346,39 @@ object Similarity {
             lit(tauPct.toLong * tauPct) * col("nx") * col("nr")).as("kept"))
   }
 
+  /** v12 — prototypicality ranking per IVF cell (the SSL-prototypes
+    * data-pruning recipe: score each example by how close it sits to
+    * its cluster's prototype, keep the most prototypical): each vector
+    * is scored by its integer squared distance to its OWN cell's
+    * centroid — the element-wise truncating integer mean of the cell's
+    * final members, the same update rule the build runs — ranked
+    * ascending (ties by id) within the cell, with `kept` flagging the
+    * `keepK` most prototypical members. Everything stays in the v9
+    * integer pipeline, so build AND scoring replay in SQL.
+    *
+    * Scale: centroids are nCells bounded rows (broadcast back); the
+    * rank is a window PARTITIONED BY cell — per-cell sorts only, no
+    * global sort, no single-partition exchange.
+    */
+  def prototypicality(df: DataFrame, id: Column, vec: Column, nCells: Int,
+                      keepK: Int): DataFrame = {
+    require(keepK > 0, s"keepK=$keepK must be positive")
+    val fin = intIvfAssign(df, id, vec, nCells)
+    // final-cell centroids: same truncating element-wise integer mean
+    // as the build's update step, over the FINAL assignment
+    val cents = fin.select(col("cell"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", ((col("s") - col("s") % col("n")) / col("n")).cast("long"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ps"))
+      .select(col("cell"), expr("transform(ps, p -> p.c)").as("cent"))
+    val w = Window.partitionBy("cell").orderBy(col("isq").asc, col("vid").asc)
+    fin.join(broadcast(cents), Seq("cell"))
+      .withColumn("isq", VectorFunctions.intSqDist(col("q"), col("cent")))
+      .withColumn("rank", row_number().over(w))
+      .select(col("vid").as("vec_id"), col("cell"), col("isq"),
+        col("rank").cast("long").as("rank"), (col("rank") <= keepK).as("kept"))
+  }
+
   /** Product quantization top-k — the classic memory-for-recall ANN
     * trade (M sub-codebooks of k codes: a 64-dim float vector becomes M
     * bytes, 32× smaller), built and searched ENTIRELY in deterministic

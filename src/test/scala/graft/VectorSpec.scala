@@ -250,4 +250,27 @@ class VectorSpec extends SparkSpec {
     }
     out.toSet shouldBe run().toSet // deterministic integer build
   }
+
+  test("prototypicality: dense per-cell ranks, kept = top-K closest to centroid, partitioning-invariant") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 300L).map { id =>
+      (id, Array.fill(8)((rnd.nextGaussian() * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run(parts: Int) = Similarity.prototypicality(
+      df.repartition(parts), col("vec_id"), col("embedding"), nCells = 5, keepK = 10)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    val out = run(3)
+    out.map(_._1).toSet.size shouldBe 300 // every vector scored once
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      withClue(s"cell=$cell: ") {
+        // ranks dense from 1; kept = the min(K, size) smallest (isq, id)
+        rows.map(_._4).sorted shouldBe (1L to rows.length).toSeq
+        val kept = rows.filter(_._5).map(r => (r._3, r._1)).sorted
+        val best = rows.map(r => (r._3, r._1)).sorted.take(10)
+        kept shouldBe best
+      }
+    }
+    run(7).toSet shouldBe out.toSet // partitioning-invariant
+  }
 }
