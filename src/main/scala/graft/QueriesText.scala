@@ -851,6 +851,60 @@ object QueriesText {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- t11
+  // Corpus-LM quality score — the CCNet-style "LM likelihood" filter
+  // re-expressed in exact integers: a document's score is the MEAN
+  // CORPUS FREQUENCY of its word-bigram occurrences (per-myriad,
+  // floor), so text made of corpus-common constructions scores high
+  // and rare/degenerate text scores low — the same ordering a smoothed
+  // bigram LM's log-likelihood induces, without a transcendental log
+  // that would break bit-exact cross-engine replay. Shape: one corpus
+  // bigram count keyed on the ngram hash, joined back per occurrence,
+  // rolled up per doc — the t8/d10 shuffle family, corpus-linear, no
+  // windows. score_pm = floor(10000 * sum C(g) / m), plus the exact
+  // double mean (single division; NULL for sub-2-token docs).
+  val t11LmScore: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val occ = docs.select(col("doc_id"),
+      explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("g"))
+      .select(col("doc_id"), TextFunctions.stringHash(col("g")).as("h"))
+    val freq = occ.groupBy("h").agg(count(lit(1)).as("cf"))
+    val perDoc = occ.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("m"), sum(col("cf")).as("sumcf"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("m"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sumcf"), lit(0L)).as("sum_freq"))
+      .withColumn("score_pm",
+        when(col("n_bigrams") === 0, lit(null).cast("long"))
+          .otherwise(expr("(10000 * sum_freq) div n_bigrams")))
+      .withColumn("mean_freq",
+        when(col("n_bigrams") === 0, lit(null).cast("double"))
+          .otherwise(col("sum_freq").cast("double") / col("n_bigrams").cast("double")))
+      .orderBy("doc_id")
+  }
+
+  val t11LmScoreSql: String = {
+    val sh2 = s"list_transform(generate_series(1, greatest(len(toks)-1, 0)), i -> array_to_string(list_slice(toks, i, i+1), ' '))"
+    s"""WITH o AS (
+       |  SELECT doc_id, ${sqlStrHash("g")} AS h
+       |  FROM (SELECT doc_id, unnest($sh2) AS g
+       |        FROM (SELECT doc_id, $sqlToks AS toks FROM documents))),
+       |f AS (SELECT h, count(*)::BIGINT AS cf FROM o GROUP BY h),
+       |pd AS (SELECT doc_id, count(*)::BIGINT AS m, cast(sum(cf) as BIGINT) AS sumcf
+       |       FROM o JOIN f USING (h) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(m, 0) AS n_bigrams,
+       |       coalesce(sumcf, 0) AS sum_freq,
+       |       CASE WHEN coalesce(m, 0) = 0 THEN NULL
+       |            ELSE (10000 * sumcf) // m END AS score_pm,
+       |       CASE WHEN coalesce(m, 0) = 0 THEN NULL
+       |            ELSE cast(sumcf as double) / m END AS mean_freq
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- p14
   // Sequence packing — the concat-and-chunk step that turns the
   // filtered/mixed corpus into fixed-length training sequences: each
@@ -997,7 +1051,8 @@ object QueriesText {
     "t7_bloom_decontam" -> t7BloomDecontam,
     "t6_repetition" -> t6Repetition,
     "t9_quality_filter" -> t9QualityFilter,
-    "t10_dup_ngrams" -> t10DupNgrams)
+    "t10_dup_ngrams" -> t10DupNgrams,
+    "t11_lm_score" -> t11LmScore)
 
   val oracles: Map[String, String] = Map(
     "st6_streaming_neardup" -> st6StreamingNeardupSql,
@@ -1028,5 +1083,6 @@ object QueriesText {
     "t7_bloom_decontam" -> t7BloomDecontamSql,
     "t6_repetition" -> t6RepetitionSql,
     "t9_quality_filter" -> t9QualityFilterSql,
-    "t10_dup_ngrams" -> t10DupNgramsSql)
+    "t10_dup_ngrams" -> t10DupNgramsSql,
+    "t11_lm_score" -> t11LmScoreSql)
 }

@@ -249,6 +249,30 @@ class QualitySpec extends SparkSpec {
     (plan should not).include("HashAggregate")
   }
 
+  test("t11 LM score: corpus-common text outranks rare text, short docs surface with NULL") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val common = "the cat sat on the mat"
+    val docs = (
+      (0L until 10L).map(id => (id, common)) :+        // 10 copies: very common bigrams
+      (100L, "zq xv unique bigrams never repeat") :+   // rare text
+      (101L, "solo")                                   // 1 token: no bigrams
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("t11spec").toString
+    docs.select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"),
+        org.apache.spark.sql.functions.length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = QueriesText.queries("t11_lm_score")(spark, dir)
+      .select("doc_id", "n_bigrams", "score_pm")
+      .as[(Long, Long, Option[Long])].collect()
+      .map { case (id, m, sc) => id -> ((m, sc)) }.toMap
+    out(0L)._1 shouldBe 5L
+    out(0L)._2.get shouldBe 100000L            // every bigram occurs 10x: mean 10 → 10000*10
+    out(100L)._2.get shouldBe 10000L           // all bigrams unique: mean 1
+    out(0L)._2.get should be > out(100L)._2.get
+    out(101L) shouldBe ((0L, None))            // bigram-less doc: NULL score, still present
+  }
+
   test("packSequences: per-shard intervals tile the stream exactly and chunk ids are consistent") {
     val df = (0L until 500L).map(i => (i, 1L + i % 37)).toDF("id", "ntok")
     val packed = graft.operators.Packing.packSequences(
