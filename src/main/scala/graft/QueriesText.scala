@@ -863,15 +863,21 @@ object QueriesText {
   // rolled up per doc — the t8/d10 shuffle family, corpus-linear, no
   // windows. score_pm = floor(10000 * sum C(g) / m), plus the exact
   // double mean (single division; NULL for sub-2-token docs).
+  //
+  // Hot path: ShingleHashCounts pre-counts each doc's bigrams in ONE
+  // compiled pass, so the exchanged relation is (doc_id, h, c) with one
+  // row per DISTINCT bigram per doc — no shingle strings and no
+  // duplicate-occurrence rows ever cross a shuffle (the sf1 smoke put
+  // the string-occurrence formulation at ~8x this plan's cost).
   val t11LmScore: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
     val occ = docs.select(col("doc_id"),
-      explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("g"))
-      .select(col("doc_id"), TextFunctions.stringHash(col("g")).as("h"))
-    val freq = occ.groupBy("h").agg(count(lit(1)).as("cf"))
+      explode(TextFunctions.shingleHashCounts(TextFunctions.tokens(col("text")), 2)).as("hc"))
+      .select(col("doc_id"), col("hc.h").as("h"), col("hc.c").as("c"))
+    val freq = occ.groupBy("h").agg(sum(col("c")).as("cf"))
     val perDoc = occ.join(freq, "h")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("m"), sum(col("cf")).as("sumcf"))
+      .agg(sum(col("c")).as("m"), sum(col("c") * col("cf")).as("sumcf"))
     docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("m"), lit(0L)).as("n_bigrams"),

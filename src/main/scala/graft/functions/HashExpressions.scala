@@ -106,6 +106,54 @@ case class ShingleHashSet(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-document shingle-hash COUNTS — array<struct<h, c>> of each
+  * distinct n-token shingle hash (same space-joined mod-p hash as
+  * [[ShingleHashSet]], first-occurrence order) with its within-document
+  * multiplicity, one compiled pass. The occurrence-weighted dedup/LM
+  * ops (t11) explode this instead of one row per shingle OCCURRENCE:
+  * the shuffled relation shrinks to distinct-shingles-per-doc rows of
+  * (long, long) — no string allocation, no per-string hash expression,
+  * no duplicate-occurrence rows through the exchange.
+  */
+case class ShingleHashCounts(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+  import HashExpressions._
+
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "shingle_hash_counts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val toks = new Array[String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val counts = mutable.LinkedHashMap.empty[Long, Long]
+    var start = 0
+    while (start <= len - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) h = (h * 31 + ' ') % P
+        h = polyHashChars(toks(start + j), 0, toks(start + j).length, h)
+        j += 1
+      }
+      counts.update(h, counts.getOrElse(h, 0L) + 1L)
+      start += 1
+    }
+    new GenericArrayData(counts.iterator.map { case (h, c) => InternalRow(h, c) }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashCounts =
+    copy(child = newChild)
+}
+
 /** Per-row term-frequency relation: counts each distinct string of the
   * input array (first-occurrence order) and attaches the L2-normalized
   * weight tf/√(Σtf²) — one local pass, no shuffle. The per-document

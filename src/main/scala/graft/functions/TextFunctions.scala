@@ -73,6 +73,14 @@ object TextFunctions {
   def dupNgramStats(toks: Column, n: Int): Column =
     ExpressionUtils.column(DupNgramStats(ExpressionUtils.expression(toks), n))
 
+  /** Distinct shingle hashes WITH within-doc multiplicities —
+    * array<struct<h, c>>, one compiled pass ([[ShingleHashCounts]]);
+    * the exploded form shuffles distinct-shingles-per-doc (long, long)
+    * rows instead of one string row per occurrence.
+    */
+  def shingleHashCounts(toks: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashCounts(ExpressionUtils.expression(toks), n))
+
   /** Distinct character-n-gram hash set (char-shingle analog of the
     * reference's char-bigram vectorizer, `fit_vectorizer.py:20-21`).
     * Native one-pass expression.
