@@ -38,7 +38,11 @@ object ScaleSmoke {
         System.gc(); Thread.sleep(50)
         val times = (0 until iters).map { _ =>
           val t0 = System.nanoTime()
-          SparkEntry.queries(n)(spark, dir).count()
+          // toRdd.count(), not count(): count() collapses to count(1)
+          // and lets Catalyst prune unused projections/windows, which
+          // under-measures pure-projection queries (t10, p14). toRdd
+          // materializes every output column of the final plan.
+          SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
           (System.nanoTime() - t0) / 1e9
         }
         val rounds =
