@@ -90,7 +90,14 @@ object Bench {
         // one-shot timing this protocol exists to kill
         spark.conf.set("spark.sql.streaming.checkpointLocation", s"$ckRoot/$name/$tag$i")
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        // toRdd.count(), not count(): count() collapses to count(1) and
+        // Catalyst prunes unused projections/windows/sorts, so pure-
+        // projection queries (t10's compiled scan, p14's pack window)
+        // would bench as near-free parquet counts. toRdd materializes
+        // every output column of the final plan — the operator's whole
+        // work, plus the (cheap, bounded-output) compare-convention
+        // ORDER BY.
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
     // sorted-name order: Map iteration is hash-ordered, which shuffles
