@@ -331,6 +331,104 @@ case class DupNgramStats(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** SimHash of a token array — one compiled pass replacing the
+  * bits×tokens interpreted HOF fold (the toRdd bench exposed the HOF
+  * form at ~9× this cost): per token one mod-p polynomial hash, per
+  * bit a +1/-1 vote on that hash's bit, result bit k set iff the vote
+  * sum is positive. Semantics identical to the HOF/oracle formulation
+  * (shiftright(h, k) & 1 votes, strict > 0 threshold).
+  */
+case class SimHashExpr(child: Expression, bits: Int)
+  extends UnaryExpression with CodegenFallback {
+  import HashExpressions._
+
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63]: $bits")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sim_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Long](bits)
+    var i = 0
+    while (i < n) {
+      val s = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      val h = polyHashChars(s, 0, s.length, 0L)
+      var k = 0
+      while (k < bits) {
+        votes(k) += (if (((h >> k) & 1L) == 1L) 1L else -1L)
+        k += 1
+      }
+      i += 1
+    }
+    var res = 0L
+    var k = 0
+    while (k < bits) {
+      if (votes(k) > 0) res |= (1L << k)
+      k += 1
+    }
+    res
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** Marker-vote language ID — one compiled pass replacing the
+  * 5-language × 5-marker interpreted filter HOFs: each token is looked
+  * up in a precompiled marker→languages map (a marker can vote for
+  * several languages, e.g. 'la' ∈ es AND fr), then the winner is the
+  * FIRST language in sorted order with the strictly highest hit count
+  * ('und' on zero hits) — the exact fold [[graft.functions
+  * .TextFunctions.langId]]'s HOF form and the t2 oracle encode.
+  */
+case class LangIdVote(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id_vote"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Long](LangIdVote.langs.length)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val ls = LangIdVote.markerIdx.getOrElse(arr.getUTF8String(i).toString, null)
+        if (ls != null) {
+          var j = 0
+          while (j < ls.length) { counts(ls(j)) += 1L; j += 1 }
+        }
+      }
+      i += 1
+    }
+    var bi = 0
+    var bh = counts(0)
+    var k = 1
+    while (k < counts.length) {
+      if (counts(k) > bh) { bi = k; bh = counts(k) }
+      k += 1
+    }
+    if (bh > 0L) UTF8String.fromString(LangIdVote.langs(bi))
+    else UTF8String.fromString("und")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdVote =
+    copy(child = newChild)
+}
+
+object LangIdVote {
+  /** Sorted language codes — the fold's tie-break order. */
+  val langs: IndexedSeq[String] = TextFunctions.langMarkers.keys.toVector.sorted
+  /** marker token → indices of the languages it votes for. */
+  val markerIdx: Map[String, Array[Int]] =
+    langs.zipWithIndex
+      .flatMap { case (l, i) => TextFunctions.langMarkers(l).map(_ -> i) }
+      .groupBy(_._1)
+      .map { case (m, ps) => m -> ps.map(_._2).sorted.toArray }
+}
+
 /** Distinct hashed character n-grams of a string, first-occurrence
   * order — poly_hash over each length-n char window, one compiled pass.
   */

@@ -106,19 +106,8 @@ object TextFunctions {
     * result is 1 iff Σ_tokens (±1 by bit k of tokenHash) > 0.
     * Returns a long. 30 bits max (hash domain is mod P ≈ 2³⁰).
     */
-  def simHash(toks: Column, bits: Int): Column = {
-    val th = tokenHashes(toks)
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, k) => {
-        val bitSum = aggregate(
-          th,
-          lit(0L),
-          (a, h) => a + when(call_function("shiftright", h, k.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        acc + when(bitSum > 0, call_function("shiftleft", lit(1L), k.cast("int"))).otherwise(0L)
-      })
-  }
+  def simHash(toks: Column, bits: Int): Column =
+    ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(toks), bits))
 
   /** F4-F7 plug-in boundary — deterministic toy text encoder (SURVEY
     * §7.1 layer 7): a hashing projection standing in for the neural
@@ -182,13 +171,6 @@ object TextFunctions {
   def markerHits(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isInCollection(langMarkers(lang))))
 
-  def langId(toks: Column): Column = {
-    val scored = langMarkers.keys.toSeq.sorted.map(l => struct(markerHits(toks, l).as("hits"), lit(l).as("lang")))
-    // max over (hits, reversed-lang) then tie-break: array_max picks the
-    // lexicographically greatest struct = highest hits, then greatest
-    // lang; to break ties toward the *smallest* lang we compare on
-    // (hits, negated rank) — simpler: fold keeping first strict max.
-    val best = scored.reduceLeft((a, b) => when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langId(toks: Column): Column =
+    ExpressionUtils.column(LangIdVote(ExpressionUtils.expression(toks)))
 }
