@@ -66,6 +66,20 @@ class PlanAuditSpec extends SparkSpec {
     "v11_ivf_rerank" -> "broadcast centroids, cell-bounded candidates",
     "v12_prototypicality" -> "broadcast cell centroids (nCells rows)")
 
+  test("scans prune columns and push filters (representative queries)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // column pruning: p12 touches only (doc_id, lang) — the 30x-larger
+    // text column must never reach the scan
+    val p12 = SparkEntry.queries("p12_bottomk_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    p12 should include ("ReadSchema: struct<doc_id:bigint,lang:string>")
+    // predicate pushdown: q1's shipdate filter reaches the parquet scan
+    val q1 = SparkEntry.queries("q1_pricing")(spark, dir)
+      .queryExecution.executedPlan.toString
+    q1 should include ("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate,")
+  }
+
   test("batch catalog: no CartesianProduct; SinglePartition/BNLJ only where classified") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/documents.parquet").exists())
