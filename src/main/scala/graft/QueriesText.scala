@@ -685,6 +685,60 @@ object QueriesText {
        |SELECT ngram, cast(count(*) as bigint) AS cnt
        |FROM grams GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin
 
+  // --------------------------------------------------------------- t12
+  // BPE-style merge-rule induction — the tokenizer-training primitive
+  // (learn the most frequent adjacent pair, fuse it corpus-wide,
+  // recount): the first two merge rounds, fully DECLARATIVE — the
+  // learned pair never touches the driver; it parameterizes the next
+  // round as a broadcast 1-row relation feeding regexp_replace's
+  // pattern column, so the whole 2-round induction is one Catalyst
+  // plan (count shuffle → broadcast top-1 → map-side fuse → count
+  // shuffle). Both engines execute the IDENTICAL regex
+  // ('\b<w1> <w2>\b' → 'w1_w2'; leftmost non-overlapping 'g'
+  // semantics agree between Java regex and RE2 for this pattern
+  // class — tokens are alphanumeric, and '_' is a word char in both,
+  // so the fused token keeps clean boundaries). Output: the top-5
+  // pair counts before and after the first fusion.
+  val t12BpeMerges: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    def pairCounts(d: org.apache.spark.sql.DataFrame) = d
+      .select(explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val c1 = pairCounts(docs).persist()
+    val top1 = c1.orderBy(col("cnt").desc, col("pair")).limit(1).select(col("pair").as("p1"))
+    val merged = docs.crossJoin(broadcast(top1))
+      .select(col("doc_id"),
+        regexp_replace(col("text"),
+          concat(lit("\\b"), col("p1"), lit("\\b")),
+          translate(col("p1"), " ", "_")).as("text"))
+    val c2 = pairCounts(merged)
+    c1.orderBy(col("cnt").desc, col("pair")).limit(5).withColumn("round", lit(1L))
+      .unionAll(c2.orderBy(col("cnt").desc, col("pair")).limit(5).withColumn("round", lit(2L)))
+      .select(col("round"), col("pair"), col("cnt"))
+      .orderBy(col("round"), col("cnt").desc, col("pair"))
+  }
+
+  val t12BpeMergesSql: String = {
+    val grams =
+      s"""SELECT unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+         |    i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS pair""".stripMargin
+    s"""WITH c1 AS (
+       |  SELECT pair, cast(count(*) as bigint) AS cnt
+       |  FROM ($grams FROM (SELECT $sqlToks AS toks FROM documents)) GROUP BY pair),
+       |top1 AS (SELECT pair AS p1 FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+       |m AS (
+       |  SELECT regexp_replace(text, '\\b' || p1 || '\\b', replace(p1, ' ', '_'), 'g') AS text
+       |  FROM documents, top1),
+       |c2 AS (
+       |  SELECT pair, cast(count(*) as bigint) AS cnt
+       |  FROM ($grams FROM (SELECT string_split(text, ' ') AS toks FROM m)) GROUP BY pair)
+       |SELECT * FROM (
+       |  SELECT 1::BIGINT AS round, pair, cnt FROM (SELECT pair, cnt FROM c1 ORDER BY cnt DESC, pair LIMIT 5)
+       |  UNION ALL
+       |  SELECT 2::BIGINT AS round, pair, cnt FROM (SELECT pair, cnt FROM c2 ORDER BY cnt DESC, pair LIMIT 5))
+       |ORDER BY round, cnt DESC, pair""".stripMargin
+  }
+
   // ---------------------------------------------------------------- st6
   // Streaming MinHash-LSH candidate generation: documents band-hashed
   // at ingest, bucket-keyed state emits pairs on arrival, streaming
@@ -1058,7 +1112,8 @@ object QueriesText {
     "t6_repetition" -> t6Repetition,
     "t9_quality_filter" -> t9QualityFilter,
     "t10_dup_ngrams" -> t10DupNgrams,
-    "t11_lm_score" -> t11LmScore)
+    "t11_lm_score" -> t11LmScore,
+    "t12_bpe_merges" -> t12BpeMerges)
 
   val oracles: Map[String, String] = Map(
     "st6_streaming_neardup" -> st6StreamingNeardupSql,
@@ -1090,5 +1145,6 @@ object QueriesText {
     "t6_repetition" -> t6RepetitionSql,
     "t9_quality_filter" -> t9QualityFilterSql,
     "t10_dup_ngrams" -> t10DupNgramsSql,
-    "t11_lm_score" -> t11LmScoreSql)
+    "t11_lm_score" -> t11LmScoreSql,
+    "t12_bpe_merges" -> t12BpeMergesSql)
 }

@@ -58,6 +58,7 @@ class PlanAuditSpec extends SparkSpec {
     "k5_grouped_quantiles" -> "literal percentile array x bounded per-stratum totals",
     "t5_decontamination" -> "broadcast benchmark shingle sets (bounded benchmark)",
     "t9_quality_filter" -> "broadcast per-language thresholds (#langs rows)",
+    "t12_bpe_merges" -> "broadcast learned top-1 merge rule (one row)",
     "v1_cosine_topk" -> "bounded broadcast query side (absolute row cap, LSH fallback past it)",
     "v3_gram_pairs" -> "bounded broadcast query side",
     "v4_blend_scores" -> "bounded broadcast query side",

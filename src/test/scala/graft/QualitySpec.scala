@@ -273,6 +273,28 @@ class QualitySpec extends SparkSpec {
     out(101L) shouldBe ((0L, None))            // bigram-less doc: NULL score, still present
   }
 
+  test("t12 BPE merges: the learned pair fuses corpus-wide and vanishes from round 2") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = (
+      (0L until 20L).map(id => (id, "big cat runs fast")) :+     // 'big cat' dominates
+      (100L, "big cat big cat big cat") :+                       // adjacent repeats: greedy fuse
+      (101L, "small dog runs fast")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("t12spec").toString
+    docs.select(col("doc_id"), col("text"), lit("en").as("lang"), lit("src0").as("source"),
+        org.apache.spark.sql.functions.length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = QueriesText.queries("t12_bpe_merges")(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    val r1 = out.filter(_._1 == 1L)
+    val r2 = out.filter(_._1 == 2L)
+    r1.head shouldBe ((1L, "big cat", 23L)) // 20 + 3 occurrences, the top pair
+    // after fusing, 'big cat' is gone and the fused token forms new pairs
+    r2.map(_._2) should not contain "big cat"
+    r2.map(_._2) should contain ("big_cat runs")       // 20 docs
+    r2.map(_._2) should contain ("big_cat big_cat")    // greedy left-to-right on the repeat doc
+  }
+
   test("packSequences: per-shard intervals tile the stream exactly and chunk ids are consistent") {
     val df = (0L until 500L).map(i => (i, 1L + i % 37)).toDF("id", "ntok")
     val packed = graft.operators.Packing.packSequences(
