@@ -660,6 +660,114 @@ object QueriesRelational {
     est.join(exact, "event_type").orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- w6
+  // Sliding-window cardinality via mergeable sketches — the classic
+  // "distinct users over the trailing 7 days, every day" dashboard
+  // query, done the way it survives 100 TB: the corpus collapses ONCE
+  // into per-(day, bucket) HLL registers (k2's deterministic sketch —
+  // max is the merge), and the 7-day union is a register-wise max
+  // window over the AGGREGATED (days × 64) relation — the raw events
+  // are never touched per window. The exact trailing-7-day distinct
+  // count rides along as the verification twin (the expensive path the
+  // sketch replaces; at scale you would drop it). Same literal ln
+  // table trick as k2 keeps even the float estimate bit-exact across
+  // engines.
+  val w6SlidingDistinct: Q = (s, dir) => {
+    val P = 1000000007L
+    val M = 64
+    val ev = t(s, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+    val uid = ((col("user_id") % P) + P) % P
+    val hashed = ev
+      .withColumn("h0", (uid * 2654435761L + 12345L) % P)
+      .withColumn("h1", (col("h0") * col("h0") + 17L) % P)
+      .withColumn("hv", (col("h1") * col("h1") + col("h1") + 3L) % P)
+    val b = hashed.select(col("day"),
+      (col("hv") % M).as("bucket"),
+      expr(s"hv div $M").as("v"))
+    val rho = when(col("v") > 0, lit(25L) - length(bin(col("v"))).cast("long"))
+      .otherwise(lit(25L))
+    val r = b.select(col("day"), col("bucket"), rho.as("rho"))
+      .groupBy("day", "bucket").agg(max(col("rho")).as("reg"))
+    val grid = ev.select("day").distinct().crossJoin(s.range(0, M).toDF("bucket"))
+    val regs = grid.join(r, Seq("day", "bucket"), "left").na.fill(0L, Seq("reg"))
+    // register-wise trailing-7-day merge: a RANGE window per bucket over
+    // the bounded (days × 64) relation — never over events
+    val w7 = Window.partitionBy(col("bucket")).orderBy(col("day")).rangeBetween(-6, 0)
+    val slid = regs.withColumn("reg7", max(col("reg")).over(w7))
+    val arr = slid.groupBy("day")
+      .agg(array_sort(collect_list(struct(col("bucket"), col("reg7")))).as("rl"))
+    val sInv = aggregate(expr("transform(rl, x -> x.reg7)"), lit(0.0),
+      (acc, x) => acc + pow(lit(2.0), -x.cast("double")))
+    val raw = lit(0.709).cast("double") * lit(M * M).cast("double") / sInv
+    val zeroes = expr("size(filter(transform(rl, x -> x.reg7), r -> r = 0))")
+    val lnTable = typedLit((1 to M).map(v => math.log(M.toDouble / v)))
+    val est = arr.select(col("day"),
+      when(raw <= lit(2.5 * M) && zeroes > 0,
+        lit(M.toDouble) * element_at(lnTable, zeroes))
+        .otherwise(raw).as("hll_est_7d"))
+    // exact verification twin: distinct (day, user) pairs joined to the
+    // bounded day dimension over the trailing range
+    val du = ev.distinct()
+    val days = ev.select(col("day").as("d")).distinct()
+    val exact = broadcast(days)
+      .join(du, col("day").between(col("d") - 6, col("d")))
+      .groupBy(col("d").as("day"))
+      .agg(countDistinct(col("user_id")).cast("long").as("exact_7d"))
+    est.join(exact, "day").orderBy("day")
+  }
+
+  val w6SlidingDistinctSql: String = {
+    val lnList = (1 to 64).map(v => math.log(64.0 / v).toString + "::DOUBLE")
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events),
+       |b AS (
+       |  SELECT day, hv % 64 AS bucket, hv // 64 AS v FROM (
+       |    SELECT day, (h1*h1 + h1 + 3) % 1000000007 AS hv FROM (
+       |      SELECT day, (h0*h0 + 17) % 1000000007 AS h1 FROM (
+       |        SELECT day, (((user_id % 1000000007 + 1000000007) % 1000000007) * 2654435761 + 12345) % 1000000007 AS h0
+       |        FROM e)))),
+       |r AS (
+       |  SELECT day, bucket,
+       |         max(CASE WHEN v > 0 THEN 25 - length(bin(v)) ELSE 25 END) AS reg
+       |  FROM b GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT day, b2 AS bucket
+       |  FROM (SELECT DISTINCT day FROM e), generate_series(0, 63) t(b2)),
+       |regs AS (
+       |  SELECT grid.day, grid.bucket, coalesce(r.reg, 0) AS reg
+       |  FROM grid LEFT JOIN r ON r.day = grid.day AND r.bucket = grid.bucket),
+       |slid AS (
+       |  SELECT day, bucket,
+       |         max(reg) OVER (PARTITION BY bucket ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS reg7
+       |  FROM regs),
+       |arr AS (SELECT day, list(reg7 ORDER BY bucket) AS rl FROM slid GROUP BY 1),
+       |est AS (
+       |  SELECT day,
+       |         0.709::DOUBLE * 4096.0::DOUBLE
+       |           / list_reduce(list_prepend(0.0::DOUBLE,
+       |               list_transform(rl, x -> power(2.0::DOUBLE, -x::DOUBLE))),
+       |             (acc, y) -> acc + y) AS raw,
+       |         len(list_filter(rl, x -> x = 0)) AS zeroes
+       |  FROM arr),
+       |corr AS (
+       |  SELECT day,
+       |         CASE WHEN raw <= 160.0 AND zeroes > 0
+       |              THEN 64.0::DOUBLE * ($lnList::DOUBLE[])[zeroes]
+       |              ELSE raw END AS hll_est_7d
+       |  FROM est),
+       |du AS (SELECT DISTINCT day, user_id FROM e),
+       |ex AS (
+       |  SELECT d.day, count(DISTINCT du.user_id) AS exact_7d
+       |  FROM (SELECT DISTINCT day FROM e) d
+       |  JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+       |  GROUP BY d.day)
+       |SELECT corr.day AS day, hll_est_7d, exact_7d
+       |FROM corr JOIN ex ON corr.day = ex.day
+       |ORDER BY corr.day""".stripMargin
+  }
+
   val k2HllDistinctSql: String = {
     // same ln(m/V) literal table as the Spark side — shortest-decimal
     // double literals parse back to the identical bits; per-element
@@ -957,6 +1065,7 @@ object QueriesRelational {
     "a12_user_running" -> a12UserRunning,
     "k1_salted_sum" -> k1SaltedSum,
     "k2_hll_distinct" -> k2HllDistinct,
+    "w6_sliding_distinct" -> w6SlidingDistinct,
     "k3_cms_topk" -> k3CmsTopk)
 
   val oracles: Map[String, String] = Map(
@@ -990,5 +1099,6 @@ object QueriesRelational {
     "a12_user_running" -> a12UserRunningSql,
     "k1_salted_sum" -> k1SaltedSumSql,
     "k2_hll_distinct" -> k2HllDistinctSql,
+    "w6_sliding_distinct" -> w6SlidingDistinctSql,
     "k3_cms_topk" -> k3CmsTopkSql)
 }

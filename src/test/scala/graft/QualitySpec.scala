@@ -295,6 +295,33 @@ class QualitySpec extends SparkSpec {
     r2.map(_._2) should contain ("big_cat big_cat")    // greedy left-to-right on the repeat doc
   }
 
+  test("w6 sliding distinct: exact trailing-7-day counts match brute force, sketch tracks them") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dayNs = 86400000000000L
+    // user u is active on days u%15 and (u%15)+3
+    val events = (0L until 600L).flatMap { u =>
+      Seq((u % 15) * dayNs + u, ((u % 15) + 3) * dayNs + u).map(ts => (ts, u))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("w6spec").toString
+    events.toDF("ts", "user_id")
+      .withColumn("event_id", col("user_id"))
+      .withColumn("event_type", lit("view"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = QueriesRelational.queries("w6_sliding_distinct")(spark, dir)
+      .as[(Long, Double, Long)].collect().map { case (d, e, x) => d -> ((e, x)) }.toMap
+    // brute-force exact trailing-7-day distinct per day
+    val byDay = events.map { case (ts, u) => (ts / dayNs, u) }
+    val days = byDay.map(_._1).distinct.sorted
+    days.foreach { d =>
+      val expect = byDay.filter { case (dd, _) => dd >= d - 6 && dd <= d }.map(_._2).distinct.size.toLong
+      withClue(s"day=$d: ") {
+        out(d)._2 shouldBe expect
+        // deterministic HLL (m=64): estimate within 35% of truth here
+        math.abs(out(d)._1 - expect) / expect.toDouble should be < 0.35
+      }
+    }
+  }
+
   test("packSequences: per-shard intervals tile the stream exactly and chunk ids are consistent") {
     val df = (0L until 500L).map(i => (i, 1L + i % 37)).toDF("id", "ntok")
     val packed = graft.operators.Packing.packSequences(
