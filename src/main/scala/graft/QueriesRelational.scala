@@ -672,7 +672,11 @@ object QueriesRelational {
   // sketch replaces; at scale you would drop it). Same literal ln
   // table trick as k2 keeps even the float estimate bit-exact across
   // engines.
-  val w6SlidingDistinct: Q = (s, dir) => {
+  /** w6's per-(day, bucket, rho) observation relation — the k2 hash
+    * chain over (event day, user). Shared by the batch build and the
+    * st24 streaming feed so both run the identical sketch.
+    */
+  private[graft] def slidingHllObs(s: SparkSession, dir: String): DataFrame = {
     val P = 1000000007L
     val M = 64
     val ev = t(s, dir, "events")
@@ -687,8 +691,18 @@ object QueriesRelational {
       expr(s"hv div $M").as("v"))
     val rho = when(col("v") > 0, lit(25L) - length(bin(col("v"))).cast("long"))
       .otherwise(lit(25L))
-    val r = b.select(col("day"), col("bucket"), rho.as("rho"))
-      .groupBy("day", "bucket").agg(max(col("rho")).as("reg"))
+    b.select(col("day"), col("bucket"), rho.as("rho"))
+  }
+
+  /** Assembly shared by w6 and st24: per-(day, bucket) registers `r`
+    * (day, bucket, reg) → trailing-7-day register-wise max window over
+    * the bounded days × 64 relation → estimate + exact twin.
+    */
+  private[graft] def slidingHllAssemble(s: SparkSession, dir: String,
+                                        r: DataFrame): DataFrame = {
+    val M = 64
+    val ev = t(s, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
     val grid = ev.select("day").distinct().crossJoin(s.range(0, M).toDF("bucket"))
     val regs = grid.join(r, Seq("day", "bucket"), "left").na.fill(0L, Seq("reg"))
     // register-wise trailing-7-day merge: a RANGE window per bucket over
@@ -715,6 +729,49 @@ object QueriesRelational {
       .groupBy(col("d").as("day"))
       .agg(countDistinct(col("user_id")).cast("long").as("exact_7d"))
     est.join(exact, "day").orderBy("day")
+  }
+
+  val w6SlidingDistinct: Q = (s, dir) => {
+    val r = slidingHllObs(s, dir)
+      .groupBy("day", "bucket").agg(max(col("rho")).as("reg"))
+    slidingHllAssemble(s, dir, r)
+  }
+
+  // -------------------------------------------------------------- st24
+  // The sliding-distinct sketch BUILD as a live stream: per-bucket
+  // state is TWO longs (current day + its running register) under the
+  // day-ascending ingest contract; at most one (bucket, day) row per
+  // micro-batch is emitted (monotone, max-merged downstream), and the
+  // trailing-7-day union + estimate stay the same bounded relational
+  // assembly the batch w6 runs — so st24 hash-matches w6's SQL oracle:
+  // streaming = batch = SQL for the windowed-sketch family too.
+  val st24StreamingSlidingHll: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.DayRhoEvent
+    val rows = slidingHllObs(s, dir)
+      .orderBy("day", "bucket", "rho")
+      .as[(Long, Long, Long)]
+      .collect()
+      .map { case (day, bucket, rho) => DayRhoEvent(bucket, day, rho) }
+
+    QueriesStreaming.withShufflePartitions(s, 4) {
+      val input = MemoryStream[DayRhoEvent]
+      val query = StreamingSketch.dailyRegisters(input.toDS())
+        .writeStream.format("memory").queryName("st24_sink").outputMode("append").start()
+      try {
+        rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    val r = s.table("st24_sink")
+      .groupBy("day", "bucket").agg(max(col("reg")).as("reg"))
+    slidingHllAssemble(s, dir, r)
   }
 
   val w6SlidingDistinctSql: String = {
@@ -1066,6 +1123,7 @@ object QueriesRelational {
     "k1_salted_sum" -> k1SaltedSum,
     "k2_hll_distinct" -> k2HllDistinct,
     "w6_sliding_distinct" -> w6SlidingDistinct,
+    "st24_streaming_sliding_hll" -> st24StreamingSlidingHll,
     "k3_cms_topk" -> k3CmsTopk)
 
   val oracles: Map[String, String] = Map(
@@ -1100,5 +1158,6 @@ object QueriesRelational {
     "k1_salted_sum" -> k1SaltedSumSql,
     "k2_hll_distinct" -> k2HllDistinctSql,
     "w6_sliding_distinct" -> w6SlidingDistinctSql,
+    "st24_streaming_sliding_hll" -> w6SlidingDistinctSql,
     "k3_cms_topk" -> k3CmsTopkSql)
 }

@@ -101,4 +101,42 @@ object StreamingSketch {
           Iterator(Estimate(step, key, est))
       }
   }
+
+  /** One observation for the sliding-window sketch (w6's streaming
+    * twin): HLL bucket + event day + rho contribution.
+    */
+  final case class DayRhoEvent(bucket: Long, day: Long, rho: Long)
+
+  /** Per-bucket state: the CURRENT day and its running register —
+    * two longs, constant per bucket (the trailing-window union stays a
+    * relational window over the bounded days × buckets relation, the
+    * same build/assemble split the batch w6 uses at scale).
+    */
+  final case class DayReg(day: Long, reg: Long)
+
+  final case class DayRegOut(day: Long, bucket: Long, reg: Long)
+
+  /** st24 — per-(day, bucket) register maintenance as an ingest-time
+    * fold under the day-ascending contract: register values per
+    * (day, bucket) are emitted monotonically (max-merge downstream),
+    * at most one row per (bucket, day) per micro-batch — delta
+    * emission, not state dumps.
+    */
+  def dailyRegisters(events: Dataset[DayRhoEvent]): Dataset[DayRegOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, batch: Iterator[DayRhoEvent], state: GroupState[DayReg]) =>
+          var cur = state.getOption.getOrElse(DayReg(Long.MinValue, 0L))
+          val perDay = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+          batch.toSeq.sortBy(_.day).foreach { e =>
+            if (e.day > cur.day) cur = DayReg(e.day, e.rho)
+            else cur = DayReg(cur.day, math.max(cur.reg, e.rho))
+            perDay.update(cur.day, cur.reg)
+          }
+          state.update(cur)
+          perDay.iterator.map { case (d, r) => DayRegOut(d, bucket, r) }
+      }
+  }
 }

@@ -593,6 +593,41 @@ class StreamingSpec extends SparkSpec {
       (3L, 12L), (4L, 13L))
   }
 
+  test("streaming daily registers: batching-independent, delta emission bounded per batch") {
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.DayRhoEvent
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(5)
+    val evts = (0 until 2000).map { i =>
+      DayRhoEvent(bucket = rnd.nextInt(8).toLong, day = i / 200L, rho = 1L + rnd.nextInt(20))
+    }.sortBy(e => (e.day, e.bucket)) // day-ascending ingest contract
+    // batch reference: max rho per (day, bucket)
+    val expect = evts.groupBy(e => (e.day, e.bucket))
+      .map { case ((d, b), es) => (d, b, es.map(_.rho).max) }.toSet
+    def run(chunks: Seq[Seq[DayRhoEvent]], sink: String) = {
+      val input = MemoryStream[DayRhoEvent]
+      val query = StreamingSketch.dailyRegisters(input.toDS())
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      } finally query.stop()
+      spark.table(sink)
+    }
+    val one = run(Seq(evts), "dreg_one")
+    val many = run(evts.grouped(321).toSeq, "dreg_many")
+    def finalRegs(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("day", "bucket").agg(max("reg").as("reg"))
+      .as[(Long, Long, Long)].collect().toSet
+    finalRegs(one) shouldBe expect
+    finalRegs(many) shouldBe expect // batching-independent
+    // delta emission: at most one row per (bucket, day) per micro-batch
+    val nBatches = (evts.length + 320) / 321
+    many.groupBy("day", "bucket").count().as[(Long, Long, Long)].collect()
+      .foreach { case (d, b, c) =>
+        withClue(s"day=$d bucket=$b: ") { c should be <= nBatches.toLong }
+      }
+  }
+
   test("streaming packing: prefix-stable offsets equal batch p14 under any batching") {
     import graft.streaming.StreamingPacking
     import graft.streaming.StreamingPacking.PackEvent
