@@ -20,8 +20,13 @@ object ScaleSmoke {
     val iters = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ITERS", "2").toInt.max(1)
     val names = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").toSeq).getOrElse(Seq(
+        // the full SCALE.md smoke table: iterative/wide + the round-8 pack
         "d7_cc_dedup", "d8_keep_best", "t8_top_ngrams", "g4_find_threshold",
-        "x1_char_bigram_tf", "k4_token_quantiles", "j6_range_join"))
+        "x1_char_bigram_tf", "k4_token_quantiles", "j6_range_join",
+        "p12_bottomk_sample", "w5_cohort_retention", "d9_semantic_dedup",
+        "t9_quality_filter", "v11_ivf_rerank", "p14_sequence_pack",
+        "t10_dup_ngrams", "d10_shared_shingles", "t11_lm_score",
+        "v12_prototypicality", "t12_bpe_merges", "w6_sliding_distinct"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -185,4 +185,85 @@ class PropertySpec extends SparkSpec {
     }.sortBy(_._2)
     keyed shouldBe single
   }
+
+  test("property: packSequences equals a local per-shard fold on random corpora") {
+    val P = 1000000007L
+    val corpusGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 300)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 100000L))
+      toks <- Gen.listOfN(n, Gen.choose(0L, 40L))
+    } yield ids.distinct.zip(toks)
+    forAll(corpusGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("id", "ntok")
+        val got = graft.operators.Packing.packSequences(
+          df, col("id"), col("ntok"), shards = 4, seqLen = 16)
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+        // local recompute: hash-route, per-shard (h, id) order, cumsum
+        val expect = rows.map { case (id, ntok) =>
+          val h = (((id % P) * 2654435761L + 23L) % P + P) % P
+          (id, ntok, h, h % 4)
+        }.groupBy(_._4).flatMap { case (shard, members) =>
+          var end = 0L
+          members.sortBy(m => (m._3, m._1)).map { case (id, ntok, _, _) =>
+            val start = end
+            end = start + ntok
+            (id, shard, start, end, start / 16, math.max(start, end - 1) / 16)
+          }
+        }.toSet
+        got shouldBe expect
+      }
+    }
+  }
+
+  test("property: d10 shared fractions and t11 scores equal local recomputes on random corpora") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docsGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 40)
+      lens <- Gen.listOfN(n, Gen.choose(0, 12))
+      words <- Gen.listOfN(n, Gen.listOfN(12, Gen.choose(0, vocab.length - 1)))
+    } yield (0L until n.toLong).toList.zip(lens.zip(words).map {
+      case (l, ws) => ws.take(l).map(vocab).mkString(" ")
+    })
+    forAll(docsGen) { docs =>
+      whenever(docs.nonEmpty) {
+        val dir = java.nio.file.Files.createTempDirectory("prop_corpus").toString
+        docs.toDF("doc_id", "text")
+          .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+          .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        def toks(t: String): Seq[String] =
+          if (t.isEmpty) Seq("") else t.split(" ", -1).toSeq
+        // d10: fraction of distinct 3-shingles present in >= 2 docs
+        val sets = docs.map { case (id, t) =>
+          id -> toks(t).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+        }.toMap
+        val docFreq = sets.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+        val d10 = QueriesText.queries("d10_shared_shingles")(spark, dir)
+          .as[(Long, Long, Long, Option[Double])].collect()
+        d10.length shouldBe docs.length
+        d10.foreach { case (id, ns, ss, _) =>
+          withClue(s"d10 doc=$id: ") {
+            ns shouldBe sets(id).size.toLong
+            ss shouldBe sets(id).count(g => docFreq(g) >= 2).toLong
+          }
+        }
+        // t11: per-myriad mean corpus frequency of bigram occurrences
+        val bg = docs.map { case (id, t) =>
+          id -> toks(t).sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        }.toMap
+        val cf = bg.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+        val t11 = QueriesText.queries("t11_lm_score")(spark, dir)
+          .select("doc_id", "n_bigrams", "sum_freq", "score_pm")
+          .as[(Long, Long, Long, Option[Long])].collect()
+        t11.foreach { case (id, m, sf, sc) =>
+          withClue(s"t11 doc=$id: ") {
+            m shouldBe bg(id).length.toLong
+            sf shouldBe bg(id).map(cf).sum
+            sc shouldBe (if (m == 0) None else Some(10000L * sf / m))
+          }
+        }
+      }
+    }
+  }
 }
