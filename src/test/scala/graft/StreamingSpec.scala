@@ -593,6 +593,51 @@ class StreamingSpec extends SparkSpec {
       (3L, 12L), (4L, 13L))
   }
 
+  test("stateful stream recovers state across restart from checkpoint (exactly-once file sink)") {
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.SessionEvent
+    val base = java.nio.file.Files.createTempDirectory("ckrec")
+    val src = s"$base/src"; val out = s"$base/out"; val ck = s"$base/ck"
+    new java.io.File(src).mkdirs()
+    val gap = 100L
+    def start() = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionEvent]].schema)
+      .parquet(src)
+      .as[SessionEvent]
+      .transform(StreamingSessions.sessionize(_, gapNs = gap))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    // phase 1: users 0-9, two events each, 10 apart (one session so far)
+    val p1 = (0L until 10L).flatMap(u => Seq(
+      SessionEvent(u, u * 10, 0L), SessionEvent(u, u * 10 + 1, 10L)))
+    p1.toDS().write.mode("append").parquet(src)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // phase 2 AFTER a full restart: within-gap events must CONTINUE
+    // session 0 (state recovered from the checkpoint, not reset), and
+    // beyond-gap events must open session 1
+    val p2 = (0L until 10L).flatMap { u =>
+      if (u < 5) Seq(SessionEvent(u, u * 10 + 2, 10L + gap))       // exactly at gap: same session
+      else Seq(SessionEvent(u, u * 10 + 2, 10L + gap + 1))          // past gap: new session
+    }
+    p2.toDS().write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val sunk = spark.read.parquet(out)
+      .as[(Long, Long, Long)].collect() // eventId, userId, sessionId
+    // exactly-once: every event surfaced exactly once across both runs
+    sunk.length shouldBe 30
+    sunk.map(_._1).distinct.length shouldBe 30
+    val byEvent = sunk.map { case (e, _, s) => e -> s }.toMap
+    (0L until 10L).foreach { u =>
+      withClue(s"user=$u: ") {
+        byEvent(u * 10) shouldBe 0L
+        byEvent(u * 10 + 1) shouldBe 0L
+        // recovered lastTs=10 decides: <=gap continues, >gap splits
+        byEvent(u * 10 + 2) shouldBe (if (u < 5) 0L else 1L)
+      }
+    }
+  }
+
   test("streaming daily registers: batching-independent, delta emission bounded per batch") {
     import graft.streaming.StreamingSketch
     import graft.streaming.StreamingSketch.DayRhoEvent
