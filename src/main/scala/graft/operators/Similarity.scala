@@ -124,10 +124,16 @@ object Similarity {
     }.reduce(_ unionByName _)
     val a = sigs.select(col("tbl"), col("bucket"), col("vid").as("qid"), col("v").as("qvec"), col("nrm").as("qnrm"))
     val b = sigs.select(col("tbl"), col("bucket"), col("vid").as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
+    // a pair may collide in several tables — rank it once. The dedup
+    // runs AFTER the (map-side) cosine so the exchange carries
+    // (qid, cid, sim) scalars instead of two 64-float vectors per
+    // candidate row (bench-neutral at sf0.1 where stage overheads
+    // dominate, ~128 bytes/row narrower at scale); the per-table
+    // recomputed sims are bit-identical (same strict fold), so max()
+    // just collapses copies.
     val cand = a.join(b, Seq("tbl", "bucket")).where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("qvec"), col("qnrm"), col("cid"), col("cvec"), col("cnrm"))
-      .distinct() // a pair may collide in several tables — rank it once
       .withColumn("sim", cosOf(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+      .groupBy(col("qid"), col("cid")).agg(max(col("sim")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
