@@ -186,6 +186,47 @@ class PropertySpec extends SparkSpec {
     keyed shouldBe single
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the automatic half of the skew story)") {
+    // k1/j8 are the MANUAL hatches for shapes AQE misses; this pins the
+    // automatic one: a hot key in a shuffled sort-merge join is split by
+    // AdaptiveSparkPlan (skew=true on the join node) with no code change.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption.filter(_ != null)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // one hot key carrying ~97% of the fact side, joined to a payload
+      val fact = (0L until 60000L)
+        .map(i => (if (i % 30 == 0) i else 0L, s"payload-$i"))
+        .toDF("k", "v").repartition(4)
+      val dim = (30L until 60000L by 30L).map(k => (k, k * 2)).toDF("k", "w")
+        .union(Seq((0L, 0L)).toDF("k", "w")).repartition(4)
+      val joined = fact.join(dim, "k")
+      // execute THIS plan (count() builds a different QueryExecution),
+      // then read back its final adaptive form
+      val qe = joined.queryExecution
+      qe.toRdd.count() shouldBe 60000L
+      val plan = qe.executedPlan.toString
+      plan should include ("isFinalPlan=true")
+      plan should include ("skew=true")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("property: packSequences equals a local per-shard fold on random corpora") {
     val P = 1000000007L
     val corpusGen: Gen[List[(Long, Long)]] = for {
