@@ -17,6 +17,11 @@ object QueriesText {
   private val dedupK = 16
   private val dedupR = 2
   private def nBands = dedupK / dedupR
+  // declared BEFORE every SQL val that interpolates them: a forward
+  // reference inside one object initializes as 0 and silently bakes
+  // "% 0" into the oracle text (bit us once with e1's pack fragment)
+  private[graft] val packShards = 8
+  private[graft] val packSeqLen = 64
 
   /** Shared DuckDB SQL fragments (kept textually in one place so every
     * oracle reproduces the exact same mod-p hash pipeline).
@@ -739,6 +744,88 @@ object QueriesText {
        |ORDER BY round, cnt DESC, pair""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e1
+  // The whole training-data pipeline as ONE composed catalog query —
+  // the "switch your pipeline to this engine" demonstration: quality
+  // gate (t1's rule) → exact dedup (d1's min-id canonical) →
+  // benchmark decontamination (t5's ≥3-shared-shingles drop against
+  // the held-out doc_id<20 set) → temperature-scaled source mixing
+  // (p13, keepFrac=0.5) → per-shard sequence packing (p14). Every
+  // stage is the already-oracle-checked operator, composed; the oracle
+  // chains the same CTE fragments, so the END-TO-END result — packed
+  // intervals of the surviving mixed corpus — hash-matches bit-for-bit.
+  // Scale shape: each stage keeps its own audited plan (map-side gate,
+  // text-key window, broadcast benchmark, broadcast rate table,
+  // per-shard pack windows); composition adds no new shuffle class.
+  private val e1KeepFrac = 0.5
+
+  val e1Pipeline: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    val nToks = size(toks).cast("long")
+    val stopCnt = TextFunctions.stopwordCount(toks).cast("long")
+    // 1. quality gate
+    val q = docs.where(nToks.between(5, 1000) && stopCnt * 20 >= nToks)
+    // 2. exact dedup (min-id doc per identical text)
+    val d = q.withColumn("_mid", min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      .where(col("doc_id") === col("_mid")).drop("_mid")
+    // 3. decontamination: drop survivors sharing >= 3 shingles with any
+    //    benchmark doc (benchmark = raw doc_id < 20, which never emits)
+    val bench = Dedup.shingleSets(docs.where(col("doc_id") < 20), col("doc_id"), shingleSet)
+      .select(col("hs").as("bh"))
+    val contaminated = Dedup.shingleSets(d.where(col("doc_id") >= 20), col("doc_id"), shingleSet)
+      .crossJoin(broadcast(bench))
+      .where(size(array_intersect(col("hs"), col("bh"))) >= 3)
+      .select(col("doc").as("doc_id")).distinct()
+    val clean = d.where(col("doc_id") >= 20)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // 4. temperature-scaled source mixing over the SURVIVING corpus
+    val mixed = graft.operators.Sampling.temperatureMix(
+      clean, col("source"), col("doc_id"), keepFrac = e1KeepFrac, seed = 17L)
+    // 5. pack what remains into fixed-length training sequences
+    graft.operators.Packing.packSequences(
+      mixed, col("doc_id"), size(TextFunctions.tokens(col("text"))),
+      packShards, packSeqLen, seed = 23L)
+      .orderBy("doc_id")
+  }
+
+  val e1PipelineSql: String = {
+    val stop = s"len(list_filter($sqlToks, t -> list_contains(['the','a','of','and','to','in','is','on'], t)))"
+    s"""WITH q AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  WHERE len($sqlToks) BETWEEN 5 AND 1000 AND $stop * 20 >= len($sqlToks)),
+       |d AS (
+       |  SELECT doc_id, text, source FROM (
+       |    SELECT q.*, min(doc_id) OVER (PARTITION BY text) AS mid FROM q)
+       |  WHERE doc_id = mid),
+       |shb AS (SELECT $sqlHs AS bh FROM documents WHERE doc_id < 20),
+       |shd AS (SELECT doc_id, $sqlHs AS hs FROM d WHERE doc_id >= 20),
+       |cont AS (SELECT DISTINCT doc_id FROM shd, shb WHERE len(list_intersect(hs, bh)) >= 3),
+       |clean AS (
+       |  SELECT * FROM d
+       |  WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM cont)),
+       |c AS (SELECT source, count(*)::BIGINT AS n FROM clean GROUP BY source),
+       |sfold AS (SELECT list_reduce(list_prepend(0.0::DOUBLE, list(sqrt(n::DOUBLE) ORDER BY source)),
+       |                             (acc, x) -> acc + x) AS sw,
+       |                 sum(n)::BIGINT AS tot FROM c),
+       |r AS (SELECT source, cast(round(10000 * ($e1KeepFrac * tot) * sqrt(n::DOUBLE) / (sw * n), 0) AS BIGINT) AS rate
+       |      FROM c, sfold),
+       |mix AS (SELECT clean.* FROM clean JOIN r USING (source)
+       |        WHERE ((((doc_id % $P) * 2654435761 + 17) % $P + $P) % $P) % 10000 < rate),
+       |t AS (SELECT doc_id, len($sqlToks)::BIGINT AS ntok,
+       |             (((doc_id % $P) * 2654435761 + 23) % $P + $P) % $P AS h
+       |      FROM mix),
+       |w AS (SELECT doc_id, h % $packShards AS shard, ntok,
+       |             sum(ntok) OVER (PARTITION BY h % $packShards ORDER BY h, doc_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+       |      FROM t)
+       |SELECT doc_id, shard, tok_end - ntok AS tok_start, tok_end,
+       |       (tok_end - ntok) // $packSeqLen AS first_seq,
+       |       greatest(tok_end - ntok, tok_end - 1) // $packSeqLen AS last_seq
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- st6
   // Streaming MinHash-LSH candidate generation: documents band-hashed
   // at ingest, bucket-keyed state emits pairs on arrival, streaming
@@ -974,9 +1061,8 @@ object QueriesText {
   // window PARTITIONED BY shard — the per-writer pack topology that
   // needs no global sort (each window sort is one shard's rows). All
   // non-negative int64, so `div` is exact floor on both engines.
-  private[graft] val packShards = 8
-  private[graft] val packSeqLen = 64
-
+  // (packShards/packSeqLen are declared at the top of the object —
+  // initialization-order constraint, see the note there.)
   val p14SequencePack: Q = (s, dir) =>
     graft.operators.Packing.packSequences(
       Tables.load(s, dir, "documents"), col("doc_id"),
@@ -1113,7 +1199,8 @@ object QueriesText {
     "t9_quality_filter" -> t9QualityFilter,
     "t10_dup_ngrams" -> t10DupNgrams,
     "t11_lm_score" -> t11LmScore,
-    "t12_bpe_merges" -> t12BpeMerges)
+    "t12_bpe_merges" -> t12BpeMerges,
+    "e1_pipeline" -> e1Pipeline)
 
   val oracles: Map[String, String] = Map(
     "st6_streaming_neardup" -> st6StreamingNeardupSql,
@@ -1146,5 +1233,6 @@ object QueriesText {
     "t9_quality_filter" -> t9QualityFilterSql,
     "t10_dup_ngrams" -> t10DupNgramsSql,
     "t11_lm_score" -> t11LmScoreSql,
-    "t12_bpe_merges" -> t12BpeMergesSql)
+    "t12_bpe_merges" -> t12BpeMergesSql,
+    "e1_pipeline" -> e1PipelineSql)
 }

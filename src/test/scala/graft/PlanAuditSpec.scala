@@ -59,6 +59,7 @@ class PlanAuditSpec extends SparkSpec {
     "t5_decontamination" -> "broadcast benchmark shingle sets (bounded benchmark)",
     "t9_quality_filter" -> "broadcast per-language thresholds (#langs rows)",
     "t12_bpe_merges" -> "broadcast learned top-1 merge rule (one row)",
+    "e1_pipeline" -> "broadcast benchmark shingle sets (t5's decontamination stage)",
     "w6_sliding_distinct" -> "64-row bucket-grid cross + broadcast day dimension (bounded by #days)",
     "v1_cosine_topk" -> "bounded broadcast query side (absolute row cap, LSH fallback past it)",
     "v3_gram_pairs" -> "bounded broadcast query side",
