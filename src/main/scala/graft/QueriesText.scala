@@ -710,12 +710,20 @@ object QueriesText {
       .select(explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
     val c1 = pairCounts(docs).persist()
-    val top1 = c1.orderBy(col("cnt").desc, col("pair")).limit(1).select(col("pair").as("p1"))
-    val merged = docs.crossJoin(broadcast(top1))
+    // merge candidates are restricted to clean word pairs so the fused
+    // regex is metachar-free BY CONSTRUCTION on both engines (an
+    // unescaped '$'/'(' in a learned pair would throw in Java regex and
+    // silently diverge in RE2; the oracle applies the same restriction)
+    val top1 = c1.where(col("pair").rlike("^[a-z0-9_ ]+$"))
+      .orderBy(col("cnt").desc, col("pair")).limit(1).select(col("pair").as("p1"))
+    // LEFT cross: with no clean pair at all the merge degrades to a
+    // no-op (p1 null keeps the text), never to an empty corpus
+    val merged = docs.join(broadcast(top1), lit(true), "left")
       .select(col("doc_id"),
-        regexp_replace(col("text"),
-          concat(lit("\\b"), col("p1"), lit("\\b")),
-          translate(col("p1"), " ", "_")).as("text"))
+        when(col("p1").isNull, col("text")).otherwise(
+          regexp_replace(col("text"),
+            concat(lit("\\b"), col("p1"), lit("\\b")),
+            translate(col("p1"), " ", "_"))).as("text"))
     val c2 = pairCounts(merged)
     c1.orderBy(col("cnt").desc, col("pair")).limit(5).withColumn("round", lit(1L))
       .unionAll(c2.orderBy(col("cnt").desc, col("pair")).limit(5).withColumn("round", lit(2L)))
@@ -730,10 +738,14 @@ object QueriesText {
     s"""WITH c1 AS (
        |  SELECT pair, cast(count(*) as bigint) AS cnt
        |  FROM ($grams FROM (SELECT $sqlToks AS toks FROM documents)) GROUP BY pair),
-       |top1 AS (SELECT pair AS p1 FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+       |top1 AS (SELECT pair AS p1 FROM c1
+       |         WHERE regexp_matches(pair, '^[a-z0-9_ ]+$$')
+       |         ORDER BY cnt DESC, pair LIMIT 1),
        |m AS (
-       |  SELECT regexp_replace(text, '\\b' || p1 || '\\b', replace(p1, ' ', '_'), 'g') AS text
-       |  FROM documents, top1),
+       |  SELECT CASE WHEN p1 IS NULL THEN text
+       |              ELSE regexp_replace(text, '\\b' || p1 || '\\b', replace(p1, ' ', '_'), 'g')
+       |         END AS text
+       |  FROM documents LEFT JOIN top1 ON TRUE),
        |c2 AS (
        |  SELECT pair, cast(count(*) as bigint) AS cnt
        |  FROM ($grams FROM (SELECT string_split(text, ' ') AS toks FROM m)) GROUP BY pair)

@@ -49,7 +49,14 @@ object Packing {
       nTokens.cast("long").as("_ntok"),
       h.as("_h"),
       (h % shards).as("shard"))
+    // explicit ROWS frame: the default RANGE frame makes duplicate ids
+    // window PEERS (both rows would get the same tok_end — overlapping
+    // intervals, diverging from the SQL oracle's ROWS frame and the
+    // streaming fold); with ROWS, rows accumulate one at a time. Ids
+    // are expected unique — with duplicates the intra-peer order (and
+    // so the interval split between the copies) is partition-dependent.
     val w = Window.partitionBy(col("shard")).orderBy(col("_h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tokEnd = sum(col("_ntok")).over(w)
     base
       .withColumn("tok_end", tokEnd)

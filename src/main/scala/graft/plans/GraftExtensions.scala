@@ -36,7 +36,7 @@ object GraftExtensions {
 
   private def intLit(fn: String, e: Expression): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) => java.lang.Math.toIntExact(v) // loud on overflow, never truncate
     case Literal(v: Short, _) => v.toInt
     case Literal(v: Byte, _) => v.toInt
     case other => throw new IllegalArgumentException(

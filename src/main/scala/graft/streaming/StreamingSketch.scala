@@ -130,7 +130,17 @@ object StreamingSketch {
         (bucket: Long, batch: Iterator[DayRhoEvent], state: GroupState[DayReg]) =>
           var cur = state.getOption.getOrElse(DayReg(Long.MinValue, 0L))
           val perDay = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
-          batch.toSeq.sortBy(_.day).foreach { e =>
+          val sorted = batch.toSeq.sortBy(_.day)
+          // fail fast on a day regression across batches: silently
+          // max-merging a late old-day rho into the NEWER day's register
+          // would inflate that day's estimate and drop the old day's —
+          // the ingest contract (day-ascending) must hold loudly
+          sorted.headOption.foreach { e =>
+            require(e.day >= cur.day,
+              s"dailyRegisters: day ${e.day} for bucket $bucket arrived after day ${cur.day} " +
+                "— the day-ascending ingest contract is violated")
+          }
+          sorted.foreach { e =>
             if (e.day > cur.day) cur = DayReg(e.day, e.rho)
             else cur = DayReg(cur.day, math.max(cur.reg, e.rho))
             perDay.update(cur.day, cur.reg)

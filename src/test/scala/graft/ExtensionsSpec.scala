@@ -51,6 +51,10 @@ class ExtensionsSpec extends SparkSpec {
       // n must be a literal: a column reference cannot size the shingle
       spark.sql("SELECT shingle_hash_set(split('a b', ' '), id) FROM range(1)").collect()
     }
+    intercept[Exception] {
+      // an out-of-int BIGINT literal must fail loudly, never truncate
+      spark.sql("SELECT shingle_hash_set(split('a b', ' '), 4294967298)").collect()
+    }
   }
 
   test("the extensions hook exposes the full kernel catalog") {

@@ -293,6 +293,18 @@ class QualitySpec extends SparkSpec {
     r2.map(_._2) should not contain "big cat"
     r2.map(_._2) should contain ("big_cat runs")       // 20 docs
     r2.map(_._2) should contain ("big_cat big_cat")    // greedy left-to-right on the repeat doc
+    // a metachar-bearing top pair is skipped (clean-word restriction):
+    // the merge picks the clean runner-up instead of throwing
+    val dirty = (0L until 9L).map(id => (id, "costs $9 now")).toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("t12dirty").toString
+    dirty.select(col("doc_id"), col("text"), lit("en").as("lang"), lit("src0").as("source"),
+        org.apache.spark.sql.functions.length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val out2 = QueriesText.queries("t12_bpe_merges")(spark, dir2)
+      .as[(Long, String, Long)].collect().toSeq
+    // "costs $9" and "$9 now" (9 each) are dirty; no clean pair exists,
+    // so no merge happens and round 2 equals round 1
+    out2.filter(_._1 == 1L).toSet shouldBe out2.filter(_._1 == 2L).map(r => (1L, r._2, r._3)).toSet
   }
 
   test("w6 sliding distinct: exact trailing-7-day counts match brute force, sketch tracks them") {

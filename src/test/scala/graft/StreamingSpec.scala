@@ -671,6 +671,18 @@ class StreamingSpec extends SparkSpec {
       .foreach { case (d, b, c) =>
         withClue(s"day=$d bucket=$b: ") { c should be <= nBatches.toLong }
       }
+    // a cross-batch day REGRESSION violates the ingest contract and must
+    // fail loudly, not silently merge the old day into the newer register
+    val input = MemoryStream[DayRhoEvent]
+    val query = StreamingSketch.dailyRegisters(input.toDS())
+      .writeStream.format("memory").queryName("dreg_bad").outputMode("append").start()
+    try {
+      input.addData(DayRhoEvent(0L, 5L, 3L)); query.processAllAvailable()
+      input.addData(DayRhoEvent(0L, 4L, 9L)) // day went backwards
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+    } finally query.stop()
   }
 
   test("streaming packing: prefix-stable offsets equal batch p14 under any batching") {
