@@ -26,8 +26,12 @@ object StreamingPacking {
   /** One document routed to `shard`; `h` is its seeded pack-order hash. */
   final case class PackEvent(shard: Long, docId: Long, h: Long, nTok: Long)
 
-  /** Per-shard state: the running end-of-stream token offset. */
-  final case class PackState(tokEnd: Long)
+  /** Per-shard state: the running end-of-stream token offset plus the
+    * last packed (h, docId) — the contract watermark that lets an
+    * out-of-order arrival fail loudly instead of silently assigning an
+    * offset that contradicts the batch order.
+    */
+  final case class PackState(tokEnd: Long, lastH: Long, lastId: Long)
 
   final case class PackOut(docId: Long, shard: Long, tokStart: Long,
                            tokEnd: Long, firstSeq: Long, lastSeq: Long)
@@ -42,14 +46,23 @@ object StreamingPacking {
       .groupByKey(_.shard)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (shard: Long, batch: Iterator[PackEvent], state: GroupState[PackState]) =>
-          var end = state.getOption.map(_.tokEnd).getOrElse(0L)
-          val out = batch.toSeq.sortBy(e => (e.h, e.docId)).map { e =>
-            val start = end
-            end = start + e.nTok
-            PackOut(e.docId, shard, start, end,
-              start / seqLen, math.max(start, end - 1) / seqLen)
+          var cur = state.getOption.getOrElse(PackState(0L, Long.MinValue, Long.MinValue))
+          val sorted = batch.toSeq.sortBy(e => (e.h, e.docId))
+          // fail fast on a contract violation across batches: an event
+          // ordered BEFORE the last packed one would need an offset
+          // that is already assigned
+          sorted.headOption.foreach { e =>
+            require(e.h > cur.lastH || (e.h == cur.lastH && e.docId >= cur.lastId),
+              s"pack: document ${e.docId} (h=${e.h}) for shard $shard arrived after " +
+                s"(h=${cur.lastH}, id=${cur.lastId}) — the (hash, id)-ascending ingest contract is violated")
           }
-          state.update(PackState(end))
+          val out = sorted.map { e =>
+            val start = cur.tokEnd
+            cur = PackState(start + e.nTok, e.h, e.docId)
+            PackOut(e.docId, shard, start, cur.tokEnd,
+              start / seqLen, math.max(start, cur.tokEnd - 1) / seqLen)
+          }
+          state.update(cur)
           out.iterator
       }
   }

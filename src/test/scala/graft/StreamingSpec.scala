@@ -715,5 +715,20 @@ class StreamingSpec extends SparkSpec {
     run(docs.grouped(71).toSeq, "pack_many") shouldBe expect // batching-independent
     // emission is append-only: every doc appears exactly once
     spark.table("pack_many").count() shouldBe 400L
+    // an out-of-order arrival (violating the per-shard (h, id) ingest
+    // contract) fails loudly instead of silently mis-assigning offsets
+    val input = MemoryStream[PackEvent]
+    val query = StreamingPacking.pack(input.toDS(), seqLen)
+      .writeStream.format("memory").queryName("pack_bad").outputMode("append").start()
+    try {
+      // two events of the SAME shard, fed highest-(h, id) first
+      val late = docs.last
+      val early = docs.find(e => e.shard == late.shard && e.h < late.h).get
+      input.addData(late); query.processAllAvailable()
+      input.addData(early)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+    } finally query.stop()
   }
 }
