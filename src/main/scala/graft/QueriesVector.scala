@@ -343,6 +343,39 @@ object QueriesVector {
        |SELECT qid AS query_id, cid AS neighbor_id, rank, sim
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- v13
+  // Binary (sign-bit) quantization ANN — the 1-bit tier of the
+  // quantization ladder (v8 int8, v10 PQ): 64 dims → two 32-bit sign
+  // halves (8 packed bytes, 32× smaller than float32), candidates
+  // ranked by exact-integer Hamming distance via bit_count on both
+  // engines. Two halves, not one 64-bit fold: DuckDB raises on the
+  // BIGINT overflow a bit-63 shift would cause (Spark would wrap).
+  val v13BinaryHamming: Q = (s, dir) =>
+    Similarity.binaryHammingTopK(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), k = 3, isQuery = v => v % 50 === 0)
+      .orderBy("query_id", "rank")
+
+  val v13BinaryHammingSql: String = {
+    def half(lo: Int, hi: Int) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series($lo, $hi), " +
+        s"i -> CASE WHEN embedding[i]::DOUBLE > 0 THEN 1::BIGINT ELSE 0::BIGINT END)), " +
+        s"(acc, x) -> acc * 2 + x)"
+    s"""WITH c AS (
+       |  SELECT vec_id, ${half(1, 32)} AS hi, ${half(33, 64)} AS lo
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT q.vec_id AS qid, b.vec_id AS cid,
+       |         (bit_count(xor(q.hi, b.hi)) + bit_count(xor(q.lo, b.lo)))::BIGINT AS hamming
+       |  FROM c q JOIN c b ON q.vec_id <> b.vec_id
+       |  WHERE q.vec_id % 50 = 0),
+       |ranked AS (
+       |  SELECT qid, cid, hamming,
+       |         row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rank
+       |  FROM cand)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank::BIGINT AS rank, hamming
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- v12
   // Prototypicality pruning on the v9 integer cells — the
   // SSL-prototypes data-curation recipe (keep each cluster's most
@@ -491,6 +524,7 @@ object QueriesVector {
     "d9_semantic_dedup" -> d9SemanticDedup,
     "v11_ivf_rerank" -> v11IvfRerank,
     "v12_prototypicality" -> v12Prototypicality,
+    "v13_binary_hamming" -> v13BinaryHamming,
     "v10_pq_topk" -> v10PqTopk,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
@@ -499,6 +533,7 @@ object QueriesVector {
     "d9_semantic_dedup" -> d9SemanticDedupSql,
     "v11_ivf_rerank" -> v11IvfRerankSql,
     "v12_prototypicality" -> v12PrototypicalitySql,
+    "v13_binary_hamming" -> v13BinaryHammingSql,
     "v10_pq_topk" -> v10PqTopkSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_rhp_ann" -> v2RhpAnnSql,

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -131,6 +132,49 @@ case class IntDotExpr(left: Expression, right: Expression)
 }
 
 /** Σ (aᵢ−bᵢ)² as double, left fold. */
+/** Sign-bit binary code of a float vector, packed as TWO 32-bit
+  * halves in BIGINTs — the 1-bit quantization tier (64 dims → 8
+  * packed bytes, 32× smaller than float32): bit i of half h is
+  * `v[i] > 0`. Two halves, not one 64-bit fold: the oracle replays
+  * the fold in DuckDB, where `acc*2` on a set bit 63 would raise on
+  * BIGINT overflow (Spark would wrap silently) — 32-bit halves keep
+  * both engines exact. Hamming distance downstream is
+  * bit_count(hi⊕hi') + bit_count(lo⊕lo').
+  */
+case class SignCode(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("hi", LongType, nullable = false),
+    StructField("lo", LongType, nullable = false)))
+  override def prettyName: String = "sign_code"
+
+  private lazy val et: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    require(n <= 64, s"sign_code packs at most 64 dims, got $n")
+    val half = math.min(32, n)
+    var hi = 0L
+    var i = 0
+    while (i < half) {
+      hi = hi * 2 + (if (!arr.isNullAt(i) && VecEval.read(arr, et, i) > 0) 1L else 0L)
+      i += 1
+    }
+    var lo = 0L
+    while (i < n) {
+      lo = lo * 2 + (if (!arr.isNullAt(i) && VecEval.read(arr, et, i) > 0) 1L else 0L)
+      i += 1
+    }
+    InternalRow(hi, lo)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignCode =
+    copy(child = newChild)
+}
+
 case class SqDistExpr(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 

@@ -35,6 +35,12 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Sign-bit binary code — struct(hi, lo) of two 32-bit halves, one
+    * compiled pass ([[SignCode]]); the 1-bit quantization tier.
+    */
+  def signCode(a: Column): Column =
+    Shim.column(SignCode(Shim.expression(a)))
+
   /** a / ‖a‖₂ (float-typed result), cf. nn_thresh.py:172-173.
     *
     * The norm is hoisted: computed once into a 1-element struct wrapper

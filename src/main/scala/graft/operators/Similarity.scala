@@ -352,6 +352,33 @@ object Similarity {
             lit(tauPct.toLong * tauPct) * col("nx") * col("nr")).as("kept"))
   }
 
+  /** v13 — binary (sign-bit) quantization ANN: the 1-bit tier of the
+    * quantization ladder (int8 = v8, PQ = v10): each vector becomes a
+    * 64-bit sign code packed as two 32-bit halves, and candidates rank
+    * by HAMMING distance — bit_count(hi⊕hi') + bit_count(lo⊕lo'),
+    * exact integers on both engines. The scan side carries 8 packed
+    * bytes per vector (32× smaller than float32), so the brute-force
+    * pass is a cache-friendly popcount scan; the bounded query side
+    * broadcasts like v1, and at corpus scale the code PREFIX doubles as
+    * an LSH bucket key (v2's machinery) for candidate generation.
+    */
+  def binaryHammingTopK(df: DataFrame, id: Column, vec: Column, k: Int,
+                        isQuery: Column => Column): DataFrame = {
+    val base = df.select(id.cast("long").as("vid"),
+      VectorFunctions.signCode(vec).as("code"))
+      .select(col("vid"), col("code.hi").as("hi"), col("code.lo").as("lo"))
+    val qs = base.where(isQuery(col("vid")))
+      .select(col("vid").as("qid"), col("hi").as("qhi"), col("lo").as("qlo"))
+    val ham = expr("bit_count(qhi ^ hi) + bit_count(qlo ^ lo)").cast("long")
+    val w = Window.partitionBy("qid").orderBy(col("hamming").asc, col("cid").asc)
+    base.select(col("vid").as("cid"), col("hi"), col("lo"))
+      .crossJoin(broadcast(qs)).where(col("qid") =!= col("cid"))
+      .withColumn("hamming", ham)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("hamming"))
+  }
+
   /** v12 — prototypicality ranking per IVF cell (the SSL-prototypes
     * data-pruning recipe: score each example by how close it sits to
     * its cluster's prototype, keep the most prototypical): each vector

@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
     "v9_int_ivf" -> "broadcast centroids (nCells rows)",
     "v10_pq_topk" -> "broadcast sub-codebooks (M x k rows) + literal distance table",
     "v11_ivf_rerank" -> "broadcast centroids, cell-bounded candidates",
-    "v12_prototypicality" -> "broadcast cell centroids (nCells rows)")
+    "v12_prototypicality" -> "broadcast cell centroids (nCells rows)",
+    "v13_binary_hamming" -> "bounded broadcast query side over the 8-byte code scan")
 
   test("scans prune columns and push filters (representative queries)") {
     val dir = "/root/testdata/sf0.001"

@@ -251,6 +251,37 @@ class VectorSpec extends SparkSpec {
     out.toSet shouldBe run().toSet // deterministic integer build
   }
 
+  test("binaryHammingTopK: ranks match a local sign-code recompute; codes pack exactly") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 200L).map(id => id -> Array.fill(64)((rnd.nextGaussian()).toFloat)).toMap
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    // code parity vs a local fold
+    val codes = df.select(col("vec_id"), VectorFunctions.signCode(col("embedding")).as("c"))
+      .select(col("vec_id"), col("c.hi"), col("c.lo"))
+      .as[(Long, Long, Long)].collect().map { case (i, h, l) => i -> ((h, l)) }.toMap
+    def localCode(v: Array[Float]): (Long, Long) = {
+      val hi = v.take(32).foldLeft(0L)((a, x) => a * 2 + (if (x > 0) 1 else 0))
+      val lo = v.drop(32).foldLeft(0L)((a, x) => a * 2 + (if (x > 0) 1 else 0))
+      (hi, lo)
+    }
+    vecs.foreach { case (id, v) => codes(id) shouldBe localCode(v) }
+    // top-k parity vs a local hamming ranking
+    val got = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = v => v % 50 === 0)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    def ham(a: (Long, Long), b: (Long, Long)): Long =
+      java.lang.Long.bitCount(a._1 ^ b._1).toLong + java.lang.Long.bitCount(a._2 ^ b._2)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val expect = vecs.keys.filter(_ != qid).toSeq
+        .map(c => (ham(codes(qid), codes(c)), c)).sorted.take(3)
+      withClue(s"qid=$qid: ") {
+        rows.sortBy(_._3).map(r => (r._4, r._2)) shouldBe expect
+      }
+    }
+  }
+
   test("prototypicality: dense per-cell ranks, kept = top-K closest to centroid, partitioning-invariant") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(11)
