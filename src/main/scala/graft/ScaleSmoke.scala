@@ -26,7 +26,8 @@ object ScaleSmoke {
         "p12_bottomk_sample", "w5_cohort_retention", "d9_semantic_dedup",
         "t9_quality_filter", "v11_ivf_rerank", "p14_sequence_pack",
         "t10_dup_ngrams", "d10_shared_shingles", "t11_lm_score",
-        "v12_prototypicality", "t12_bpe_merges", "w6_sliding_distinct"))
+        "v12_prototypicality", "t12_bpe_merges", "w6_sliding_distinct",
+        "v13_binary_hamming"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
