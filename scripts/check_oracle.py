@@ -32,7 +32,48 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_class(dt) -> str:
+    """Coarse dtype class used for the STRICT pre-coercion check.
+
+    The driver's hash compare is type/format-sensitive: a DuckDB HUGEINT
+    (e.g. an uncast window sum over BIGINT) materializes through pandas
+    as float64 and hash-fails against Spark's int64 even when every value
+    is equal (round-8 p14/st23/e1). This check runs BEFORE canon()'s
+    int64/float64 coercion so the local harness can never again launder
+    an int-vs-float mismatch that the driver would reject.
+    """
+    k = dt.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "other"  # object: strings, arrays, structs
+
+
+def dtype_strict(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
+    a = spark_df.reindex(sorted(spark_df.columns), axis=1)
+    b = oracle_df.reindex(sorted(oracle_df.columns), axis=1)
+    ok = True
+    for c in a.columns:
+        if c not in b.columns:
+            continue  # column mismatch reported by compare()
+        ca, cb = dtype_class(a[c].dtype), dtype_class(b[c].dtype)
+        if ca != cb:
+            print(f"FAIL {name}: DTYPE-STRICT column {c}: spark {a[c].dtype} "
+                  f"({ca}) vs oracle {b[c].dtype} ({cb}) — the driver's "
+                  f"type-sensitive hash would reject this even if values match "
+                  f"(cast the oracle SQL, e.g. ::BIGINT on window sums)")
+            ok = False
+    return ok
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
+    if not dtype_strict(name, spark_df, oracle_df):
+        return False
     a, b = canon(spark_df), canon(oracle_df)
     if list(a.columns) != list(b.columns):
         print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
@@ -56,7 +97,31 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
     return True
 
 
+def selftest():
+    """Prove the harness rejects the exact class that round 8 missed:
+    an uncast DuckDB window sum (HUGEINT -> pandas float64) against a
+    Spark int64 column with identical values."""
+    con = duckdb.connect()
+    uncast = con.execute(
+        "SELECT i, sum(i) OVER (ORDER BY i) AS s FROM range(5) t(i)").fetchdf()
+    cast = con.execute(
+        "SELECT i, cast(sum(i) OVER (ORDER BY i) AS BIGINT) AS s "
+        "FROM range(5) t(i)").fetchdf()
+    engine = pd.DataFrame({"i": pd.array(range(5), dtype="int64"),
+                           "s": pd.array([0, 1, 3, 6, 10], dtype="int64")})
+    print("selftest 1: uncast HUGEINT window sum vs int64 engine (must FAIL)")
+    assert not compare("selftest_uncast", engine, uncast), \
+        "harness accepted an uncast HUGEINT window sum — dtype-strict check broken"
+    print("selftest 2: cast BIGINT window sum vs int64 engine (must PASS)")
+    assert compare("selftest_cast", engine, cast), \
+        "harness rejected a correctly cast window sum"
+    print("selftest OK: dtype-strict check catches HUGEINT->float64 laundering")
+    sys.exit(0)
+
+
 def main():
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        selftest()
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:

@@ -13,13 +13,14 @@ object QueriesFeatures {
   import QueriesRelational.Q
 
   // ---------------------------------------------------------------- x1
-  // F1 char-bigram TF: fitted CountVectorizer vocab + per-doc TF,
-  // L2-normalized weights — exploded back to a relation.
+  // F1 char-bigram TF: vocab (CountVectorizer's top-by-total-tf rule)
+  // + per-doc TF + L2 weights, all as one DataFrame aggregation — the
+  // compiled-TermCounts fast path; the spark.ml Pipeline stays as the
+  // F3 persistence wrapper (FeatureSpec pins relation parity). The RDD
+  // fit was the catalog's single largest batch cost (71 s at sf1).
   val x1CharBigramTf: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
-    val model = FeaturePipelines.charBigramTf("text", "features").fit(docs)
-    FeaturePipelines.charBigramRelation(model, docs, "doc_id")
-      .select(col("doc_id"), col("term"), col("tf"), col("weight"))
+    FeaturePipelines.charBigramTfRelation(docs, "doc_id", "text")
       .orderBy("doc_id", "term")
   }
 

@@ -829,8 +829,8 @@ object QueriesText {
        |             (((doc_id % $P) * 2654435761 + 23) % $P + $P) % $P AS h
        |      FROM mix),
        |w AS (SELECT doc_id, h % $packShards AS shard, ntok,
-       |             sum(ntok) OVER (PARTITION BY h % $packShards ORDER BY h, doc_id
-       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+       |             cast(sum(ntok) OVER (PARTITION BY h % $packShards ORDER BY h, doc_id
+       |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
        |      FROM t)
        |SELECT doc_id, shard, tok_end - ntok AS tok_start, tok_end,
        |       (tok_end - ntok) // $packSeqLen AS first_seq,
@@ -1022,6 +1022,17 @@ object QueriesText {
   // row per DISTINCT bigram per doc — no shingle strings and no
   // duplicate-occurrence rows ever cross a shuffle (the sf1 smoke put
   // the string-occurrence formulation at ~8x this plan's cost).
+  //
+  // Collision tolerance: the bigram key is the mod-P (~2^30) shingle
+  // hash, so distinct bigrams can collide and merge their corpus
+  // counts; both engines collide IDENTICALLY (the oracle replays the
+  // same hash), so correctness is unaffected, but at ~10^8+ distinct
+  // corpus bigrams collisions become pervasive (birthday bound ≈
+  // n²/2P) and silently INFLATE scores — acceptable for a keep/drop
+  // quality ORDERING (collisions add near-uniform noise), not for
+  // calibrated LM likelihoods. If score fidelity matters at that
+  // scale, widen the key to the pair of per-token hashes (two int64
+  // columns — same shuffle shape, ~2^60 key space).
   val t11LmScore: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
     val occ = docs.select(col("doc_id"),
@@ -1086,8 +1097,8 @@ object QueriesText {
        |                  (((doc_id % $P) * 2654435761 + 23) % $P + $P) % $P AS h
        |           FROM documents),
        |w AS (SELECT doc_id, h % $packShards AS shard, ntok,
-       |             sum(ntok) OVER (PARTITION BY h % $packShards ORDER BY h, doc_id
-       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+       |             cast(sum(ntok) OVER (PARTITION BY h % $packShards ORDER BY h, doc_id
+       |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
        |      FROM t)
        |SELECT doc_id, shard, tok_end - ntok AS tok_start, tok_end,
        |       (tok_end - ntok) // $packSeqLen AS first_seq,

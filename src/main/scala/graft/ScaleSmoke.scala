@@ -12,7 +12,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.ScaleSmoke <sfDir> [<sfDir> ...]
   * Env: SPARK_GRAFT_SMOKE_ITERS (default 2),
-  *      SPARK_GRAFT_SMOKE_ONLY (comma-separated query names).
+  *      SPARK_GRAFT_SMOKE_ONLY (comma-separated query names),
+  *      SPARK_GRAFT_SMOKE_OUT (optional path: also write ONE JSON
+  *      object query → {per-dir min seconds, last/first wall ratio} —
+  *      the round artifact `SCALE_r{N}.json`, so scaling regressions
+  *      are machine-diffable round over round, VERDICT r8 #6).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -39,6 +43,8 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // mins(query)(dir) = min wall over iters, in args order
+    val mins = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.LinkedHashMap[String, Double]]
     args.foreach { dir =>
       names.foreach { n =>
         System.gc(); Thread.sleep(50)
@@ -55,7 +61,21 @@ object ScaleSmoke {
           if (n == "d7_cc_dedup") s""","cc_rounds":${operators.Dedup.lastCcRounds}"""
           else ""
         println(s"""{"smoke":"$n","sf":"$dir","min":${fmt(times.min)},"times":[${times.map(fmt).mkString(",")}]$rounds}""")
+        mins.getOrElseUpdate(n, scala.collection.mutable.LinkedHashMap.empty)
+          .update(dir, times.min)
       }
+    }
+    sys.env.get("SPARK_GRAFT_SMOKE_OUT").foreach { out =>
+      def base(d: String) = d.stripSuffix("/").split("/").last
+      val body = mins.map { case (n, byDir) =>
+        val dirs = byDir.map { case (d, v) => s""""${base(d)}": ${fmt(v)}""" }.mkString(", ")
+        val ratio =
+          if (byDir.size >= 2) s""", "ratio": ${fmt(byDir.values.last / byDir.values.head)}"""
+          else ""
+        s"""  "$n": {$dirs$ratio}"""
+      }.mkString("{\n", ",\n", "\n}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), body + "\n")
+      println(s"[smoke] wrote $out")
     }
     spark.stop()
   }

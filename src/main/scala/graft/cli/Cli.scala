@@ -119,17 +119,16 @@ object Cli {
         // writes three files; this single-file contract numbers the
         // whole stream).
         import spark.implicits._
-        import org.apache.spark.sql.expressions.Window
         // Distributed chunking (no driver materialize): lineSep splits
         // the file into records AT each -DOCSTART- marker — the same
         // boundaries as aidaChunks' lookahead split, with the marker
         // consumed (re-prepended below so parseAidaChunk sees the
         // byte-identical header line). RDD zipWithIndex numbers records
         // in byte-offset order = file order, the same technique as
-        // eval-clusters' mid; the ordinal only feeds the ORDER BY, so
+        // eval-clusters' mid; the ordinal only feeds the sort keys, so
         // the dropped empty pre-marker record shifting it by one is
         // immaterial.
-        spark.read.option("lineSep", "-DOCSTART-").textFile(in)
+        val aidaMentions = spark.read.option("lineSep", "-DOCSTART-").textFile(in)
           .rdd.zipWithIndex()
           .flatMap { case (c, ord) =>
             Sources.parseAidaChunk("-DOCSTART-" + c).toSeq.flatMap { d =>
@@ -142,8 +141,11 @@ object Cli {
           }
           .toDF("left_context", "mention", "right_context", "entity_id",
             "document_id", "_doc_ord", "_m_ord")
-          .withColumn("mention_index",
-            row_number().over(Window.orderBy(col("_doc_ord"), col("_m_ord"))) - 1)
+        // global mention numbering WITHOUT the partitionless window
+        // (Exchange SinglePartition): parallel range sort + per-
+        // partition zipWithIndex offsets, reused from eval-clusters.
+        graft.operators.Relational
+          .globalRowIndex(aidaMentions, Seq(col("_doc_ord"), col("_m_ord")), "mention_index")
           .drop("_doc_ord", "_m_ord")
           .coalesce(1).write.mode("overwrite").json(out)
 

@@ -131,15 +131,17 @@ case class IntDotExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Σ (aᵢ−bᵢ)² as double, left fold. */
 /** Sign-bit binary code of a float vector, packed as TWO 32-bit
   * halves in BIGINTs — the 1-bit quantization tier (64 dims → 8
   * packed bytes, 32× smaller than float32): bit i of half h is
   * `v[i] > 0`. Two halves, not one 64-bit fold: the oracle replays
   * the fold in DuckDB, where `acc*2` on a set bit 63 would raise on
   * BIGINT overflow (Spark would wrap silently) — 32-bit halves keep
-  * both engines exact. Hamming distance downstream is
-  * bit_count(hi⊕hi') + bit_count(lo⊕lo').
+  * both engines exact. Exactly 64 dims required: the SQL oracle
+  * hardcodes the 1..32 / 33..64 halves, and a shorter vector would
+  * pack into different bit positions than the SQL's NULL→0 fold —
+  * requiring 64 makes the parity hold by construction. Hamming
+  * distance downstream is bit_count(hi⊕hi') + bit_count(lo⊕lo').
   */
 case class SignCode(child: Expression)
   extends UnaryExpression with CodegenFallback {
@@ -155,8 +157,8 @@ case class SignCode(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    require(n <= 64, s"sign_code packs at most 64 dims, got $n")
-    val half = math.min(32, n)
+    require(n == 64, s"sign_code packs exactly 64 dims (SQL-oracle bit layout), got $n")
+    val half = 32
     var hi = 0L
     var i = 0
     while (i < half) {

@@ -75,6 +75,38 @@ object FeaturePipelines {
       .select(col(idCol), col("term"), col("tc.tf").as("tf"), col("tc.weight").as("weight"))
   }
 
+  /** F1 as a pure DataFrame aggregation — the fast path for the
+    * x1-shaped query (the spark.ml [[charBigramTf]] Pipeline remains
+    * the persistence-compatible wrapper, [[charBigramRelation]] its
+    * relation form): per-document (term, tf, L2 weight) from ONE
+    * compiled TermCounts pass, vocab = CountVectorizer.fit's selection
+    * rule (top `vocabSize` terms by total corpus term frequency)
+    * re-expressed as a hash agg over the distinct-per-doc pre-counts +
+    * TakeOrdered top-K, applied back as a broadcast semi-join.
+    *
+    * Differences from the RDD fit, both deliberate: ties at the vocab
+    * boundary break deterministically (count desc, term asc — the fit's
+    * tie order is partition-dependent), and no driver-side vocab
+    * roundtrip happens unless truncation actually filters. Scale: the
+    * exchanged relation is one row per DISTINCT term per doc (never
+    * per occurrence); the vocab side is ≤ vocabSize rows, broadcastable
+    * by construction.
+    */
+  def charBigramTfRelation(df: DataFrame, idCol: String, inputCol: String,
+                           vocabSize: Int = 1 << 18): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    val termCounts = Shim.column(graft.functions.TermCounts(
+      Shim.expression(expr(charBigramSql(inputCol)))))
+    val perDoc = df.select(col(idCol), explode(termCounts).as("tc"))
+      .select(col(idCol), col("tc.term").as("term"),
+        col("tc.tf").as("tf"), col("tc.weight").as("weight"))
+    val vocab = perDoc.groupBy("term").agg(sum("tf").as("__cnt"))
+      .orderBy(col("__cnt").desc, col("term")).limit(vocabSize)
+      .select("term")
+    perDoc.join(broadcast(vocab), Seq("term"), "left_semi")
+      .select(col(idCol), col("term"), col("tf"), col("weight"))
+  }
+
   /** Document-frequency relation from a fitted F2 model:
     * (term, df) over the fitted corpus — exact integers for the oracle.
     */

@@ -289,6 +289,23 @@ object Relational {
       org.apache.spark.sql.types.StringType, nullable = false))
   }
 
+  /** Distributed 0-based global row numbering: range-partitioned sort
+    * (parallel) + RDD `zipWithIndex` per-partition offsets — the same
+    * technique as [[splitRouting]] / dictEncodeDistributed, replacing a
+    * partitionless `row_number().over(Window.orderBy(...))` (which
+    * plans as `Exchange SinglePartition` and funnels every row through
+    * one task). One extra count job; no single task ever holds more
+    * than one partition.
+    */
+  def globalRowIndex(df: DataFrame, orderCols: Seq[Column], outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val indexed = df.orderBy(orderCols: _*).rdd.zipWithIndex().map {
+      case (row, idx) => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+    }
+    spark.createDataFrame(indexed, df.schema.add(outCol,
+      org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
   /** A8 — max concurrently-active entities
     * (`/root/reference/meercat/max_active.py:6-29`): per entity take the
     * [min,max] index interval, sweep +1/-1 events in index order, report

@@ -358,22 +358,55 @@ object Similarity {
     * by HAMMING distance — bit_count(hi⊕hi') + bit_count(lo⊕lo'),
     * exact integers on both engines. The scan side carries 8 packed
     * bytes per vector (32× smaller than float32), so the brute-force
-    * pass is a cache-friendly popcount scan; the bounded query side
-    * broadcasts like v1, and at corpus scale the code PREFIX doubles as
-    * an LSH bucket key (v2's machinery) for candidate generation.
+    * pass is a cache-friendly popcount scan. Routing mirrors v1's
+    * cosineTopK: the query side broadcasts only below an ABSOLUTE row
+    * cap; past it, the top `prefixBits` sign bits become the LSH bucket
+    * key (v2's bucket-join shape — axis-aligned hyperplanes are free
+    * here, the signature is already packed in `hi`) with exact Hamming
+    * re-rank inside buckets — linear in bucket occupancy, no broadcast,
+    * never n².
     */
   def binaryHammingTopK(df: DataFrame, id: Column, vec: Column, k: Int,
-                        isQuery: Column => Column): DataFrame = {
+                        isQuery: Column => Column,
+                        maxBroadcastRows: Long = 100000L,
+                        prefixBits: Int = 8): DataFrame = {
+    require(prefixBits >= 1 && prefixBits <= 32,
+      s"prefixBits=$prefixBits must be in [1, 32] (the hi half packs 32 sign bits)")
     val base = df.select(id.cast("long").as("vid"),
       VectorFunctions.signCode(vec).as("code"))
       .select(col("vid"), col("code.hi").as("hi"), col("code.lo").as("lo"))
     val qs = base.where(isQuery(col("vid")))
       .select(col("vid").as("qid"), col("hi").as("qhi"), col("lo").as("qlo"))
+    // same absolute-count broadcast cap as cosineTopK: bounded existence
+    // check (CollectLimit stops after cap+1 rows), never a corpus
+    // fraction — a proportional query side scales with the data and is
+    // a guaranteed executor OOM at 100×.
+    val cap = math.min(maxBroadcastRows, Int.MaxValue - 1L).toInt
+    val over = qs.limit(cap + 1).count() > cap
+    val cand =
+      if (over) {
+        // Sign-prefix LSH: the top `prefixBits` bits of the hi half ARE
+        // an axis-aligned random-hyperplane signature (bit i = sign of
+        // dim i), so they double as the bucket key — v2's bucket-join
+        // shape, no broadcast, shuffle on bucket occupancy. Exact
+        // Hamming re-rank inside each bucket; misses cross-bucket
+        // neighbors (standard LSH recall trade).
+        log.warn(s"binaryHammingTopK: query side exceeds broadcast cap $cap — " +
+          s"routing to sign-prefix bucket join ($prefixBits-bit prefix, bucket recall)")
+        val shift = 32 - prefixBits
+        val c = base.select(col("vid").as("cid"), col("hi"), col("lo"),
+          shiftright(col("hi"), shift).as("bucket"))
+        val q = qs.withColumn("bucket", shiftright(col("qhi"), shift))
+        q.join(c, Seq("bucket")).where(col("qid") =!= col("cid")).drop("bucket")
+      } else {
+        log.info(s"binaryHammingTopK: query side within broadcast cap $cap — " +
+          "exact brute popcount scan")
+        base.select(col("vid").as("cid"), col("hi"), col("lo"))
+          .crossJoin(broadcast(qs)).where(col("qid") =!= col("cid"))
+      }
     val ham = expr("bit_count(qhi ^ hi) + bit_count(qlo ^ lo)").cast("long")
     val w = Window.partitionBy("qid").orderBy(col("hamming").asc, col("cid").asc)
-    base.select(col("vid").as("cid"), col("hi"), col("lo"))
-      .crossJoin(broadcast(qs)).where(col("qid") =!= col("cid"))
-      .withColumn("hamming", ham)
+    cand.withColumn("hamming", ham)
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("hamming"))

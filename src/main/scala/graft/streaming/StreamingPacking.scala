@@ -50,13 +50,16 @@ object StreamingPacking {
           val sorted = batch.toSeq.sortBy(e => (e.h, e.docId))
           // fail fast on a contract violation across batches: an event
           // ordered BEFORE the last packed one would need an offset
-          // that is already assigned
-          sorted.headOption.foreach { e =>
-            require(e.h > cur.lastH || (e.h == cur.lastH && e.docId >= cur.lastId),
-              s"pack: document ${e.docId} (h=${e.h}) for shard $shard arrived after " +
-                s"(h=${cur.lastH}, id=${cur.lastId}) — the (hash, id)-ascending ingest contract is violated")
-          }
+          // that is already assigned. STRICTLY after — an exact
+          // duplicate (same h, same docId, e.g. an at-least-once
+          // redelivery in a later micro-batch) must fail loudly too,
+          // or it would silently re-pack with a second, different
+          // [tok_start, tok_end) interval and diverge from batch p14.
           val out = sorted.map { e =>
+            require(e.h > cur.lastH || (e.h == cur.lastH && e.docId > cur.lastId),
+              s"pack: document ${e.docId} (h=${e.h}) for shard $shard arrived at-or-before " +
+                s"(h=${cur.lastH}, id=${cur.lastId}) — the strictly-(hash, id)-ascending " +
+                "ingest contract is violated (out-of-order arrival or duplicate redelivery)")
             val start = cur.tokEnd
             cur = PackState(start + e.nTok, e.h, e.docId)
             PackOut(e.docId, shard, start, cur.tokEnd,

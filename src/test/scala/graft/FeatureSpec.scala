@@ -21,6 +21,31 @@ class FeatureSpec extends SparkSpec {
     rel.map(_._3).toSeq.zip(Seq(2.0 / 3, 1.0 / 3, 2.0 / 3)).foreach { case (a, b) => a shouldBe b +- 1e-12 }
   }
 
+  test("F1 DataFrame fast path: charBigramTfRelation matches the fitted-model relation") {
+    val df = Seq((0L, "banana"), (1L, "bandana"), (2L, "x"), (3L, "")).toDF("id", "mention")
+    val model = FeaturePipelines.charBigramTf("mention", "features").fit(df)
+    val viaModel = FeaturePipelines.charBigramRelation(model, df, "id")
+      .select("id", "term", "tf", "weight")
+      .as[(Long, String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val direct = FeaturePipelines.charBigramTfRelation(df, "id", "mention")
+      .as[(Long, String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    direct.map(r => (r._1, r._2, r._3)) shouldBe viaModel.map(r => (r._1, r._2, r._3))
+    direct.map(_._4).zip(viaModel.map(_._4)).foreach { case (a, b) => a shouldBe b +- 1e-12 }
+  }
+
+  test("F1 fast path truncation: vocab is the deterministic top-K by total corpus tf") {
+    // totals: an=4 (2+2), na=3 (2+1), ba=2, nd=1, da=1 — vocabSize=2
+    // keeps {an, na}; rows for out-of-vocab terms are filtered but
+    // weights still normalize over the doc's FULL term set (the same
+    // semantics as the fitted-model relation)
+    val df = Seq((0L, "banana"), (1L, "bandana")).toDF("id", "mention")
+    val out = FeaturePipelines.charBigramTfRelation(df, "id", "mention", vocabSize = 2)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    out.map(_._2).toSet shouldBe Set("na", "an")
+    out.map(r => (r._1, r._2, r._3)).sorted shouldBe
+      Seq((0L, "an", 2L), (0L, "na", 2L), (1L, "an", 2L), (1L, "na", 1L))
+  }
+
   test("F3 persistence: pipeline save/load roundtrip transforms identically") {
     val df = Seq((0L, "banana"), (1L, "bandana")).toDF("id", "mention")
     val model = FeaturePipelines.charBigramTf("mention", "features").fit(df)

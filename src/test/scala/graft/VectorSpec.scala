@@ -282,6 +282,68 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("binaryHammingTopK: over-cap routes to sign-prefix buckets; in-bucket ranking exact; recall sane") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(29)
+    // planted clusters: 12 centers, members = center + small noise, so
+    // true near-neighbors share most sign bits (the structure LSH
+    // exploits — pure-random Gaussians have none and any bucket
+    // scheme's recall degenerates to prefix-collision chance)
+    val centers = Array.fill(12)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val vecs = (0L until 300L).map { id =>
+      val c = centers((id % 12).toInt)
+      id -> c.map(x => x + (rnd.nextGaussian() * 0.1).toFloat)
+    }.toMap
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    val codes = df.select(col("vec_id"), VectorFunctions.signCode(col("embedding")).as("c"))
+      .select(col("vec_id"), col("c.hi"), col("c.lo"))
+      .as[(Long, Long, Long)].collect().map { case (i, h, l) => i -> ((h, l)) }.toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Long =
+      java.lang.Long.bitCount(a._1 ^ b._1).toLong + java.lang.Long.bitCount(a._2 ^ b._2)
+    val prefixBits = 4
+    def prefix(c: (Long, Long)): Long = c._1 >> (32 - prefixBits)
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = v => v % 10 === 0
+    // cap of 1 forces every multi-query input onto the bucket path
+    val bucketed = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ, maxBroadcastRows = 1L, prefixBits = prefixBits)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val brute = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ) // default cap: exact broadcast path
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // bucket path = exact local recompute restricted to same-prefix candidates
+    bucketed.groupBy(_._1).foreach { case (qid, rows) =>
+      val expect = vecs.keys
+        .filter(c => c != qid && prefix(codes(c)) == prefix(codes(qid))).toSeq
+        .map(c => (ham(codes(qid), codes(c)), c)).sorted.take(3)
+      withClue(s"qid=$qid: ") {
+        rows.sortBy(_._3).map(r => (r._4, r._2)) shouldBe expect
+      }
+    }
+    // every neighbor the bucket path returns shares the query's sign prefix
+    bucketed.foreach { case (q, n, _, _) => prefix(codes(n)) shouldBe prefix(codes(q)) }
+    // recall@3 vs the exact brute ranking: same-cluster neighbors share
+    // most sign bits, so the prefix buckets should recover most of the
+    // true top-3
+    val bruteTop = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = bucketed.count { case (q, n, _, _) => bruteTop(q).contains(n) }
+    val total = bruteTop.values.map(_.size).sum
+    withClue(s"recall@3 = $hits/$total: ") { hits.toDouble / total should be >= 0.7 }
+  }
+
+  test("signCode: all-negative vector packs to hi=lo=0; non-64-dim input rejected") {
+    import graft.functions.VectorFunctions
+    val neg = Seq((1L, Array.fill(64)(-1.0f))).toDF("vec_id", "embedding")
+    val (hi, lo) = neg.select(VectorFunctions.signCode(col("embedding")).as("c"))
+      .select(col("c.hi"), col("c.lo")).as[(Long, Long)].head()
+    (hi, lo) shouldBe ((0L, 0L))
+    val short = Seq((1L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val thrown = intercept[Exception] {
+      short.select(VectorFunctions.signCode(col("embedding"))).collect()
+    }
+    thrown.getMessage should include("64")
+  }
+
   test("prototypicality: dense per-cell ranks, kept = top-K closest to centroid, partitioning-invariant") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(11)
