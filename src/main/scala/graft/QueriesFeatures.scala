@@ -34,6 +34,34 @@ object QueriesFeatures {
       |SELECT doc_id, term, tf, cast(tf as double)/nrm AS weight
       |FROM tf JOIN nrm USING (doc_id) ORDER BY doc_id, term""".stripMargin
 
+  // --------------------------------------------------------------- x1b
+  // F1's vocab TRUNCATION rule, oracle-checked: vocabSize=50 < the 114
+  // distinct corpus bigrams, so the top-K-by-total-tf selection (ties
+  // broken term-asc — deterministic on both engines, unlike the RDD
+  // fit's partition-dependent tie order) actually filters. Weights
+  // still normalize over each doc's FULL term set, the same semantics
+  // as the fitted-model relation.
+  private val X1bVocab = 50
+
+  val x1bVocabTopK: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    FeaturePipelines.charBigramTfRelation(docs, "doc_id", "text", vocabSize = X1bVocab)
+      .orderBy("doc_id", "term")
+  }
+
+  val x1bVocabTopKSql: String =
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest(CASE WHEN length(text) < 2 THEN []::VARCHAR[]
+       |    ELSE list_transform(generate_series(1, length(text)-1), i -> substring(text, i, 2)) END) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM bg GROUP BY 1, 2),
+       |v AS (SELECT term FROM (SELECT term, cast(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term)
+       |      ORDER BY cnt DESC, term LIMIT $X1bVocab),
+       |nrm AS (SELECT doc_id, sqrt(cast(sum(tf*tf) as double)) AS nrm FROM tf GROUP BY doc_id)
+       |SELECT doc_id, term, tf, cast(tf as double)/nrm AS weight
+       |FROM tf JOIN nrm USING (doc_id) JOIN v USING (term)
+       |ORDER BY doc_id, term""".stripMargin
+
   // ---------------------------------------------------------------- x2
   // F2 word TF-IDF: the fitted IDF model's document frequencies
   // (exact integers; the float idf weights are engine-internal).
@@ -204,6 +232,7 @@ object QueriesFeatures {
 
   val queries: Map[String, Q] = Map(
     "x1_char_bigram_tf" -> x1CharBigramTf,
+    "x1b_vocab_topk" -> x1bVocabTopK,
     "x2_word_df" -> x2WordDf,
     "f4_hash_embed" -> f4HashEmbed,
     "a13_triplets" -> a13Triplets,
@@ -213,6 +242,7 @@ object QueriesFeatures {
 
   val oracles: Map[String, String] = Map(
     "x1_char_bigram_tf" -> x1CharBigramTfSql,
+    "x1b_vocab_topk" -> x1bVocabTopKSql,
     "x2_word_df" -> x2WordDfSql,
     "f4_hash_embed" -> f4HashEmbedSql,
     "a13_triplets" -> a13TripletsSql,

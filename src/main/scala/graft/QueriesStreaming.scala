@@ -869,7 +869,50 @@ object QueriesStreaming {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** st25 — v14's sign-prefix bucketed Hamming ANN as a real streaming
+    * query and the catalog's stream-STATIC join shape: query vectors
+    * stream in over three micro-batches, sign-encode map-side with the
+    * same SignCode expression as the batch path, join the static
+    * pre-bucketed corpus on the prefix bucket, and rank top-3 by exact
+    * Hamming the moment the (batch-complete) candidate set arrives —
+    * one boolean of state per query as a redelivery guard. Hash-matches
+    * v14's SQL oracle: streaming = batch = SQL for the ANN serving
+    * path too.
+    */
+  val st25StreamingAnn: Q = (s, dir) => {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingAnn
+    import graft.streaming.StreamingAnn.QueryEvent
+    val emb = Tables.load(s, dir, "embeddings")
+    val corpus = StreamingAnn.bucketCorpus(emb, col("vec_id"), col("embedding"),
+      QueriesVector.V14PrefixBits)
+    val events = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => QueryEvent(id, v) }
+
+    withShufflePartitions(s, StP) {
+      val input = MemoryStream[QueryEvent]
+      val query = StreamingAnn.hammingTopK(input.toDS(), corpus, k = 3,
+          prefixBits = QueriesVector.V14PrefixBits)
+        .writeStream.format("memory").queryName("st25_sink").outputMode("append").start()
+      try {
+        events.grouped(events.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+
+    s.table("st25_sink")
+      .select(col("queryId").as("query_id"), col("neighborId").as("neighbor_id"),
+        col("rank"), col("hamming"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st25_streaming_ann" -> st25StreamingAnn,
     "st22_streaming_retention" -> st22StreamingRetention,
     "st20_streaming_funnel" -> st20StreamingFunnel,
     "st19_streaming_range_join" -> st19StreamingRangeJoin,
@@ -890,6 +933,7 @@ object QueriesStreaming {
     "st5_streaming_dedup" -> st5StreamingDedup,
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
+    "st25_streaming_ann" -> QueriesVector.v14HammingBucketedSql,
     "st20_streaming_funnel" -> QueriesRelational.w4FunnelSql,
     "st22_streaming_retention" -> QueriesRelational.w5CohortRetentionSql,
     "st19_streaming_range_join" -> st19StreamingRangeJoinSql,

@@ -757,6 +757,57 @@ object QueriesText {
   }
 
   // ---------------------------------------------------------------- e1
+  // --------------------------------------------------------------- t13
+  // PII scrubbing — the redaction stage every production corpus
+  // pipeline runs before training: emails and phone-shaped spans are
+  // counted and replaced with placeholder tags, entirely map-side
+  // (regexp_count/regexp_replace per row — no shuffle, no state;
+  // corpus-linear at any scale). The synthetic corpus contains no PII
+  // (lowercase word salad), so the query PLANTS it deterministically
+  // from doc_id arithmetic — both engines derive the identical planted
+  // text, making the oracle non-trivial: n_emails/n_phones hit ~1/7
+  // and ~1/11 of docs, and clean_len pins the byte-exact replacement.
+  // Regex parity: patterns are backtracking-free-equivalent character
+  // classes ('[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '\+1-555-[0-9]{4}') on
+  // which Java regex and RE2 agree (leftmost, same greedy outcome).
+  val t13PiiRedact: Q = (s, dir) => {
+    val emailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val planted = Tables.load(s, dir, "documents").withColumn("ptext",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail.example for details")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 3,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") * 7919 % 10000).cast("string"), 4, "0"), lit(" now")))
+          .otherwise(lit(""))))
+    planted.select(col("doc_id"),
+      regexp_count(col("ptext"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("ptext"), lit(phoneRe)).cast("long").as("n_phones"),
+      length(regexp_replace(regexp_replace(col("ptext"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>")).cast("long").as("clean_len"))
+      .orderBy("doc_id")
+  }
+
+  val t13PiiRedactSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN ' contact user' || doc_id || '@mail.example for details' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 3
+      |         THEN ' call +1-555-' || lpad(((doc_id * 7919) % 10000)::VARCHAR, 4, '0') || ' now'
+      |         ELSE '' END AS ptext
+      |  FROM documents)
+      |SELECT doc_id,
+      |  cast(len(regexp_extract_all(ptext, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_emails,
+      |  cast(len(regexp_extract_all(ptext, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  cast(length(regexp_replace(regexp_replace(ptext,
+      |         '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+      |         '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS clean_len
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- e1
   // The whole training-data pipeline as ONE composed catalog query —
   // the "switch your pipeline to this engine" demonstration: quality
   // gate (t1's rule) → exact dedup (d1's min-id canonical) →
@@ -1223,6 +1274,7 @@ object QueriesText {
     "t10_dup_ngrams" -> t10DupNgrams,
     "t11_lm_score" -> t11LmScore,
     "t12_bpe_merges" -> t12BpeMerges,
+    "t13_pii_redact" -> t13PiiRedact,
     "e1_pipeline" -> e1Pipeline)
 
   val oracles: Map[String, String] = Map(
@@ -1257,5 +1309,6 @@ object QueriesText {
     "t10_dup_ngrams" -> t10DupNgramsSql,
     "t11_lm_score" -> t11LmScoreSql,
     "t12_bpe_merges" -> t12BpeMergesSql,
+    "t13_pii_redact" -> t13PiiRedactSql,
     "e1_pipeline" -> e1PipelineSql)
 }

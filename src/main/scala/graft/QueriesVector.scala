@@ -376,6 +376,47 @@ object QueriesVector {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- v14
+  // v13's CORPUS-SCALE tier, oracle-checked as its own query: the cap
+  // of 1 forces the sign-prefix bucket route (the path an unbounded
+  // query side takes at 100×), so the driver hash-pins the exact
+  // fallback the scale argument rests on — bucket key = top 6 sign
+  // bits of the hi half (an axis-aligned RHP signature already packed
+  // in the code), bucket join, exact Hamming re-rank inside buckets.
+  // Fully deterministic ⇒ SQL-replayable: DuckDB computes the same
+  // buckets by integer division (hi < 2^32, // 2^26 = the 6-bit
+  // prefix) and the same bit_count ranking.
+  private[graft] val V14PrefixBits = 6
+
+  val v14HammingBucketed: Q = (s, dir) =>
+    Similarity.binaryHammingTopK(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), k = 3, isQuery = v => v % 10 === 0,
+      maxBroadcastRows = 1L, prefixBits = V14PrefixBits)
+      .orderBy("query_id", "rank")
+
+  val v14HammingBucketedSql: String = {
+    def half(lo: Int, hi: Int) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series($lo, $hi), " +
+        s"i -> CASE WHEN embedding[i]::DOUBLE > 0 THEN 1::BIGINT ELSE 0::BIGINT END)), " +
+        s"(acc, x) -> acc * 2 + x)"
+    val div = 1L << (32 - V14PrefixBits)
+    s"""WITH c AS (
+       |  SELECT vec_id, ${half(1, 32)} AS hi, ${half(33, 64)} AS lo
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, hi, lo, hi // $div AS bucket FROM c),
+       |cand AS (
+       |  SELECT q.vec_id AS qid, t.vec_id AS cid,
+       |         (bit_count(xor(q.hi, t.hi)) + bit_count(xor(q.lo, t.lo)))::BIGINT AS hamming
+       |  FROM b q JOIN b t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id
+       |  WHERE q.vec_id % 10 = 0),
+       |ranked AS (
+       |  SELECT qid, cid, hamming,
+       |         row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rank
+       |  FROM cand)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank::BIGINT AS rank, hamming
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- v12
   // Prototypicality pruning on the v9 integer cells — the
   // SSL-prototypes data-curation recipe (keep each cluster's most
@@ -525,6 +566,7 @@ object QueriesVector {
     "v11_ivf_rerank" -> v11IvfRerank,
     "v12_prototypicality" -> v12Prototypicality,
     "v13_binary_hamming" -> v13BinaryHamming,
+    "v14_hamming_bucketed" -> v14HammingBucketed,
     "v10_pq_topk" -> v10PqTopk,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
@@ -534,6 +576,7 @@ object QueriesVector {
     "v11_ivf_rerank" -> v11IvfRerankSql,
     "v12_prototypicality" -> v12PrototypicalitySql,
     "v13_binary_hamming" -> v13BinaryHammingSql,
+    "v14_hamming_bucketed" -> v14HammingBucketedSql,
     "v10_pq_topk" -> v10PqTopkSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_rhp_ann" -> v2RhpAnnSql,

@@ -31,7 +31,7 @@ object ScaleSmoke {
         "t9_quality_filter", "v11_ivf_rerank", "p14_sequence_pack",
         "t10_dup_ngrams", "d10_shared_shingles", "t11_lm_score",
         "v12_prototypicality", "t12_bpe_merges", "w6_sliding_distinct",
-        "v13_binary_hamming"))
+        "v13_binary_hamming", "v14_hamming_bucketed"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

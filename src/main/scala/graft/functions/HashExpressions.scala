@@ -154,6 +154,50 @@ case class ShingleHashCounts(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-row CHAR-BIGRAM term-frequency relation straight from the
+  * string: one pass over the code points, counting each distinct
+  * two-character bigram (first-occurrence order) with the L2 weight
+  * tf/√(Σtf²) — the fused form of `transform(sequence(...),
+  * substring(text, i, 2))` + [[TermCounts]]. The fusion matters:
+  * UTF8String.substringSQL re-scans from the string start on every
+  * call (code-point indexing), so the expression-built bigram array is
+  * O(len²) per document — 17.6 s of x1's sf1 wall before this kernel.
+  * Code-point stepping (never UTF-16 units) keeps the bigram
+  * boundaries identical to Spark's and DuckDB's substring semantics
+  * for supplementary characters. Strings shorter than 2 code points
+  * yield an empty array, matching charBigramSql's CASE.
+  */
+case class CharBigramCounts(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false),
+    StructField("weight", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "char_bigram_counts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val counts = mutable.LinkedHashMap.empty[String, Long]
+    var i = 0
+    while (i + 1 < cps.length) {
+      val bg = new String(cps, i, 2)
+      counts.update(bg, counts.getOrElse(bg, 0L) + 1L)
+      i += 1
+    }
+    var sq = 0L
+    counts.valuesIterator.foreach(c => sq += c * c)
+    val nrm = math.sqrt(sq.toDouble)
+    new GenericArrayData(counts.iterator.map { case (t, c) =>
+      InternalRow(UTF8String.fromString(t), c, c.toDouble / nrm)
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharBigramCounts =
+    copy(child = newChild)
+}
+
 /** Per-row term-frequency relation: counts each distinct string of the
   * input array (first-occurrence order) and attaches the L2-normalized
   * weight tf/√(Σtf²) — one local pass, no shuffle. The per-document

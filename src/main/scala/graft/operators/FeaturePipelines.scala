@@ -95,8 +95,10 @@ object FeaturePipelines {
   def charBigramTfRelation(df: DataFrame, idCol: String, inputCol: String,
                            vocabSize: Int = 1 << 18): DataFrame = {
     import org.apache.spark.sql.graftshim.Shim
-    val termCounts = Shim.column(graft.functions.TermCounts(
-      Shim.expression(expr(charBigramSql(inputCol)))))
+    // fused string→(term, tf, weight) kernel: the expression-built
+    // bigram array re-scans the string per substring (O(len²)/doc)
+    val termCounts = Shim.column(graft.functions.CharBigramCounts(
+      Shim.expression(col(inputCol))))
     val perDoc = df.select(col(idCol), explode(termCounts).as("tc"))
       .select(col(idCol), col("tc.term").as("term"),
         col("tc.tf").as("tf"), col("tc.weight").as("weight"))
