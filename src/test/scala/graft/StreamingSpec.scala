@@ -427,6 +427,56 @@ class StreamingSpec extends SparkSpec {
     run(shuffled.grouped(120).toSeq, "res_shuf") shouldBe expect
   }
 
+  test("streaming ANN: batching-independent top-k vs local bucket recompute; redelivery fails loudly") {
+    import graft.streaming.StreamingAnn
+    import graft.streaming.StreamingAnn.QueryEvent
+    import graft.functions.VectorFunctions
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 200L).map(id => id -> Array.fill(64)(rnd.nextGaussian().toFloat)).toMap
+    val corpusDf = vecs.toSeq.toDF("vec_id", "embedding")
+    val prefixBits = 4
+    val corpus = StreamingAnn.bucketCorpus(corpusDf, col("vec_id"), col("embedding"), prefixBits)
+    // local reference: exact Hamming rank within same-prefix buckets
+    val codes = corpusDf.select(col("vec_id"), VectorFunctions.signCode(col("embedding")).as("c"))
+      .select(col("vec_id"), col("c.hi"), col("c.lo"))
+      .as[(Long, Long, Long)].collect().map { case (i, h, l) => i -> ((h, l)) }.toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Long =
+      java.lang.Long.bitCount(a._1 ^ b._1).toLong + java.lang.Long.bitCount(a._2 ^ b._2)
+    def prefix(c: (Long, Long)): Long = c._1 >> (32 - prefixBits)
+    val qids = vecs.keys.filter(_ % 20 == 0).toSeq.sorted
+    val expect = qids.flatMap { q =>
+      vecs.keys.filter(c => c != q && prefix(codes(c)) == prefix(codes(q))).toSeq
+        .map(c => (ham(codes(q), codes(c)), c)).sorted.take(3).zipWithIndex
+        .map { case ((h, c), i) => (q, c, i + 1L, h) }
+    }.toSet
+    val events = qids.map(q => QueryEvent(q, vecs(q)))
+    def run(chunks: Seq[Seq[QueryEvent]], sink: String): Set[(Long, Long, Long, Long)] = {
+      val input = MemoryStream[QueryEvent]
+      val query = StreamingAnn.hammingTopK(input.toDS(), corpus, k = 3, prefixBits)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      } finally query.stop()
+      spark.table(sink).select("queryId", "neighborId", "rank", "hamming")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    run(Seq(events), "ann_one") shouldBe expect
+    run(events.grouped(4).toSeq, "ann_many") shouldBe expect
+    // a query id re-delivered in a later micro-batch violates the
+    // one-shot contract and must fail, not emit a second top-k
+    val input = MemoryStream[QueryEvent]
+    val query = StreamingAnn.hammingTopK(input.toDS(), corpus, k = 3, prefixBits)
+      .writeStream.format("memory").queryName("ann_dup").outputMode("append").start()
+    try {
+      input.addData(Seq(events.head)); query.processAllAvailable()
+      val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        input.addData(Seq(events.head)); query.processAllAvailable()
+      }
+      thrown.getMessage should include("more than one micro-batch")
+    } finally query.stop()
+  }
+
   test("streaming retention: batching-independent cells, delta emission, cohort fixed by first event") {
     import graft.streaming.StreamingRetention
     import graft.streaming.StreamingRetention.{DayEvent, OffsetHit}
