@@ -677,8 +677,8 @@ object QueriesText {
   // runs.
   val t8TopNgrams: Q = (s, dir) =>
     Tables.load(s, dir, "documents")
-      .select(explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("ngram"))
-      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .select(explode(TextFunctions.shingleStringCounts(TextFunctions.tokens(col("text")), 2)).as("sc"))
+      .groupBy(col("sc.ngram").as("ngram")).agg(sum(col("sc.c")).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(50)
 
@@ -707,8 +707,8 @@ object QueriesText {
   val t12BpeMerges: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
     def pairCounts(d: org.apache.spark.sql.DataFrame) = d
-      .select(explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)).as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .select(explode(TextFunctions.shingleStringCounts(TextFunctions.tokens(col("text")), 2)).as("sc"))
+      .groupBy(col("sc.ngram").as("pair")).agg(sum(col("sc.c")).as("cnt"))
     val c1 = pairCounts(docs).persist()
     // merge candidates are restricted to clean word pairs so the fused
     // regex is metachar-free BY CONSTRUCTION on both engines (an

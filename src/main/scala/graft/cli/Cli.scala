@@ -72,7 +72,6 @@ object Cli {
     cmd match {
       case "preprocess-pubtator" =>
         import spark.implicits._
-        import org.apache.spark.sql.expressions.Window
         val flat = Sources.readPubTator(spark, in)
           .flatMap { d =>
             val text = d.title + " " + d.abstract_
@@ -91,12 +90,14 @@ object Cli {
         // per-document index would collide across documents. Stream
         // order here is pmid order (the reference's is its date sort,
         // which needs the out-of-scope network enrichment). `type`
-        // stays a JSON list, matching Sources.mentionSchema.
-        flat
-          .withColumn("mention_index",
-            row_number().over(Window.orderBy(col("document_id"), col("_doc_pos"))) - 1)
-          .withColumn("document_index",
-            dense_rank().over(Window.orderBy(col("document_id"))) - 1)
+        // stays a JSON list, matching Sources.mentionSchema. Both
+        // counters assign DISTRIBUTED (parallel sort + zipWithIndex /
+        // first-seen dict ranks) — no partitionless window funnels the
+        // stream through one task, the same fix as preprocess-aida.
+        graft.operators.Relational.dictEncodeDistributed(
+            graft.operators.Relational.globalRowIndex(
+              flat, Seq(col("document_id"), col("_doc_pos")), "mention_index"),
+            col("document_id"), col("document_id"), "document_index")
           .drop("_doc_pos")
           .coalesce(1).write.mode("overwrite").json(out)
 

@@ -154,6 +154,56 @@ case class ShingleHashCounts(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-row n-token shingle STRING counts: each distinct space-joined
+  * n-gram of the token array with its occurrence count, first-seen
+  * order — the string sibling of [[ShingleHashCounts]] for queries
+  * whose OUTPUT is the n-gram text (t8 top-ngrams, t12 BPE pair
+  * counts; the hash form can't serve them — a collision would merge
+  * two different output strings). One pass, direct UTF8String concat:
+  * the HOF formulation (`transform(sequence, slice + concat_ws)`)
+  * spends ~15 of t8's 16 s at sf1 building 2.7 M intermediate arrays;
+  * this kernel also shrinks the explode to one row per DISTINCT n-gram
+  * per doc, so downstream aggregation sums `c` instead of counting
+  * occurrence rows.
+  */
+case class ShingleStringCounts(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ngram", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "shingle_string_counts"
+
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val counts = mutable.LinkedHashMap.empty[UTF8String, Long]
+    val window = new Array[UTF8String](n)
+    var start = 0
+    while (start <= len - n) {
+      var j = 0
+      while (j < n) { window(j) = toks(start + j); j += 1 }
+      // concatWs allocates a fresh UTF8String — safe to key/emit without copy
+      val sh = UTF8String.concatWs(space, window: _*)
+      counts.update(sh, counts.getOrElse(sh, 0L) + 1L)
+      start += 1
+    }
+    new GenericArrayData(counts.iterator.map { case (s, c) => InternalRow(s, c) }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStringCounts =
+    copy(child = newChild)
+}
+
 /** Per-row CHAR-BIGRAM term-frequency relation straight from the
   * string: one pass over the code points, counting each distinct
   * two-character bigram (first-occurrence order) with the L2 weight

@@ -81,6 +81,14 @@ object TextFunctions {
   def shingleHashCounts(toks: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashCounts(ExpressionUtils.expression(toks), n))
 
+  /** Distinct shingle STRINGS with within-doc multiplicities —
+    * array<struct<ngram, c>>, one compiled pass
+    * ([[ShingleStringCounts]]); for queries whose output is the n-gram
+    * text itself (the hash form would merge colliding strings).
+    */
+  def shingleStringCounts(toks: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleStringCounts(ExpressionUtils.expression(toks), n))
+
   /** Distinct character-n-gram hash set (char-shingle analog of the
     * reference's char-bigram vectorizer, `fit_vectorizer.py:20-21`).
     * Native one-pass expression.

@@ -71,6 +71,14 @@ object GraftExtensions {
         CharNgramHashSet(args.head, intLit("char_ngram_hash_set", args(1))) }),
     desc("term_counts", "term_counts(toks) - per-row (term, tf, weight) TF relation",
       { args => arity("term_counts", args, 1); TermCounts(args.head) }),
+    desc("shingle_string_counts", "shingle_string_counts(toks, n) - distinct n-gram strings with multiplicities",
+      { args => arity("shingle_string_counts", args, 2)
+        ShingleStringCounts(args.head, intLit("shingle_string_counts", args(1))) }),
+    desc("char_bigram_counts", "char_bigram_counts(str) - per-row (term, tf, weight) char-bigram TF relation",
+      { args => arity("char_bigram_counts", args, 1); CharBigramCounts(args.head) }),
+    desc("sign_code", "sign_code(vec) - (hi, lo) 32-bit sign-bit halves of a 64-dim vector",
+      { args => arity("sign_code", args, 1)
+        SignCode(args.head) }),
     desc("dot_product", "dot_product(a, b) - strict element-order float dot product",
       { args => arity("dot_product", args, 2); DotProductExpr(args.head, args(1)) }),
     desc("sq_norm", "sq_norm(a) - squared L2 norm",

@@ -21,15 +21,39 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT poly_hash(text) AS h,
         |       dup_ngram_stats(split(text, ' '), 2) AS d,
         |       shingle_hash_counts(split(text, ' '), 2) AS hc,
+        |       shingle_string_counts(split(text, ' '), 2) AS sc,
+        |       char_bigram_counts(substring(text, 1, 7)) AS cb,
         |       repetition_stats(split(text, ' '), 3) AS r
         |FROM ext_docs""".stripMargin).collect().head
     val viaCol = df.select(
       TextFunctions.stringHash(col("text")).as("h"),
       TextFunctions.dupNgramStats(TextFunctions.tokens(col("text")), 2).as("d"),
       TextFunctions.shingleHashCounts(TextFunctions.tokens(col("text")), 2).as("hc"),
+      TextFunctions.shingleStringCounts(TextFunctions.tokens(col("text")), 2).as("sc"),
+      org.apache.spark.sql.graftshim.Shim.column(graft.functions.CharBigramCounts(
+        org.apache.spark.sql.graftshim.Shim.expression(substring(col("text"), 1, 7)))).as("cb"),
       TextFunctions.repetitionStats(TextFunctions.tokens(col("text")), 3).as("r"))
       .collect().head
     viaSql shouldBe viaCol
+  }
+
+  test("shingle_string_counts: distinct n-grams with multiplicities, first-seen order, vs HOF recompute") {
+    val toks = "the cat sat on the cat sat".split(" ").toSeq
+    val df = Seq(Tuple1(toks)).toDF("toks")
+    val got = df.select(explode(TextFunctions.shingleStringCounts(col("toks"), 2)).as("sc"))
+      .select(col("sc.ngram"), col("sc.c")).as[(String, Long)].collect().toSeq
+    val expect = toks.sliding(2).map(_.mkString(" ")).toSeq
+      .foldLeft(Vector.empty[(String, Long)]) { (acc, g) =>
+        acc.indexWhere(_._1 == g) match {
+          case -1 => acc :+ (g, 1L)
+          case i  => acc.updated(i, (g, acc(i)._2 + 1))
+        }
+      }
+    got shouldBe expect
+    // shorter-than-n array yields no rows
+    Seq(Tuple1(Seq("one"))).toDF("toks")
+      .select(explode(TextFunctions.shingleStringCounts(col("toks"), 2)))
+      .count() shouldBe 0L
   }
 
   test("integer vector kernels evaluate exactly in SQL") {
@@ -61,6 +85,7 @@ class ExtensionsSpec extends SparkSpec {
     GraftExtensions.descriptions.map(_._1.funcName).toSet shouldBe Set(
       "poly_hash", "shingle_hash_set", "shingle_hash_counts", "dup_ngram_stats",
       "repetition_stats", "char_ngram_hash_set", "term_counts",
+      "shingle_string_counts", "char_bigram_counts", "sign_code",
       "dot_product", "sq_norm", "sq_dist", "int_dot", "int_sqdist")
     // the config-path entry class is instantiable and applies cleanly
     noException should be thrownBy
