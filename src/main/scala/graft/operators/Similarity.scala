@@ -21,6 +21,23 @@ object Similarity {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Routing contract for [[binaryHammingTopK]]. `Auto` keeps the
+    * historical behavior (brute under the broadcast cap, bucket route
+    * past it, with a warn); `Exact` makes the brute contract explicit
+    * and FAILS FAST past the cap instead of silently downgrading to
+    * bucket recall (callers whose oracle is exact all-pairs SQL must
+    * never get approximate rows back); `Bucketed` always takes the
+    * sign-prefix bucket route — no count() existence check at all, so
+    * the engine path matches a bucket-only oracle by construction even
+    * on degenerate (≤1-query) inputs.
+    */
+  sealed trait HammingRoute
+  object HammingRoute {
+    case object Auto extends HammingRoute
+    case object Exact extends HammingRoute
+    case object Bucketed extends HammingRoute
+  }
+
   /** Pair similarity columns given precomputed norms. */
   private def cosOf(va: Column, vb: Column, na: Column, nb: Column): Column =
     VectorFunctions.dotProduct(va, vb) / (na * nb)
@@ -369,7 +386,8 @@ object Similarity {
   def binaryHammingTopK(df: DataFrame, id: Column, vec: Column, k: Int,
                         isQuery: Column => Column,
                         maxBroadcastRows: Long = 100000L,
-                        prefixBits: Int = 8): DataFrame = {
+                        prefixBits: Int = 8,
+                        route: HammingRoute = HammingRoute.Auto): DataFrame = {
     require(prefixBits >= 1 && prefixBits <= 32,
       s"prefixBits=$prefixBits must be in [1, 32] (the hi half packs 32 sign bits)")
     val base = df.select(id.cast("long").as("vid"),
@@ -380,9 +398,19 @@ object Similarity {
     // same absolute-count broadcast cap as cosineTopK: bounded existence
     // check (CollectLimit stops after cap+1 rows), never a corpus
     // fraction — a proportional query side scales with the data and is
-    // a guaranteed executor OOM at 100×.
+    // a guaranteed executor OOM at 100×. HammingRoute.Bucketed skips
+    // the check entirely (no count() job, bucket path by construction).
     val cap = math.min(maxBroadcastRows, Int.MaxValue - 1L).toInt
-    val over = qs.limit(cap + 1).count() > cap
+    val over = route match {
+      case HammingRoute.Bucketed => true
+      case _                     => qs.limit(cap + 1).count() > cap
+    }
+    if (over && route == HammingRoute.Exact)
+      throw new IllegalStateException(
+        s"binaryHammingTopK(route=Exact): query side exceeds broadcast cap $cap — " +
+          "refusing to silently downgrade the exact contract to bucket recall; " +
+          "pass route=Bucketed (or Auto) to accept the sign-prefix LSH route, " +
+          "or binaryHammingTopKMultiTable for higher-recall multi-table LSH")
     val cand =
       if (over) {
         // Sign-prefix LSH: the top `prefixBits` bits of the hi half ARE
@@ -390,9 +418,11 @@ object Similarity {
         // dim i), so they double as the bucket key — v2's bucket-join
         // shape, no broadcast, shuffle on bucket occupancy. Exact
         // Hamming re-rank inside each bucket; misses cross-bucket
-        // neighbors (standard LSH recall trade).
-        log.warn(s"binaryHammingTopK: query side exceeds broadcast cap $cap — " +
-          s"routing to sign-prefix bucket join ($prefixBits-bit prefix, bucket recall)")
+        // neighbors (standard LSH recall trade — see
+        // [[binaryHammingTopKMultiTable]] for the L-table recall knob).
+        if (route != HammingRoute.Bucketed)
+          log.warn(s"binaryHammingTopK: query side exceeds broadcast cap $cap — " +
+            s"routing to sign-prefix bucket join ($prefixBits-bit prefix, bucket recall)")
         val shift = 32 - prefixBits
         val c = base.select(col("vid").as("cid"), col("hi"), col("lo"),
           shiftright(col("hi"), shift).as("bucket"))
@@ -408,6 +438,62 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("hamming").asc, col("cid").asc)
     cand.withColumn("hamming", ham)
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("hamming"))
+  }
+
+  /** v14b — multi-table sign-prefix LSH: the recall knob on
+    * [[binaryHammingTopK]]'s bucket route. A single prefix table misses
+    * any true neighbor that differs from the query in even ONE of the
+    * `prefixBits` bucket bits; `nTables` DISJOINT `prefixBits`-wide
+    * windows of the hi half act as L independent hash tables (each
+    * table hashes with a different subset of the 64 axis-aligned
+    * hyperplanes — the standard L-table LSH construction, the same way
+    * v7 extends v2's single RHP table). A candidate pair is generated
+    * when the two codes agree on ANY table's window; union-of-tables
+    * candidates dedup BEFORE the exact Hamming re-rank so each pair is
+    * scored once. Miss probability decays exponentially in L: a
+    * neighbor within Hamming radius r of the query survives unless all
+    * L windows are hit, so recall@k strictly dominates the
+    * single-table route at the cost of ≤ L× candidate generation.
+    *
+    * Deterministic (bit windows, not seeded permutations) ⇒ the whole
+    * route replays in integer SQL: table l's bucket is
+    * `(hi >> (32-(l+1)·prefixBits)) & (2^prefixBits - 1)` =
+    * `(hi // 2^(32-(l+1)·p)) % 2^p` on the oracle.
+    *
+    * Scale: never broadcasts and never counts — candidates come from L
+    * bucket-keyed equi-joins (posexplode to (tbl, bucket) keys, one
+    * shuffle keyed on both), linear in summed bucket occupancy; the
+    * dedup is a partial-agg-friendly distinct on (qid, cid, hamming);
+    * top-k is a per-query window over candidates only. No n² anywhere.
+    */
+  def binaryHammingTopKMultiTable(df: DataFrame, id: Column, vec: Column, k: Int,
+                                  isQuery: Column => Column,
+                                  prefixBits: Int = 6,
+                                  nTables: Int = 4): DataFrame = {
+    require(prefixBits >= 1 && nTables >= 1 && nTables * prefixBits <= 32,
+      s"nTables=$nTables × prefixBits=$prefixBits must fit the 32 hi sign bits")
+    val base = df.select(id.cast("long").as("vid"),
+      VectorFunctions.signCode(vec).as("code"))
+      .select(col("vid"), col("code.hi").as("hi"), col("code.lo").as("lo"))
+    val mask = (1L << prefixBits) - 1L
+    val buckets = array((0 until nTables).map { l =>
+      shiftright(col("hi"), 32 - (l + 1) * prefixBits).bitwiseAND(lit(mask))
+    }: _*)
+    val tabled = base.select(col("vid"), col("hi"), col("lo"),
+      posexplode(buckets).as(Seq("tbl", "bucket")))
+    val q = tabled.where(isQuery(col("vid")))
+      .select(col("vid").as("qid"), col("hi").as("qhi"), col("lo").as("qlo"),
+        col("tbl"), col("bucket"))
+    val c = tabled.select(col("vid").as("cid"), col("hi"), col("lo"),
+      col("tbl"), col("bucket"))
+    val cand = q.join(c, Seq("tbl", "bucket")).where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr("bit_count(qhi ^ hi) + bit_count(qlo ^ lo)").cast("long").as("hamming"))
+      .distinct() // a pair found by several tables scores once
+    val w = Window.partitionBy("qid").orderBy(col("hamming").asc, col("cid").asc)
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("hamming"))
   }
