@@ -417,6 +417,52 @@ object QueriesVector {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // -------------------------------------------------------------- v14b
+  // v14's RECALL knob, oracle-checked as its own query: nTables
+  // disjoint prefixBits-wide windows of the hi half act as L
+  // independent LSH tables (the same way v7 extends v2's single RHP
+  // table); a candidate pair survives if the codes agree on ANY
+  // window, candidates dedup before the exact Hamming re-rank. At
+  // equal prefixBits, table 0's window IS v14's bucket key, so the
+  // candidate set is a superset and recall@k dominates — VectorSpec
+  // pins both that domination and parity against a local recompute.
+  // Deterministic bit windows ⇒ DuckDB replays table l's bucket as
+  // (hi // 2^(32-(l+1)·p)) % 2^p with the divisors inlined.
+  private[graft] val V14bTables = 4
+
+  val v14bHammingMultiTable: Q = (s, dir) =>
+    Similarity.binaryHammingTopKMultiTable(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), k = 3, isQuery = v => v % 10 === 0,
+      prefixBits = V14PrefixBits, nTables = V14bTables)
+      .orderBy("query_id", "rank")
+
+  val v14bHammingMultiTableSql: String = {
+    def half(lo: Int, hi: Int) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series($lo, $hi), " +
+        s"i -> CASE WHEN embedding[i]::DOUBLE > 0 THEN 1::BIGINT ELSE 0::BIGINT END)), " +
+        s"(acc, x) -> acc * 2 + x)"
+    val mask = (1L << V14PrefixBits) - 1L
+    val windows = (0 until V14bTables)
+      .map(l => s"($l, ${1L << (32 - (l + 1) * V14PrefixBits)})").mkString(", ")
+    s"""WITH c AS (
+       |  SELECT vec_id, ${half(1, 32)} AS hi, ${half(33, 64)} AS lo
+       |  FROM embeddings),
+       |t AS (
+       |  SELECT c.vec_id, c.hi, c.lo, w.tbl, (c.hi // w.dv) % ${mask + 1} AS bucket
+       |  FROM c CROSS JOIN (VALUES $windows) AS w(tbl, dv)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, b.vec_id AS cid,
+       |         (bit_count(xor(q.hi, b.hi)) + bit_count(xor(q.lo, b.lo)))::BIGINT AS hamming
+       |  FROM t q JOIN t b ON q.tbl = b.tbl AND q.bucket = b.bucket AND q.vec_id <> b.vec_id
+       |  WHERE q.vec_id % 10 = 0),
+       |ranked AS (
+       |  SELECT qid, cid, hamming,
+       |         row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rank
+       |  FROM cand)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank::BIGINT AS rank, hamming
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- v12
   // Prototypicality pruning on the v9 integer cells — the
   // SSL-prototypes data-curation recipe (keep each cluster's most
@@ -567,6 +613,7 @@ object QueriesVector {
     "v12_prototypicality" -> v12Prototypicality,
     "v13_binary_hamming" -> v13BinaryHamming,
     "v14_hamming_bucketed" -> v14HammingBucketed,
+    "v14b_hamming_multitable" -> v14bHammingMultiTable,
     "v10_pq_topk" -> v10PqTopk,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
@@ -577,6 +624,7 @@ object QueriesVector {
     "v12_prototypicality" -> v12PrototypicalitySql,
     "v13_binary_hamming" -> v13BinaryHammingSql,
     "v14_hamming_bucketed" -> v14HammingBucketedSql,
+    "v14b_hamming_multitable" -> v14bHammingMultiTableSql,
     "v10_pq_topk" -> v10PqTopkSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_rhp_ann" -> v2RhpAnnSql,

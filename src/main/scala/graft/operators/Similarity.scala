@@ -454,8 +454,12 @@ object Similarity {
     * candidates dedup BEFORE the exact Hamming re-rank so each pair is
     * scored once. Miss probability decays exponentially in L: a
     * neighbor within Hamming radius r of the query survives unless all
-    * L windows are hit, so recall@k strictly dominates the
-    * single-table route at the cost of ≤ L× candidate generation.
+    * L windows are hit. At EQUAL `prefixBits`, table 0's window is
+    * exactly the single-table route's bucket key, so the candidate set
+    * is a superset and recall@k dominates the single-table route at
+    * the cost of ≤ L× candidate generation. (At differing widths — the
+    * defaults here are 6 bits vs 8 there — neither candidate set
+    * contains the other and domination is not guaranteed.)
     *
     * Deterministic (bit windows, not seeded permutations) ⇒ the whole
     * route replays in integer SQL: table l's bucket is

@@ -331,6 +331,91 @@ class VectorSpec extends SparkSpec {
     withClue(s"recall@3 = $hits/$total: ") { hits.toDouble / total should be >= 0.7 }
   }
 
+  test("binaryHammingTopKMultiTable: matches local union-of-windows recompute; recall dominates single-table at equal prefixBits") {
+    val rnd = new scala.util.Random(31)
+    // planted clusters, same rationale as the single-table bucket test
+    val centers = Array.fill(12)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val vecs = (0L until 300L).map { id =>
+      val c = centers((id % 12).toInt)
+      id -> c.map(x => x + (rnd.nextGaussian() * 0.1).toFloat)
+    }.toMap
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    val codes = df.select(col("vec_id"), VectorFunctions.signCode(col("embedding")).as("c"))
+      .select(col("vec_id"), col("c.hi"), col("c.lo"))
+      .as[(Long, Long, Long)].collect().map { case (i, h, l) => i -> ((h, l)) }.toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Long =
+      java.lang.Long.bitCount(a._1 ^ b._1).toLong + java.lang.Long.bitCount(a._2 ^ b._2)
+    val p = 6; val nT = 4
+    val mask = (1L << p) - 1L
+    def window(c: (Long, Long), l: Int): Long = (c._1 >> (32 - (l + 1) * p)) & mask
+    def shares(a: (Long, Long), b: (Long, Long)): Boolean =
+      (0 until nT).exists(l => window(a, l) == window(b, l))
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = v => v % 10 === 0
+    val got = Similarity.binaryHammingTopKMultiTable(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ, prefixBits = p, nTables = nT)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // exact local recompute: union of per-window candidates → exact Hamming re-rank
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val expect = vecs.keys
+        .filter(c => c != qid && shares(codes(c), codes(qid))).toSeq
+        .map(c => (ham(codes(qid), codes(c)), c)).sorted.take(3)
+      withClue(s"qid=$qid: ") { rows.sortBy(_._3).map(r => (r._4, r._2)) shouldBe expect }
+    }
+    // dedup before re-rank: each (query, neighbor) pair scored exactly once
+    got.groupBy(r => (r._1, r._2)).values.foreach(_.size shouldBe 1)
+    got.foreach { case (q, n, _, _) => shares(codes(q), codes(n)) shouldBe true }
+    // at EQUAL prefixBits, table 0's window is the single-table bucket key, so
+    // candidates are a superset and recall@3 vs the brute ranking must dominate
+    val single = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ, maxBroadcastRows = 1L, prefixBits = p)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val brute = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ).as[(Long, Long, Long, Long)].collect().toSeq
+    val bruteTop = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(rs: Seq[(Long, Long, Long, Long)]): Int =
+      rs.count { case (q, n, _, _) => bruteTop(q).contains(n) }
+    recall(got) should be >= recall(single)
+  }
+
+  test("binaryHammingTopK routes: Exact over-cap fails fast; Bucketed ≡ Auto over-cap and plans without a count job") {
+    val rnd = new scala.util.Random(37)
+    val vecs = (0L until 120L).map(id => id -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = v => v % 10 === 0
+    // Exact refuses to silently downgrade its contract to bucket recall
+    val ex = intercept[IllegalStateException] {
+      Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ, maxBroadcastRows = 1L, route = Similarity.HammingRoute.Exact)
+    }
+    ex.getMessage should include("exceeds broadcast cap")
+    // Exact under the cap = the Auto brute path
+    val exact = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ, route = Similarity.HammingRoute.Exact)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val auto = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ).as[(Long, Long, Long, Long)].collect().toSet
+    exact shouldBe auto
+    // Bucketed = the Auto over-cap bucket route, without the existence check
+    val bucketedViaAuto = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ, maxBroadcastRows = 1L, prefixBits = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ, prefixBits = 4, route = Similarity.HammingRoute.Bucketed)
+      Thread.sleep(500) // let any eagerly-submitted job reach the listener bus
+      withClue("Bucketed must not run the count() existence check: ") {
+        jobs.get() shouldBe 0
+      }
+      plan.as[(Long, Long, Long, Long)].collect().toSet shouldBe bucketedViaAuto
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("signCode: all-negative vector packs to hi=lo=0; non-64-dim input rejected") {
     import graft.functions.VectorFunctions
     val neg = Seq((1L, Array.fill(64)(-1.0f))).toDF("vec_id", "embedding")
