@@ -59,6 +59,48 @@ object QueriesStreaming {
   // genuinely distributed).
   private[graft] val StP = 4
 
+  /** Drive a streaming query from a FILE SOURCE: each chunk DataFrame is
+    * appended (executor-side parquet write, never a driver collect) into
+    * a temp ingest dir and drained with processAllAvailable, so one
+    * chunk = one micro-batch and the measured stream READS FILES — the
+    * honest 100 TB ingest shape. MemoryStream twins remain in
+    * StreamingSpec for the batching-independence properties; this
+    * helper is what the driver-benched st queries use so no corpus ever
+    * materializes on the driver.
+    *
+    * `start` receives the streaming DataFrame (schema = chunks.head's)
+    * and must return a STARTED query writing to a memory sink; the
+    * helper stops it and deletes the ingest dir before returning.
+    * FileStreamSource ignores `_`-prefixed files, so parquet's _SUCCESS
+    * markers never enter a batch; with no maxFilesPerTrigger every file
+    * appended since the last drain lands in a single micro-batch.
+    */
+  private[graft] def fileIngest(s: org.apache.spark.sql.SparkSession,
+                                chunks: Seq[org.apache.spark.sql.DataFrame])
+                               (start: org.apache.spark.sql.DataFrame =>
+                                 org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-")
+    try {
+      val stream = s.readStream.schema(chunks.head.schema).parquet(dir.toString)
+      val query = start(stream)
+      try {
+        chunks.foreach { c =>
+          // Coalesce the chunk write: the event-prep plans end on ≤32
+          // shuffle partitions, and 32 near-empty part files per chunk
+          // triple the source's list+open cost for nothing. StP files
+          // keeps the write (and the downstream batch read) parallel;
+          // the coalesce only narrows the final write stage.
+          c.coalesce(StP).write.mode("append").parquet(dir.toString)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   private val Theta = 0.25
   private val Dim = 64
   private val N = 50L

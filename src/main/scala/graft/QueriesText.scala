@@ -897,33 +897,30 @@ object QueriesText {
   // for the dedup pack's candidate stage.
   val st6StreamingNeardup: Q = (s, dir) => {
     import s.implicits._
-    implicit val sqlCtx = s.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingNearDup
     import graft.streaming.StreamingNearDup.BandEvent
-    val bandRows = Dedup.minHashBands(
+    // Band-hashing is relational and the events land in a temp parquet
+    // dir the measured stream READS AS FILES (QueriesStreaming
+    // .fileIngest) — the corpus never materializes on the driver, the
+    // honest 100 TB ingest shape. Three doc-keyed chunks = three
+    // micro-batches; within-bucket arrival order (`order` = doc id) is
+    // deterministic, and the final DISTINCT pair set is
+    // arrival-order-independent anyway, which is what the batch-d2
+    // oracle hash-pins. MemoryStream twins stay in StreamingSpec for
+    // the batching-independence properties.
+    val events = Dedup.minHashBands(
       Tables.load(s, dir, "documents"), col("doc_id"), shingleSet, dedupK, dedupR)
-      .select(col("doc"), col("band"), col("band_hash"))
-      .orderBy("doc", "band")
-      .as[(Long, Int, Long)]
-      .collect()
-      .zipWithIndex
-      .map { case ((doc, band, bh), i) =>
-        BandEvent(band.toLong * 2000000011L + bh, doc, i.toLong)
-      }
+      .select((col("band").cast("long") * 2000000011L + col("band_hash")).as("bucket"),
+        col("doc").as("docId"), col("doc").as("order"))
+    val chunks = (0 until 3).map(i => events.where(pmod(col("docId"), lit(3)) === i))
 
     QueriesStreaming.withShufflePartitions(s, 4) {
-      val input = MemoryStream[BandEvent]
-      val query = StreamingNearDup.lshCandidates(input.toDS())
-        .toDF("doc_a", "doc_b")
-        .dropDuplicates("doc_a", "doc_b")
-        .writeStream.format("memory").queryName("st6_sink").outputMode("append").start()
-      try {
-        bandRows.grouped(bandRows.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      QueriesStreaming.fileIngest(s, chunks) { stream =>
+        StreamingNearDup.lshCandidates(stream.as[BandEvent])
+          .toDF("doc_a", "doc_b")
+          .dropDuplicates("doc_a", "doc_b")
+          .writeStream.format("memory").queryName("st6_sink").outputMode("append").start()
+      }
     }
 
     s.table("st6_sink").orderBy("doc_a", "doc_b")
@@ -944,31 +941,29 @@ object QueriesText {
   // recursive-CTE oracle: streaming = batch = SQL for the dedup
   // pipeline's grouping stage too.
   val st8StreamingCc: Q = (s, dir) => {
-    import s.implicits._
-    implicit val sqlCtx = s.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingComponents
     import graft.streaming.StreamingComponents.EdgeEvent
+    // Verified pair events stream in FROM FILES (fileIngest — no driver
+    // materialization); min-root union is arrival-order-independent, so
+    // the pair-sum chunking below and the deterministic per-pair `seq`
+    // (doc_a·1000003 + doc_b, unique since doc_a < doc_b) leave the
+    // final assignment equal to batch d7 — the same recursive-CTE
+    // oracle hash-pins it.
     val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)
     val bands = Dedup.minHashBandsFromSets(sets, dedupK, dedupR)
-    val pairRows = Dedup.nearDupPairsFromSets(sets, bands, 1, 2)
-      .select(col("doc_a"), col("doc_b"))
-      .orderBy("doc_a", "doc_b")
-      .as[(Long, Long)]
-      .collect()
-      .zipWithIndex
-      .map { case ((a, b), i) => EdgeEvent(0L, i.toLong, a, b) }
+    val events = Dedup.nearDupPairsFromSets(sets, bands, 1, 2)
+      .select(lit(0L).as("key"),
+        (col("doc_a") * 1000003L + col("doc_b")).as("seq"),
+        col("doc_a").as("a"), col("doc_b").as("b"))
+    val chunks = (0 until 3).map(i =>
+      events.where(pmod(col("a") + col("b"), lit(3)) === i))
 
     QueriesStreaming.withShufflePartitions(s, 4) {
-      val input = MemoryStream[EdgeEvent]
-      val query = StreamingComponents.connectedComponents(input.toDS())
-        .writeStream.format("memory").queryName("st8_sink").outputMode("append").start()
-      try {
-        pairRows.grouped(pairRows.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      import s.implicits._
+      QueriesStreaming.fileIngest(s, chunks) { stream =>
+        StreamingComponents.connectedComponents(stream.as[EdgeEvent])
+          .writeStream.format("memory").queryName("st8_sink").outputMode("append").start()
+      }
     }
 
     val w = org.apache.spark.sql.expressions.Window
@@ -1164,31 +1159,32 @@ object QueriesText {
   // window recompute row for row — st23 hash-matches p14's SQL oracle:
   // streaming = batch = SQL for the packing stage of the pipeline too.
   val st23StreamingPack: Q = (s, dir) => {
-    import s.implicits._
-    implicit val sqlCtx = s.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingPacking
     import graft.streaming.StreamingPacking.PackEvent
-    // same routing hash + shard as batch p14 (mod-P before the multiply)
+    // File-source ingest (fileIngest — no driver materialization) with
+    // the strictly-(hash, id)-ascending per-shard contract preserved by
+    // CHUNKING ON h RANGES: every event in chunk i has h strictly below
+    // every event in chunk i+1 (equal h always lands in one chunk), and
+    // within a micro-batch the operator re-sorts — so the three file
+    // batches replay the same per-shard order the batch p14 window
+    // encodes, and st23 hash-matches p14's SQL oracle.
+    // Same routing hash + shard as batch p14 (mod-P before the multiply).
     val rows = Tables.load(s, dir, "documents")
       .withColumn("h", (((col("doc_id") % P) * 2654435761L + 23L) % P + P) % P)
-      .select(col("h") % packShards, col("doc_id"),
-        col("h"), size(TextFunctions.tokens(col("text"))).cast("long"))
-      .orderBy("h", "doc_id") // the per-shard (hash, id) ingest contract
-      .as[(Long, Long, Long, Long)]
-      .collect()
-      .map { case (sh, id, h, n) => PackEvent(sh, id, h, n) }
+      .select((col("h") % packShards).as("shard"), col("doc_id").as("docId"),
+        col("h"), size(TextFunctions.tokens(col("text"))).cast("long").as("nTok"))
+    val cut1 = P / 3
+    val cut2 = 2L * (P / 3)
+    val chunks = Seq(rows.where(col("h") < cut1),
+      rows.where(col("h") >= cut1 && col("h") < cut2),
+      rows.where(col("h") >= cut2))
 
     QueriesStreaming.withShufflePartitions(s, 4) {
-      val input = MemoryStream[PackEvent]
-      val query = StreamingPacking.pack(input.toDS(), packSeqLen)
-        .writeStream.format("memory").queryName("st23_sink").outputMode("append").start()
-      try {
-        rows.grouped(rows.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      import s.implicits._
+      QueriesStreaming.fileIngest(s, chunks) { stream =>
+        StreamingPacking.pack(stream.as[PackEvent], packSeqLen)
+          .writeStream.format("memory").queryName("st23_sink").outputMode("append").start()
+      }
     }
 
     s.table("st23_sink")
@@ -1206,30 +1202,24 @@ object QueriesText {
   // hash-matches the SAME oracle: streaming = batch = SQL for the
   // uniform-sampling stage of the pipeline too.
   val st21StreamingSample: Q = (s, dir) => {
-    import s.implicits._
-    implicit val sqlCtx = s.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingSampling
     import graft.streaming.StreamingSampling.SampleEvent
+    // File-source ingest (fileIngest — no driver materialization);
+    // bottom-k is a merge law, so the id-keyed chunking leaves the
+    // final reservoir equal to the batch p12 selection and the same
+    // oracle hash-pins it.
     val rows = Tables.load(s, dir, "documents")
       // reduce mod P before the multiply (overflow/sign guard, = batch p12)
       .withColumn("h", (((col("doc_id") % P) * 2654435761L + 11L) % P + P) % P)
-      .select(col("doc_id"), col("h"))
-      .orderBy("doc_id")
-      .as[(Long, Long)]
-      .collect()
-      .map { case (id, h) => SampleEvent("all", id, h) }
+      .select(lit("all").as("key"), col("doc_id").as("id"), col("h"))
+    val chunks = (0 until 3).map(i => rows.where(pmod(col("id"), lit(3)) === i))
 
     QueriesStreaming.withShufflePartitions(s, 4) {
-      val input = MemoryStream[SampleEvent]
-      val query = StreamingSampling.bottomK(input.toDS(), bottomK)
-        .writeStream.format("memory").queryName("st21_sink").outputMode("append").start()
-      try {
-        rows.grouped(rows.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      import s.implicits._
+      QueriesStreaming.fileIngest(s, chunks) { stream =>
+        StreamingSampling.bottomK(stream.as[SampleEvent], bottomK)
+          .writeStream.format("memory").queryName("st21_sink").outputMode("append").start()
+      }
     }
 
     // the sample = the LAST batch's whole-reservoir snapshot (an id
