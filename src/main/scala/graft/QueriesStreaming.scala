@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.GreedyClustering.Params
@@ -8,7 +7,7 @@ import graft.streaming.StreamingClustering
 import graft.streaming.StreamingClustering.MentionEvent
 
 /** Structured Streaming query entry: the greedy clusterer runs as a real
-  * streaming query (MemoryStream source → flatMapGroupsWithState →
+  * streaming query (file source → flatMapGroupsWithState →
   * memory sink, three micro-batches), and its output is hash-checked
   * against the same recursive-CTE oracle as the batch g1 — the driver
   * gate proves streaming/batch/SQL three-way agreement.
@@ -59,6 +58,15 @@ object QueriesStreaming {
   // genuinely distributed).
   private[graft] val StP = 4
 
+  // Ingest staging root: tmpfs when available (the same choice the
+  // bench makes for checkpoints) — these are throwaway per-run feeds,
+  // and the measured path should time the STREAM, not /tmp disk flushes.
+  private def ingestRoot: java.nio.file.Path = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm.toPath
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
   /** Drive a streaming query from a FILE SOURCE: each chunk DataFrame is
     * appended (executor-side parquet write, never a driver collect) into
     * a temp ingest dir and drained with processAllAvailable, so one
@@ -76,10 +84,17 @@ object QueriesStreaming {
     * appended since the last drain lands in a single micro-batch.
     */
   private[graft] def fileIngest(s: org.apache.spark.sql.SparkSession,
-                                chunks: Seq[org.apache.spark.sql.DataFrame])
+                                chunks: Seq[org.apache.spark.sql.DataFrame],
+                                cache: Seq[org.apache.spark.sql.DataFrame] = Nil)
                                (start: org.apache.spark.sql.DataFrame =>
                                  org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-")
+    // `cache`: the chunks' shared event-prep parent(s) — persisted so
+    // the N chunk writes don't each recompute the prep from the source
+    // (the local[n] form of staging the prepared feed once; unpersist
+    // is non-blocking, a plan still referencing the frame recomputes
+    // lazily).
+    cache.foreach(_.persist())
+    val dir = java.nio.file.Files.createTempDirectory(ingestRoot, "graft-ingest-")
     try {
       val stream = s.readStream.schema(chunks.head.schema).parquet(dir.toString)
       val query = start(stream)
@@ -95,9 +110,71 @@ object QueriesStreaming {
         }
       } finally query.stop()
     } finally {
+      cache.foreach(_.unpersist(blocking = false))
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Two-source variant of [[fileIngest]] for stream-stream joins: the
+    * i-th chunk of each side lands before the i-th drain, so both
+    * streams advance their watermarks together (time-aligned ingest —
+    * what lets the join evict state live).
+    */
+  private[graft] def fileIngest2(s: org.apache.spark.sql.SparkSession,
+                                 aChunks: Seq[org.apache.spark.sql.DataFrame],
+                                 bChunks: Seq[org.apache.spark.sql.DataFrame],
+                                 cache: Seq[org.apache.spark.sql.DataFrame] = Nil)
+                                (start: (org.apache.spark.sql.DataFrame,
+                                         org.apache.spark.sql.DataFrame) =>
+                                  org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    require(aChunks.length == bChunks.length, "chunk lists must align")
+    cache.foreach(_.persist())
+    val dirA = java.nio.file.Files.createTempDirectory(ingestRoot, "graft-ingest-a-")
+    val dirB = java.nio.file.Files.createTempDirectory(ingestRoot, "graft-ingest-b-")
+    def rmRf(d: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    try {
+      val sa = s.readStream.schema(aChunks.head.schema).parquet(dirA.toString)
+      val sb = s.readStream.schema(bChunks.head.schema).parquet(dirB.toString)
+      val query = start(sa, sb)
+      try {
+        aChunks.zip(bChunks).foreach { case (a, b) =>
+          a.coalesce(StP).write.mode("append").parquet(dirA.toString)
+          b.coalesce(StP).write.mode("append").parquet(dirB.toString)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    } finally {
+      cache.foreach(_.unpersist(blocking = false))
+      rmRf(dirA); rmRf(dirB)
+    }
+  }
+
+  /** Cut `df` into `n` VALUE-RANGE chunks on long column `ord`:
+    * ascending across chunks and equal values never split — exactly the
+    * cross-batch arrival contract of the order-sensitive streaming
+    * operators (each re-sorts within a batch, so the range cut is all
+    * that's needed). The min/max probe is a bounded two-scalar
+    * aggregate (the allowlisted driver-side-constant shape), never a
+    * row materialization; hash-distributed columns split evenly, dense
+    * ids nearly so, and uneven chunks only skew micro-batch sizes.
+    */
+  private[graft] def rangeChunks(df: org.apache.spark.sql.DataFrame, ord: String,
+                                 n: Int = 3): Seq[org.apache.spark.sql.DataFrame] = {
+    val r = df.agg(min(col(ord)), max(col(ord))).head()
+    require(!r.isNullAt(0), s"rangeChunks: empty input (no $ord values)")
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val step = math.max(1L, (hi - lo) / n + 1)
+    (0 until n).map { i =>
+      val a = lo + i * step
+      val b = lo + (i + 1) * step
+      if (i == n - 1) df.where(col(ord) >= a)
+      else df.where(col(ord) >= a && col(ord) < b)
     }
   }
 
@@ -107,26 +184,23 @@ object QueriesStreaming {
 
   val st1StreamingGreedy: Q = (s, dir) => {
     import s.implicits._
-    implicit val sqlCtx = s.sqlContext
+    // file-source ingest (fileIngest): greedy clustering is arrival-
+    // order-dependent, so chunks are vec_id RANGES — ascending across
+    // micro-batches, and the operator re-sorts by `order` within one —
+    // reproducing the batch g1 arrival order exactly.
     val events = Tables.load(s, dir, "embeddings")
       .where(col("vec_id") < N)
-      .select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id")
-      .as[(Long, Array[Float])]
-      .collect()
-      .map { case (id, v) => MentionEvent(0L, id, id, v) }
+      .select(lit(0L).as("key"), col("vec_id").as("id"),
+        col("vec_id").as("order"), col("embedding").as("vec"))
+    val chunks = rangeChunks(events, "order")
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[MentionEvent]
-      val query = StreamingClustering.greedyCluster(
-        input.toDS(), Params("backwards", limit = -1, threshold = Theta, cosine = true))
-        .writeStream.format("memory").queryName("st1_sink").outputMode("append").start()
-      try {
-        events.grouped(events.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      fileIngest(s, chunks, cache = Seq(events)) { stream =>
+        StreamingClustering.greedyCluster(
+          stream.as[MentionEvent],
+          Params("backwards", limit = -1, threshold = Theta, cosine = true))
+          .writeStream.format("memory").queryName("st1_sink").outputMode("append").start()
+      }
     }
 
     s.table("st1_sink")
@@ -166,28 +240,23 @@ object QueriesStreaming {
     */
   val st2StreamingGrinch: Q = (s, dir) => {
     import s.implicits._
-    implicit val sqlCtx = s.sqlContext
     import graft.streaming.StreamingGrinch
     import graft.streaming.StreamingGrinch.PointEvent
+    // file-source ingest; GRINCH is insertion-order-dependent, so
+    // vec_id RANGE chunks keep arrivals ascending across micro-batches
     val events = Tables.load(s, dir, "embeddings")
       .where(col("vec_id") < N)
-      .select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id")
-      .as[(Long, Array[Float])]
-      .collect()
-      .map { case (id, v) => PointEvent(0L, id, id, v) }
+      .select(lit(0L).as("key"), col("vec_id").as("id"),
+        col("vec_id").as("order"), col("embedding").as("vec"))
+    val chunks = rangeChunks(events, "order")
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[PointEvent]
-      val query = StreamingGrinch.flatCluster(
-        input.toDS(), graft.operators.Grinch.Params(sim = "dot", norm = "l2"), threshold = Theta)
-        .writeStream.format("memory").queryName("st2_sink").outputMode("append").start()
-      try {
-        events.grouped(events.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      fileIngest(s, chunks, cache = Seq(events)) { stream =>
+        StreamingGrinch.flatCluster(
+          stream.as[PointEvent],
+          graft.operators.Grinch.Params(sim = "dot", norm = "l2"), threshold = Theta)
+          .writeStream.format("memory").queryName("st2_sink").outputMode("append").start()
+      }
     }
 
     val w = org.apache.spark.sql.expressions.Window
@@ -205,27 +274,21 @@ object QueriesStreaming {
     */
   val st3StreamingVocab: Q = (s, dir) => {
     import s.implicits._
-    implicit val sqlCtx = s.sqlContext
     import graft.streaming.StreamingVocab
     import graft.streaming.StreamingVocab.TokenEvent
+    // file-source ingest; first-occurrence coding is order-dependent,
+    // so chunks are event_id (= `order`) RANGES
     val events = Tables.load(s, dir, "events")
       .where(col("user_id") < 50)
-      .select(col("event_id"), col("user_id").cast("string"))
-      .orderBy("event_id")
-      .as[(Long, String)]
-      .collect()
-      .map { case (ord, ent) => TokenEvent(0L, ord, ent) }
+      .select(lit(0L).as("key"), col("event_id").as("order"),
+        col("user_id").cast("string").as("entity"))
+    val chunks = rangeChunks(events, "order")
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[TokenEvent]
-      val query = StreamingVocab.dictEncode(input.toDS())
-        .writeStream.format("memory").queryName("st3_sink").outputMode("append").start()
-      try {
-        events.grouped(events.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      fileIngest(s, chunks, cache = Seq(events)) { stream =>
+        StreamingVocab.dictEncode(stream.as[TokenEvent])
+          .writeStream.format("memory").queryName("st3_sink").outputMode("append").start()
+      }
     }
 
     s.table("st3_sink")
@@ -251,39 +314,36 @@ object QueriesStreaming {
     */
   val st4StreamingWindows: Q = (s, dir) => {
     import s.implicits._
-    implicit val sqlCtx = s.sqlContext
     import graft.streaming.StreamingAnalytics
-    val rows = Tables.load(s, dir, "events")
+    // file-source ingest; event-time chunks are ts RANGES so watermarks
+    // only advance (nothing late-dropped), and the far-future sentinel
+    // rides in the last chunk to flush the final windows. Catalyst
+    // timestamps are µs — timestamp_micros(ns div 1000) is exactly the
+    // ns→µs floor the old driver-side Timestamp construction produced.
+    val base = Tables.load(s, dir, "events")
       .where(col("user_id") < 30)
-      .select(col("ts").cast("long"), col("event_type"),
-        round(col("value") * 100, 0).cast("long"))
-      .orderBy("ts")
-      .as[(Long, String, Long)]
-      .collect()
-      .map { case (ns, et, cents) =>
-        val t = new java.sql.Timestamp(ns / 1000000L)
-        t.setNanos((ns % 1000000000L).toInt)
-        (t, et, cents)
-      }
-    val sentinel = {
-      val t = new java.sql.Timestamp(rows.last._1.getTime + 86400L * 1000L)
-      (t, "___flush", 0L)
-    }
+      .select(col("ts").cast("long").as("ns"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    // bounded scalar probe (the sentinel needs the max event time)
+    val maxNs = base.agg(max(col("ns"))).head().getLong(0)
+    def toTs(c: org.apache.spark.sql.DataFrame) =
+      // integer div — a double roundtrip would lose ns precision (ns
+      // epoch values exceed double's 53-bit exact-integer range)
+      c.select(timestamp_micros(expr("ns div 1000")).as("ts"),
+        col("event_type"), col("cents"))
+    val sentinel = Seq((maxNs / 1000L + 86400L * 1000000L, "___flush", 0L))
+      .toDF("us", "event_type", "cents")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"), col("cents"))
+    val cuts = rangeChunks(base, "ns").map(toTs)
+    val chunks = cuts.init :+ cuts.last.unionAll(sentinel)
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[(java.sql.Timestamp, String, Long)]
-      val query = StreamingAnalytics.windowedEventStats(
-        input.toDS().toDF("ts", "event_type", "cents"),
-        col("ts"), col("event_type"), col("cents"),
-        window = "1 hour", slide = "1 hour", watermark = "1 minute")
-        .writeStream.format("memory").queryName("st4_sink").outputMode("append").start()
-      try {
-        val chunks = rows.grouped(rows.length / 3 + 1).toSeq
-        chunks.zipWithIndex.foreach { case (chunk, i) =>
-          input.addData(chunk.toSeq ++ (if (i == chunks.length - 1) Seq(sentinel) else Nil))
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      fileIngest(s, chunks, cache = Seq(base)) { stream =>
+        StreamingAnalytics.windowedEventStats(
+          stream, col("ts"), col("event_type"), col("cents"),
+          window = "1 hour", slide = "1 hour", watermark = "1 minute")
+          .writeStream.format("memory").queryName("st4_sink").outputMode("append").start()
+      }
     }
 
     s.table("st4_sink")
@@ -308,26 +368,20 @@ object QueriesStreaming {
     * detail, the retained KEY set is deterministic and oracle-exact.
     */
   val st5StreamingDedup: Q = (s, dir) => {
-    import s.implicits._
-    implicit val sqlCtx = s.sqlContext
-    val rows = Tables.load(s, dir, "documents")
+    // file-source ingest; the retained KEY set of stateful
+    // dropDuplicates is arrival-order-independent, so id-keyed chunks
+    val base = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"))
-      .orderBy("doc_id")
-      .as[(Long, String)]
-      .collect()
+    val chunks = (0 until 3).map(i =>
+      base.where(pmod(col("doc_id"), lit(3)) === i))
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[(Long, String)]
-      val query = input.toDS().toDF("doc_id", "text")
-        .dropDuplicates("text")
-        .select(graft.functions.TextFunctions.stringHash(col("text")).as("text_hash"))
-        .writeStream.format("memory").queryName("st5_sink").outputMode("append").start()
-      try {
-        rows.grouped(rows.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      fileIngest(s, chunks, cache = Seq(base)) { stream =>
+        stream
+          .dropDuplicates("text")
+          .select(graft.functions.TextFunctions.stringHash(col("text")).as("text_hash"))
+          .writeStream.format("memory").queryName("st5_sink").outputMode("append").start()
+      }
     }
 
     s.table("st5_sink").orderBy("text_hash")
@@ -350,25 +404,21 @@ object QueriesStreaming {
     */
   val st7StreamingDiversityCache: Q = (s, dir) => {
     import s.implicits._
-    implicit val sqlCtx = s.sqlContext
+    // file-source ingest; eviction makes the state machine arrival-
+    // order-dependent, so chunks are vec_id RANGES (ascending across
+    // batches, re-sorted within — the batch g3 arrival order)
     val events = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id")
-      .as[(Long, Array[Float])]
-      .collect()
-      .map { case (id, v) => MentionEvent(0L, id, id, v) }
+      .select(lit(0L).as("key"), col("vec_id").as("id"),
+        col("vec_id").as("order"), col("embedding").as("vec"))
+    val chunks = rangeChunks(events, "order")
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[MentionEvent]
-      val query = StreamingClustering.greedyCluster(
-        input.toDS(), Params("diversity-cache", limit = 50, threshold = Theta, cosine = true))
-        .writeStream.format("memory").queryName("st7_sink").outputMode("append").start()
-      try {
-        events.grouped(events.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      fileIngest(s, chunks, cache = Seq(events)) { stream =>
+        StreamingClustering.greedyCluster(
+          stream.as[MentionEvent],
+          Params("diversity-cache", limit = 50, threshold = Theta, cosine = true))
+          .writeStream.format("memory").queryName("st7_sink").outputMode("append").start()
+      }
     }
 
     s.table("st7_sink")
@@ -384,26 +434,21 @@ object QueriesStreaming {
     */
   val st9StreamingSessions: Q = (s, dir) => {
     import s.implicits._
-    implicit val sqlCtx = s.sqlContext
     import graft.streaming.StreamingSessions
     import graft.streaming.StreamingSessions.SessionEvent
-    val rows = Tables.load(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("ts").cast("long"))
-      .orderBy("ts", "event_id")
-      .as[(Long, Long, Long)]
-      .collect()
-      .map { case (u, e, ts) => SessionEvent(u, e, ts) }
+    // file-source ingest; session ids are prefix-stable under
+    // ts-ascending arrival, so chunks are ts RANGES (the operator
+    // re-sorts by (ts, eventId) within a batch)
+    val events = Tables.load(s, dir, "events")
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("ts").cast("long").as("ts"))
+    val chunks = rangeChunks(events, "ts")
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[SessionEvent]
-      val query = StreamingSessions.sessionize(input.toDS(), gapNs = 3600L * 1000000000L)
-        .writeStream.format("memory").queryName("st9_sink").outputMode("append").start()
-      try {
-        rows.grouped(rows.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      fileIngest(s, chunks, cache = Seq(events)) { stream =>
+        StreamingSessions.sessionize(stream.as[SessionEvent], gapNs = 3600L * 1000000000L)
+          .writeStream.format("memory").queryName("st9_sink").outputMode("append").start()
+      }
     }
 
     s.table("st9_sink")
@@ -424,27 +469,23 @@ object QueriesStreaming {
     import graft.streaming.StreamingSketch
     import graft.streaming.StreamingSketch.HashEvent
     val P = 1000000007L
+    // file-source ingest; max-per-register merge is order-independent,
+    // so id-keyed chunks. The mod-p hash mix runs relationally.
     val rows = Tables.load(s, dir, "events")
       // reduce mod P before the multiply (overflow/sign guard, = batch k2)
       .withColumn("h0", ((((col("user_id") % P) + P) % P) * 2654435761L + 12345L) % P)
       .withColumn("h1", (col("h0") * col("h0") + 17L) % P)
       .withColumn("hv", (col("h1") * col("h1") + col("h1") + 3L) % P)
-      .select(col("event_type"), col("hv"), col("event_id"))
-      .orderBy("event_id")
-      .as[(String, Long, Long)]
-      .collect()
-      .map { case (et, hv, _) => HashEvent(et, hv) }
+      .select(col("event_type").as("key"), col("hv"), col("event_id"))
+    val chunks = (0 until 3).map(i =>
+      rows.where(pmod(col("event_id"), lit(3)) === i).drop("event_id"))
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[HashEvent]
-      val query = StreamingSketch.hllDistinct(input.toDS())
-        .writeStream.format("memory").queryName("st10_sink").outputMode("append").start()
-      try {
-        rows.grouped(rows.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      import s.implicits._
+      fileIngest(s, chunks, cache = Seq(rows)) { stream =>
+        StreamingSketch.hllDistinct(stream.as[HashEvent])
+          .writeStream.format("memory").queryName("st10_sink").outputMode("append").start()
+      }
     }
 
     val w = org.apache.spark.sql.expressions.Window
@@ -467,35 +508,30 @@ object QueriesStreaming {
       sinkName: String, rowFilter: org.apache.spark.sql.Column, dim: Option[Int],
       scaleDiv: Double, p: graft.operators.Grinch.Params): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    implicit val sqlCtx = s.sqlContext
     import graft.streaming.StreamingGrinch
     import graft.streaming.StreamingGrinch.PointEvent
     // same quantization builder as the batch h5/h7/h8/h9 queries —
-    // twin/batch input parity is by construction (see quantizedSlice)
-    val rows = QueriesGrinch.quantizedSlice(s, dir, rowFilter, dim, scaleDiv)
-      .select(col("vec_id"), col("q"), col("label").cast("string").as("label"))
-      .orderBy("vec_id")
-      .as[(Long, Array[Long], String)]
-      .collect()
-    // leaf uid = stream position (insertion order), like the batch run
-    val events = rows.zipWithIndex.map { case ((_, q, _), pos) =>
-      PointEvent(0L, pos.toLong, pos.toLong, q.map(_.toFloat))
-    }
+    // twin/batch input parity is by construction (see quantizedSlice).
+    // leaf uid = stream position in vec_id order (insertion order, like
+    // the batch run), computed DISTRIBUTEDLY via globalRowIndex; the
+    // file-source chunks are pos RANGES because GRINCH is insertion-
+    // order-dependent (ascending across batches, re-sorted within).
+    val posed = graft.operators.Relational.globalRowIndex(
+      QueriesGrinch.quantizedSlice(s, dir, rowFilter, dim, scaleDiv)
+        .select(col("vec_id"), col("q"), col("label").cast("string").as("label")),
+      Seq(col("vec_id")), "pos")
+    val events = posed.select(lit(0L).as("key"), col("pos").as("id"),
+      col("pos").as("order"), expr("transform(q, x -> cast(x as float))").as("vec"))
+    val chunks = rangeChunks(events, "order")
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[PointEvent]
-      val query = StreamingGrinch.dendrogram(input.toDS(), p)
-        .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
-      try {
-        events.grouped(events.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      fileIngest(s, chunks, cache = Seq(posed)) { stream =>
+        StreamingGrinch.dendrogram(stream.as[PointEvent], p)
+          .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+      }
     }
 
-    val labels = rows.zipWithIndex
-      .map { case ((_, _, l), pos) => (pos.toLong, l) }.toSeq.toDF("luid", "llabel")
+    val labels = posed.select(col("pos").as("luid"), col("label").as("llabel"))
     // final-batch snapshot (global max step), NOT per-uid max: each
     // batch re-emits the full current tree, and under graft configs a
     // slot lazily deleted between batches would otherwise survive as a
@@ -574,31 +610,28 @@ object QueriesStreaming {
     implicit val sqlCtx = s.sqlContext
     import graft.streaming.StreamingGrinch
     import graft.streaming.StreamingGrinch.PointEvent
-    val rows = QueriesGrinch.quantizedSlice(s, dir,
+    // distributed pos assignment + pos-RANGE file chunks, as in
+    // streamingGrinchTwin (insertion-order-dependent automaton)
+    val posed = graft.operators.Relational.globalRowIndex(
+      QueriesGrinch.quantizedSlice(s, dir,
         col("vec_id") >= QueriesGrinch.H9Off &&
           col("vec_id") < QueriesGrinch.H9Off + QueriesGrinch.H9N,
         Some(QueriesGrinch.H9Dim), 63.0)
-      .select(col("vec_id"), col("q")).orderBy("vec_id")
-      .as[(Long, Array[Long])].collect()
-    val events = rows.zipWithIndex.map { case ((_, q), pos) =>
-      PointEvent(0L, pos.toLong, pos.toLong, q.map(_.toFloat))
-    }
+        .select(col("vec_id"), col("q")),
+      Seq(col("vec_id")), "pos")
+    val events = posed.select(lit(0L).as("key"), col("pos").as("id"),
+      col("pos").as("order"), expr("transform(q, x -> cast(x as float))").as("vec"))
+    val chunks = rangeChunks(events, "order")
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[PointEvent]
-      val query = StreamingGrinch.flatCluster(input.toDS(),
+      fileIngest(s, chunks, cache = Seq(posed)) { stream =>
+        StreamingGrinch.flatCluster(stream.as[PointEvent],
           QueriesGrinch.GraftP.copy(minGrafts = 0), QueriesGrinch.H10Theta)
-        .writeStream.format("memory").queryName("st15_sink").outputMode("append").start()
-      try {
-        events.grouped(events.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+          .writeStream.format("memory").queryName("st15_sink").outputMode("append").start()
+      }
     }
 
-    val vecIds = rows.map(_._1).zipWithIndex
-      .map { case (v, pos) => (pos.toLong, v) }.toSeq.toDF("pid", "vec_id")
+    val vecIds = posed.select(col("pos").as("pid"), col("vec_id"))
     // final-batch snapshot (global max step): flatCluster re-emits the
     // full assignment each batch, and earlier steps may reflect
     // pre-graft memberships
@@ -622,31 +655,27 @@ object QueriesStreaming {
     implicit val sqlCtx = s.sqlContext
     import graft.streaming.StreamingGrinch
     import graft.streaming.StreamingGrinch.PointEvent
-    val rows = QueriesGrinch.quantizedSlice(s, dir,
+    // distributed pos assignment + pos-RANGE file chunks, as in st15
+    val posed = graft.operators.Relational.globalRowIndex(
+      QueriesGrinch.quantizedSlice(s, dir,
         col("vec_id") >= QueriesGrinch.H8Off &&
           col("vec_id") < QueriesGrinch.H8Off + QueriesGrinch.H8N,
         Some(QueriesGrinch.H8Dim), 63.0)
-      .select(col("vec_id"), col("q")).orderBy("vec_id")
-      .as[(Long, Array[Long])].collect()
-    val events = rows.zipWithIndex.map { case ((_, q), pos) =>
-      PointEvent(0L, pos.toLong, pos.toLong, q.map(_.toFloat))
-    }
+        .select(col("vec_id"), col("q")),
+      Seq(col("vec_id")), "pos")
+    val events = posed.select(lit(0L).as("key"), col("pos").as("id"),
+      col("pos").as("order"), expr("transform(q, x -> cast(x as float))").as("vec"))
+    val chunks = rangeChunks(events, "order")
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[PointEvent]
-      val query = StreamingGrinch.flatCluster(input.toDS(),
+      fileIngest(s, chunks, cache = Seq(posed)) { stream =>
+        StreamingGrinch.flatCluster(stream.as[PointEvent],
           QueriesGrinch.PruneP.copy(minPrunes = 0), QueriesGrinch.H11Theta)
-        .writeStream.format("memory").queryName("st16_sink").outputMode("append").start()
-      try {
-        events.grouped(events.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+          .writeStream.format("memory").queryName("st16_sink").outputMode("append").start()
+      }
     }
 
-    val vecIds = rows.map(_._1).zipWithIndex
-      .map { case (v, pos) => (pos.toLong, v) }.toSeq.toDF("pid", "vec_id")
+    val vecIds = posed.select(col("pos").as("pid"), col("vec_id"))
     val maxStep = s.table("st16_sink").agg(max(col("step"))).collect()(0).getLong(0)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("predCluster")
     s.table("st16_sink").where(col("step") === maxStep)
@@ -679,20 +708,17 @@ object QueriesStreaming {
     val keyCols = CmsProbes.zipWithIndex.map { case ((a, b), i) =>
       lit(i.toLong) * lit(CmsW) + cmsPos(col("user_id"), a, b)
     } :+ (-(col("user_id") + 1L)).cast("long")
-    val feed = ev
-      .select(col("event_id"), explode(array(keyCols: _*)).as("cell"))
-      .orderBy("event_id").select("cell").as[Long].collect().map(IncEvent(_))
+    // file-source ingest; counter addition is order-independent, so
+    // id-keyed chunks (all of one event's cells stay together)
+    val feed = ev.select(col("event_id"), explode(array(keyCols: _*)).as("cell"))
+    val chunks = (0 until 3).map(i =>
+      feed.where(pmod(col("event_id"), lit(3)) === i).select("cell"))
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[IncEvent]
-      val query = StreamingSketch.runningCounts(input.toDS())
-        .writeStream.format("memory").queryName("st17_sink").outputMode("append").start()
-      try {
-        feed.grouped(feed.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      fileIngest(s, chunks, cache = Seq(feed)) { stream =>
+        StreamingSketch.runningCounts(stream.as[IncEvent])
+          .writeStream.format("memory").queryName("st17_sink").outputMode("append").start()
+      }
     }
 
     val w = org.apache.spark.sql.expressions.Window
@@ -728,21 +754,19 @@ object QueriesStreaming {
     implicit val sqlCtx = s.sqlContext
     import graft.streaming.StreamingSketch
     import graft.streaming.StreamingSketch.IncEvent
+    // file-source ingest; histogram-counter addition is
+    // order-independent, so id-keyed chunks
     val feed = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("v"))
-      .orderBy("doc_id").select("v").as[Long].collect().map(IncEvent(_))
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("cell"))
+    val chunks = (0 until 3).map(i =>
+      feed.where(pmod(col("doc_id"), lit(3)) === i).select("cell"))
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[IncEvent]
-      val query = StreamingSketch.runningCounts(input.toDS())
-        .writeStream.format("memory").queryName("st18_sink").outputMode("append").start()
-      try {
-        feed.grouped(feed.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      fileIngest(s, chunks, cache = Seq(feed)) { stream =>
+        StreamingSketch.runningCounts(stream.as[IncEvent])
+          .writeStream.format("memory").queryName("st18_sink").outputMode("append").start()
+      }
     }
 
     val w = org.apache.spark.sql.expressions.Window
@@ -769,51 +793,42 @@ object QueriesStreaming {
     * set hash-matches the batch range-join oracle exactly.
     */
   val st19StreamingRangeJoin: Q = (s, dir) => {
-    import s.implicits._
-    implicit val sqlCtx = s.sqlContext
     import graft.streaming.StreamingAnalytics
-    def usTs(ns: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(ns / 1000000L)
-      t.setNanos(((ns / 1000L) % 1000000L).toInt * 1000) // µs-truncated
-      t
-    }
-    // fixed user subset (the st4 convention): the harness feeds the
-    // stream row-by-row from the driver, so the twin pins semantics on
-    // a bounded slice while the batch j6 covers the full corpus
-    val ev = Tables.load(s, dir, "events").where(col("user_id") < 300)
-      .select(col("event_id"), col("ts").cast("long"),
-        round(col("value") * 100, 0).cast("long"))
-      .orderBy("ts").as[(Long, Long, Long)].collect()
-      .map { case (id, ns, cents) => (id, usTs(ns), cents) }
-    val win = Tables.load(s, dir, "events")
+    // fixed user subset (the st4 convention): the twin pins semantics
+    // on a bounded slice while the batch j6 covers the full corpus.
+    // File-source ingest on BOTH sides (fileIngest2): chunks are ts
+    // RANGES cut at the same ns boundary on both streams, so the
+    // time-aligned arrival that lets the join evict state live is by
+    // construction (a window can never be evicted before its probe
+    // rows: eviction needs watermark > w_start + 10min + delay, and
+    // any later-arriving match would have ts past that watermark).
+    // timestamp_micros(ns div 1000) = the µs truncation the j6/j7
+    // cross-engine convention uses.
+    val evBase = Tables.load(s, dir, "events").where(col("user_id") < 300)
+      .select(col("event_id"), col("ts").cast("long").as("ns"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val winBase = Tables.load(s, dir, "events")
       .where(col("event_type") === "error" && col("user_id") < 300)
-      .select(col("event_id"), col("ts").cast("long"))
-      .orderBy("ts").as[(Long, Long)].collect()
-      .map { case (id, ns) => (id, usTs(ns)) }
+      .select(col("event_id").as("win_id"), col("ts").cast("long").as("ns"))
+    // shared cut from the probe side's span (a superset of the error
+    // subset's span) — bounded two-scalar probe
+    val r = evBase.agg(min(col("ns")), max(col("ns"))).head()
+    val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2 + 1
+    def halves(df: org.apache.spark.sql.DataFrame) =
+      Seq(df.where(col("ns") < cut), df.where(col("ns") >= cut))
+    val evChunks = halves(evBase).map(_.select(col("event_id"),
+      timestamp_micros(expr("ns div 1000")).as("ev_ts"), col("cents")))
+    val winChunks = halves(winBase).map(_.select(col("win_id"),
+      timestamp_micros(expr("ns div 1000")).as("w_start")))
 
     withShufflePartitions(s, StP) {
-      val evIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
-      val winIn = MemoryStream[(Long, java.sql.Timestamp)]
-      val query = StreamingAnalytics.intervalJoin(
-        evIn.toDS().toDF("event_id", "ev_ts", "cents"),
-        winIn.toDS().toDF("win_id", "w_start"),
-        "ev_ts", "w_start", windowSeconds = 600L, watermark = "1 minute")
-        .select(col("win_id"), col("event_id"), col("cents"))
-        .writeStream.format("memory").queryName("st19_sink").outputMode("append").start()
-      try {
-        // time-aligned chunks: both streams sorted by ts, both split in
-        // 2, so the global watermark advances and state eviction runs
-        // live (a window can never be evicted before its probe rows:
-        // eviction needs watermark > w_start + 10min + delay, and any
-        // later-arriving match would have ts past that watermark)
-        val evChunks = ev.grouped(ev.length / 2 + 1).toSeq
-        val winChunks = win.grouped(win.length / 2 + 1).toSeq
-        evChunks.zip(winChunks).foreach { case (ec, wc) =>
-          evIn.addData(ec.toSeq)
-          winIn.addData(wc.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      fileIngest2(s, evChunks, winChunks, cache = Seq(evBase, winBase)) { (evIn, winIn) =>
+        StreamingAnalytics.intervalJoin(
+          evIn, winIn,
+          "ev_ts", "w_start", windowSeconds = 600L, watermark = "1 minute")
+          .select(col("win_id"), col("event_id"), col("cents"))
+          .writeStream.format("memory").queryName("st19_sink").outputMode("append").start()
+      }
     }
 
     s.table("st19_sink").orderBy("win_id", "event_id")
@@ -844,23 +859,23 @@ object QueriesStreaming {
     implicit val sqlCtx = s.sqlContext
     import graft.streaming.StreamingFunnel
     import graft.streaming.StreamingFunnel.FunnelEvent
-    val stepIdx = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    // file-source ingest; ts-RANGE chunks keep arrivals ascending (the
+    // batch RANGE frame's contract; the operator re-sorts within a
+    // batch and strict `<` qualification makes ties order-insensitive)
     val feed = Tables.load(s, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
-      .orderBy("ts_us")
-      .as[(Long, Long, String)].collect()
-      .map { case (u, ts, et) => FunnelEvent(u, ts, stepIdx.getOrElse(et, -1)) }
+      .select(col("user_id").as("userId"), expr("ts div 1000").as("tsUs"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .when(col("event_type") === "purchase", 2)
+          .otherwise(-1).cast("int").as("step"))
+    val chunks = rangeChunks(feed, "tsUs")
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[FunnelEvent]
-      val query = StreamingFunnel.funnel(input.toDS(), 3)
-        .writeStream.format("memory").queryName("st20_sink").outputMode("append").start()
-      try {
-        feed.grouped(feed.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      import s.implicits._
+      fileIngest(s, chunks, cache = Seq(feed)) { stream =>
+        StreamingFunnel.funnel(stream.as[FunnelEvent], 3)
+          .writeStream.format("memory").queryName("st20_sink").outputMode("append").start()
+      }
     }
 
     val w = org.apache.spark.sql.expressions.Window
@@ -886,23 +901,21 @@ object QueriesStreaming {
     implicit val sqlCtx = s.sqlContext
     import graft.streaming.StreamingRetention
     import graft.streaming.StreamingRetention.DayEvent
-    val feed = Tables.load(s, dir, "events")
-      .select(col("user_id"), expr("ts div 86400000000000L").as("day"), col("ts"))
-      .orderBy("ts")
-      .select("user_id", "day")
-      .as[(Long, Long)].collect()
-      .map { case (u, d) => DayEvent(u, d) }
+    // file-source ingest; ts-RANGE chunks keep the feed ts-ascending,
+    // so a user's FIRST batch contains their earliest day (the operator
+    // takes the batch-min day as cohort) and offset bits are
+    // order-independent after that
+    val base = Tables.load(s, dir, "events")
+      .select(col("user_id").as("userId"),
+        expr("ts div 86400000000000L").as("day"), col("ts").cast("long").as("ns"))
+    val chunks = rangeChunks(base, "ns").map(_.select("userId", "day"))
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[DayEvent]
-      val query = StreamingRetention.cohortOffsets(input.toDS())
-        .writeStream.format("memory").queryName("st22_sink").outputMode("append").start()
-      try {
-        feed.grouped(feed.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      import s.implicits._
+      fileIngest(s, chunks, cache = Seq(base)) { stream =>
+        StreamingRetention.cohortOffsets(stream.as[DayEvent])
+          .writeStream.format("memory").queryName("st22_sink").outputMode("append").start()
+      }
     }
 
     s.table("st22_sink")
@@ -929,22 +942,20 @@ object QueriesStreaming {
     val emb = Tables.load(s, dir, "embeddings")
     val corpus = StreamingAnn.bucketCorpus(emb, col("vec_id"), col("embedding"),
       QueriesVector.V14PrefixBits)
+    // file-source ingest; queries are independent (one stateless
+    // top-k per arrival, a per-qid redelivery guard), so id-keyed chunks
     val events = emb.where(col("vec_id") % 10 === 0)
-      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
-      .as[(Long, Array[Float])].collect()
-      .map { case (id, v) => QueryEvent(id, v) }
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+    val chunks = (0 until 3).map(i =>
+      events.where(pmod(expr("qid div 10"), lit(3)) === i))
 
     withShufflePartitions(s, StP) {
-      val input = MemoryStream[QueryEvent]
-      val query = StreamingAnn.hammingTopK(input.toDS(), corpus, k = 3,
+      import s.implicits._
+      fileIngest(s, chunks, cache = Seq(events, corpus)) { stream =>
+        StreamingAnn.hammingTopK(stream.as[QueryEvent], corpus, k = 3,
           prefixBits = QueriesVector.V14PrefixBits)
-        .writeStream.format("memory").queryName("st25_sink").outputMode("append").start()
-      try {
-        events.grouped(events.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+          .writeStream.format("memory").queryName("st25_sink").outputMode("append").start()
+      }
     }
 
     s.table("st25_sink")

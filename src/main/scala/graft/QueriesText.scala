@@ -915,7 +915,7 @@ object QueriesText {
     val chunks = (0 until 3).map(i => events.where(pmod(col("docId"), lit(3)) === i))
 
     QueriesStreaming.withShufflePartitions(s, 4) {
-      QueriesStreaming.fileIngest(s, chunks) { stream =>
+      QueriesStreaming.fileIngest(s, chunks, cache = Seq(events)) { stream =>
         StreamingNearDup.lshCandidates(stream.as[BandEvent])
           .toDF("doc_a", "doc_b")
           .dropDuplicates("doc_a", "doc_b")
@@ -960,7 +960,7 @@ object QueriesText {
 
     QueriesStreaming.withShufflePartitions(s, 4) {
       import s.implicits._
-      QueriesStreaming.fileIngest(s, chunks) { stream =>
+      QueriesStreaming.fileIngest(s, chunks, cache = Seq(events)) { stream =>
         StreamingComponents.connectedComponents(stream.as[EdgeEvent])
           .writeStream.format("memory").queryName("st8_sink").outputMode("append").start()
       }
@@ -1181,7 +1181,7 @@ object QueriesText {
 
     QueriesStreaming.withShufflePartitions(s, 4) {
       import s.implicits._
-      QueriesStreaming.fileIngest(s, chunks) { stream =>
+      QueriesStreaming.fileIngest(s, chunks, cache = Seq(rows)) { stream =>
         StreamingPacking.pack(stream.as[PackEvent], packSeqLen)
           .writeStream.format("memory").queryName("st23_sink").outputMode("append").start()
       }
@@ -1216,7 +1216,7 @@ object QueriesText {
 
     QueriesStreaming.withShufflePartitions(s, 4) {
       import s.implicits._
-      QueriesStreaming.fileIngest(s, chunks) { stream =>
+      QueriesStreaming.fileIngest(s, chunks, cache = Seq(rows)) { stream =>
         StreamingSampling.bottomK(stream.as[SampleEvent], bottomK)
           .writeStream.format("memory").queryName("st21_sink").outputMode("append").start()
       }
