@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -770,56 +771,76 @@ object QueriesText {
   // Regex parity: patterns are backtracking-free-equivalent character
   // classes ('[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '\+1-555-[0-9]{4}') on
   // which Java regex and RE2 agree (leftmost, same greedy outcome).
-  val t13PiiRedact: Q = (s, dir) => {
-    val emailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
-    val phoneRe = "\\+1-555-[0-9]{4}"
-    val planted = Tables.load(s, dir, "documents").withColumn("ptext",
-      concat(col("text"),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" contact user"), col("doc_id"), lit("@mail.example for details")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 11 === 3,
-          concat(lit(" call +1-555-"),
-            lpad((col("doc_id") * 7919 % 10000).cast("string"), 4, "0"), lit(" now")))
-          .otherwise(lit(""))))
-    planted.select(col("doc_id"),
-      regexp_count(col("ptext"), lit(emailRe)).cast("long").as("n_emails"),
-      regexp_count(col("ptext"), lit(phoneRe)).cast("long").as("n_phones"),
-      length(regexp_replace(regexp_replace(col("ptext"), emailRe, "<EMAIL>"),
-        phoneRe, "<PHONE>")).cast("long").as("clean_len"))
-      .orderBy("doc_id")
-  }
+  private[graft] val PiiEmailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+  private[graft] val PiiPhoneRe = "\\+1-555-[0-9]{4}"
 
-  val t13PiiRedactSql: String =
-    """WITH p AS (
-      |  SELECT doc_id, text ||
+  /** Deterministic PII planting from doc_id arithmetic — both engines
+    * derive the identical text (shared by t13 and e1's scrub stage). */
+  private[graft] def plantPii(text: Column, docId: Column): Column =
+    concat(text,
+      when(docId % 7 === 0,
+        concat(lit(" contact user"), docId, lit("@mail.example for details")))
+        .otherwise(lit("")),
+      when(docId % 11 === 3,
+        concat(lit(" call +1-555-"),
+          lpad((docId * 7919 % 10000).cast("string"), 4, "0"), lit(" now")))
+        .otherwise(lit("")))
+
+  /** Map-side PII scrub: email and phone spans → placeholder tags. */
+  private[graft] def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, PiiEmailRe, "<EMAIL>"), PiiPhoneRe, "<PHONE>")
+
+  // DuckDB twins of the two fragments above (raw interpolator where
+  // backslashes appear: they must reach DuckDB untouched)
+  private[graft] val sqlPlantPii: String =
+    """text ||
       |    CASE WHEN doc_id % 7 = 0
       |         THEN ' contact user' || doc_id || '@mail.example for details' ELSE '' END ||
       |    CASE WHEN doc_id % 11 = 3
       |         THEN ' call +1-555-' || lpad(((doc_id * 7919) % 10000)::VARCHAR, 4, '0') || ' now'
-      |         ELSE '' END AS ptext
-      |  FROM documents)
-      |SELECT doc_id,
-      |  cast(len(regexp_extract_all(ptext, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_emails,
-      |  cast(len(regexp_extract_all(ptext, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
-      |  cast(length(regexp_replace(regexp_replace(ptext,
-      |         '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
-      |         '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS clean_len
-      |FROM p ORDER BY doc_id""".stripMargin
+      |         ELSE '' END""".stripMargin
+  private[graft] def sqlRedactPii(e: String): String =
+    raw"""regexp_replace(regexp_replace($e,
+         |         '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+         |         '\+1-555-[0-9]{4}', '<PHONE>', 'g')""".stripMargin
+
+  val t13PiiRedact: Q = (s, dir) => {
+    val planted = Tables.load(s, dir, "documents")
+      .withColumn("ptext", plantPii(col("text"), col("doc_id")))
+    planted.select(col("doc_id"),
+      regexp_count(col("ptext"), lit(PiiEmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("ptext"), lit(PiiPhoneRe)).cast("long").as("n_phones"),
+      length(redactPii(col("ptext"))).cast("long").as("clean_len"))
+      .orderBy("doc_id")
+  }
+
+  val t13PiiRedactSql: String =
+    raw"""WITH p AS (
+         |  SELECT doc_id, $sqlPlantPii AS ptext
+         |  FROM documents)
+         |SELECT doc_id,
+         |  cast(len(regexp_extract_all(ptext, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_emails,
+         |  cast(len(regexp_extract_all(ptext, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+         |  cast(length(${sqlRedactPii("ptext")}) AS BIGINT) AS clean_len
+         |FROM p ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- e1
   // The whole training-data pipeline as ONE composed catalog query —
   // the "switch your pipeline to this engine" demonstration: quality
   // gate (t1's rule) → exact dedup (d1's min-id canonical) →
   // benchmark decontamination (t5's ≥3-shared-shingles drop against
-  // the held-out doc_id<20 set) → temperature-scaled source mixing
-  // (p13, keepFrac=0.5) → per-shard sequence packing (p14). Every
-  // stage is the already-oracle-checked operator, composed; the oracle
-  // chains the same CTE fragments, so the END-TO-END result — packed
-  // intervals of the surviving mixed corpus — hash-matches bit-for-bit.
+  // the held-out doc_id<20 set) → PII scrub (t13's planted redaction —
+  // a real pipeline scrubs BEFORE packing, and the scrubbed text is
+  // what gets token-counted downstream) → temperature-scaled source
+  // mixing (p13, keepFrac=0.5) → per-shard sequence packing (p14).
+  // Every stage is the already-oracle-checked operator, composed; the
+  // oracle chains the same CTE fragments, so the END-TO-END result —
+  // packed intervals of the surviving scrubbed mixed corpus —
+  // hash-matches bit-for-bit.
   // Scale shape: each stage keeps its own audited plan (map-side gate,
-  // text-key window, broadcast benchmark, broadcast rate table,
-  // per-shard pack windows); composition adds no new shuffle class.
+  // text-key window, broadcast benchmark, map-side scrub, broadcast
+  // rate table, per-shard pack windows); composition adds no new
+  // shuffle class.
   private val e1KeepFrac = 0.5
 
   val e1Pipeline: Q = (s, dir) => {
@@ -843,10 +864,14 @@ object QueriesText {
       .select(col("doc").as("doc_id")).distinct()
     val clean = d.where(col("doc_id") >= 20)
       .join(contaminated, Seq("doc_id"), "left_anti")
-    // 4. temperature-scaled source mixing over the SURVIVING corpus
+    // 4. PII scrub (t13's planted redaction) — map-side, before any
+    //    token counting; the packed corpus never sees a raw span
+    val scrubbed = clean.withColumn("text",
+      redactPii(plantPii(col("text"), col("doc_id"))))
+    // 5. temperature-scaled source mixing over the SURVIVING corpus
     val mixed = graft.operators.Sampling.temperatureMix(
-      clean, col("source"), col("doc_id"), keepFrac = e1KeepFrac, seed = 17L)
-    // 5. pack what remains into fixed-length training sequences
+      scrubbed, col("source"), col("doc_id"), keepFrac = e1KeepFrac, seed = 17L)
+    // 6. pack what remains into fixed-length training sequences
     graft.operators.Packing.packSequences(
       mixed, col("doc_id"), size(TextFunctions.tokens(col("text"))),
       packShards, packSeqLen, seed = 23L)
@@ -868,13 +893,16 @@ object QueriesText {
        |clean AS (
        |  SELECT * FROM d
        |  WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM cont)),
-       |c AS (SELECT source, count(*)::BIGINT AS n FROM clean GROUP BY source),
+       |red AS (
+       |  SELECT doc_id, ${sqlRedactPii(s"($sqlPlantPii)")} AS text, source
+       |  FROM clean),
+       |c AS (SELECT source, count(*)::BIGINT AS n FROM red GROUP BY source),
        |sfold AS (SELECT list_reduce(list_prepend(0.0::DOUBLE, list(sqrt(n::DOUBLE) ORDER BY source)),
        |                             (acc, x) -> acc + x) AS sw,
        |                 sum(n)::BIGINT AS tot FROM c),
        |r AS (SELECT source, cast(round(10000 * ($e1KeepFrac * tot) * sqrt(n::DOUBLE) / (sw * n), 0) AS BIGINT) AS rate
        |      FROM c, sfold),
-       |mix AS (SELECT clean.* FROM clean JOIN r USING (source)
+       |mix AS (SELECT red.* FROM red JOIN r USING (source)
        |        WHERE ((((doc_id % $P) * 2654435761 + 17) % $P + $P) % $P) % 10000 < rate),
        |t AS (SELECT doc_id, len($sqlToks)::BIGINT AS ntok,
        |             (((doc_id % $P) * 2654435761 + 23) % $P + $P) % $P AS h

@@ -90,6 +90,38 @@ class PipelineE1Spec extends SparkSpec {
     viaBoundary.map(_.toSeq) shouldBe viaExpr.map(_.toSeq)
   }
 
+  test("e1 PII scrub stage: planted spans fully redacted, token counts shift for planted docs only") {
+    // the exact plant+redact pair e1 composes between decontamination
+    // and mixing (and t13 checks standalone)
+    val docs = Seq(
+      (21L, "plain words here"),           // 21 % 7 = 0 → email planted
+      (25L, "more plain words"),           // 25 % 11 = 3 → phone planted
+      (22L, "untouched document text"),    // neither
+      (70L, "both kinds"))                 // 70 % 7 = 0 (no phone: 70 % 11 = 4)
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      QueriesText.redactPii(QueriesText.plantPii(col("text"), col("doc_id"))).as("clean"),
+      col("text"))
+      .withColumn("leftover_emails", regexp_count(col("clean"), lit(QueriesText.PiiEmailRe)))
+      .withColumn("leftover_phones", regexp_count(col("clean"), lit(QueriesText.PiiPhoneRe)))
+      .as[(Long, String, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    // nothing PII-shaped survives the scrub, ever
+    out.values.foreach { case (id, clean, _, e, p) =>
+      withClue(s"doc $id: ") { e shouldBe 0; p shouldBe 0 }
+    }
+    // planted docs carry the placeholder; untouched docs are byte-identical
+    out(21L)._2 should include("<EMAIL>")
+    out(25L)._2 should include("<PHONE>")
+    out(22L)._2 shouldBe out(22L)._3
+    // the scrub happens BEFORE token counting in e1: planted docs gain
+    // exactly the plant's extra whitespace tokens ("contact <EMAIL> for
+    // details" = +4; "call <PHONE> now" = +3)
+    def ntok(s: String) = s.split(" ").length
+    ntok(out(21L)._2) shouldBe ntok(out(21L)._3) + 4
+    ntok(out(25L)._2) shouldBe ntok(out(25L)._3) + 3
+    ntok(out(22L)._2) shouldBe ntok(out(22L)._3)
+  }
+
   test("P5 LaTeX escape + context ellipsis") {
     val df = Seq(("a_b & c%", "one two three four")).toDF("s", "ctx")
     val out = df.select(
