@@ -47,4 +47,71 @@ class GrinchGoldenSpec extends SparkSpec {
       canon(g.flatClustering(th)) shouldBe expected
     }
   }
+
+  // ------------------------------------------------------------------
+  // Driver-config goldens (scripts/gen_grinch_driver_goldens.py): the
+  // reference EXECUTED on the sf0.01 embeddings fixture with the exact
+  // configs of the five no-oracle driver queries (h1/h2-build/h3/h4/
+  // st2). Assignment-level equality after first-occurrence relabel +
+  // epsilon purity — the parity channel for the float-GRINCH rows the
+  // DuckDB oracle can't cover.
+  // ------------------------------------------------------------------
+
+  private lazy val driverGoldens: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/grinch_driver_goldens.tsv")
+    require(in != null, "grinch_driver_goldens.tsv missing from test resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map { l =>
+      val Array(k, v) = l.split('\t'); k -> v
+    }.toMap
+    finally src.close()
+  }
+
+  private def goldenAssign(key: String): Seq[Int] =
+    driverGoldens(key).split(',').toSeq.map(_.toInt)
+
+  private lazy val fixture: (Array[Array[Float]], Array[String]) = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .orderBy("vec_id")
+      .select(col("embedding"), col("label").cast("string"))
+      .as[(Array[Float], String)].collect()
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  test("h1 driver config (limit=200, theta=0.25) matches the reference run on sf0.01") {
+    val (pts, _) = fixture
+    val g = new Grinch(pts, activeLeafLimit = 200)
+    g.buildDendrogram()
+    canon(g.flatClustering(0.25)) shouldBe goldenAssign("h1_flat")
+  }
+
+  test("h3 driver config: dendrogram purity matches the reference run within 1e-9") {
+    import graft.operators.Trees
+    val (pts, labels) = fixture
+    val g = new Grinch(pts, activeLeafLimit = 200)
+    g.buildDendrogram()
+    val purity = Trees.dendrogramPurity(g.treeNodes(i => Some(labels(i))))
+    purity shouldBe driverGoldens("h3_purity").toDouble +- 1e-9
+  }
+
+  test("h4 driver config: every per-label tree matches its reference run") {
+    val (pts, labels) = fixture
+    labels.distinct.sorted.foreach { k =>
+      val sub = pts.indices.filter(i => labels(i) == k).map(pts).toArray
+      val g = new Grinch(sub, activeLeafLimit = 200)
+      g.buildDendrogram()
+      withClue(s"label $k: ") {
+        canon(g.flatClustering(0.25)) shouldBe goldenAssign(s"h4_$k")
+      }
+    }
+  }
+
+  test("st2 driver config (first 50 ids, no limit) matches the reference run") {
+    val (pts, _) = fixture
+    val g = new Grinch(pts.take(50))
+    g.buildDendrogram()
+    canon(g.flatClustering(0.25)) shouldBe goldenAssign("st2_flat")
+  }
 }
