@@ -144,9 +144,14 @@ object Bench {
     // has had the whole run to pass — and the better median kept. The
     // retry is flagged so the reader knows which numbers self-corrected.
     var retried = List.empty[String]
+    // st queries get a tighter trigger (1.8x vs the canonical, the
+    // round-9 directive): their fixed micro-batch overhead makes them
+    // the family most often inflated by transient host load, and round
+    // 9's st8 2.2x regression-that-wasn't sailed under the 3x rule.
+    def retryFactor(name: String): Double = if (name.startsWith("st")) 1.8 else 3.0
     results = results.map { case (name, (med, mn)) =>
       canonical.get(name) match {
-        case Some(c) if med > 0 && c > 0 && med > 3 * c && med >= 0.75 =>
+        case Some(c) if med > 0 && c > 0 && med > retryFactor(name) * c && med >= 0.75 =>
           retried ::= name
           System.gc(); Thread.sleep(50)
           val again = timeQuery(name, SparkEntry.queries(name), "retry")
