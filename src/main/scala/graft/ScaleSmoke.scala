@@ -31,7 +31,10 @@ object ScaleSmoke {
         "t9_quality_filter", "v11_ivf_rerank", "p14_sequence_pack",
         "t10_dup_ngrams", "d10_shared_shingles", "t11_lm_score",
         "v12_prototypicality", "t12_bpe_merges", "w6_sliding_distinct",
-        "v13_binary_hamming", "v14_hamming_bucketed"))
+        "v13_binary_hamming", "v14_hamming_bucketed",
+        // round 11: the multi-table recall route and the composed
+        // pipeline (now including the PII scrub stage)
+        "v14b_hamming_multitable", "e1_pipeline"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

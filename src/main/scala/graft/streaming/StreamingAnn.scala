@@ -50,6 +50,14 @@ object StreamingAnn {
         shiftright(col("code.hi"), 32 - prefixBits).as("bucket"))
   }
 
+  /** Per-query top-k by exact Hamming over the same-prefix-bucket
+    * candidates. A query whose bucket holds no corpus neighbor emits NO
+    * rows — consistent with v14's SQL (an empty candidate set ranks
+    * nothing), but it makes "no output row" indistinguishable from "no
+    * neighbors found" downstream; a consumer that must tell them apart
+    * should left-join its query stream against this output (or raise
+    * recall with the v14b multi-table route before streaming).
+    */
   def hammingTopK(queries: Dataset[QueryEvent], corpus: DataFrame, k: Int,
                   prefixBits: Int): Dataset[AnnOut] = {
     require(k > 0, s"k=$k must be positive")
