@@ -377,6 +377,34 @@ class VectorSpec extends SparkSpec {
     recall(got) should be >= recall(single)
   }
 
+  test("multi-table recall on the sf0.1 corpus: 4 tables quadruple single-table recall@3 vs the brute ranking") {
+    // the driver-fixture-scale recall evidence (2,000 real embeddings,
+    // 200 queries — deterministic, so the measured recalls are stable):
+    // the v14 driver config (one 6-bit prefix table) recovers 9% of the
+    // brute top-3 here, the v14b config (4 disjoint 6-bit tables) 36% —
+    // the exponential miss-decay in L, paid as ≤ 4× candidates
+    val df = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = v => v % 10 === 0
+    def top(d: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      d.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = top(Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"), 3, isQ))
+    val single = top(Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"), 3, isQ,
+      maxBroadcastRows = 1L, prefixBits = 6))
+    val multi = top(Similarity.binaryHammingTopKMultiTable(df, col("vec_id"), col("embedding"),
+      3, isQ, prefixBits = 6, nTables = 4))
+    def recall(m: Map[Long, Set[Long]]): Double = {
+      val hits = brute.map { case (q, s) => m.getOrElse(q, Set.empty[Long]).count(s.contains) }.sum
+      hits.toDouble / brute.values.map(_.size).sum
+    }
+    val (rs, rm) = (recall(single), recall(multi))
+    withClue(s"single=$rs multi=$rm: ") {
+      rm should be >= rs            // candidate superset at equal prefixBits
+      rm should be >= 0.3           // measured 0.36 on this fixture
+      rm should be >= 2.0 * rs      // measured 4.0x; generous margin
+    }
+  }
+
   test("binaryHammingTopK routes: Exact over-cap fails fast; Bucketed ≡ Auto over-cap and plans without a count job") {
     val rnd = new scala.util.Random(37)
     val vecs = (0L until 120L).map(id => id -> Array.fill(64)(rnd.nextGaussian().toFloat))
