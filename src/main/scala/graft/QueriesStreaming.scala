@@ -144,8 +144,15 @@ object QueriesStreaming {
       val query = start(sa, sb)
       try {
         aChunks.zip(bChunks).foreach { case (a, b) =>
-          a.coalesce(StP).write.mode("append").parquet(dirA.toString)
-          b.coalesce(StP).write.mode("append").parquet(dirB.toString)
+          // the two sides' writes are independent Spark jobs — run them
+          // concurrently (both must land before the drain, which is all
+          // the time-aligned arrival contract needs)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val wa = Future(a.coalesce(StP).write.mode("append").parquet(dirA.toString))
+          val wb = Future(b.coalesce(StP).write.mode("append").parquet(dirB.toString))
+          Await.result(wa, Duration.Inf); Await.result(wb, Duration.Inf)
           query.processAllAvailable()
         }
       } finally query.stop()
