@@ -61,7 +61,7 @@ object QueriesStreaming {
   // Ingest staging root: tmpfs when available (the same choice the
   // bench makes for checkpoints) — these are throwaway per-run feeds,
   // and the measured path should time the STREAM, not /tmp disk flushes.
-  private def ingestRoot: java.nio.file.Path = {
+  private[graft] def ingestRoot: java.nio.file.Path = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) shm.toPath
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))

@@ -1222,6 +1222,138 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- st26
+  // The WHOLE ingest pipeline as a LIVE STREAM — e1's streaming twin:
+  // documents land as files and are quality-gated, exact-deduped
+  // (deterministic survivor), benchmark-decontaminated, PII-scrubbed,
+  // and packed into fixed-length training sequences the moment they
+  // arrive. Two chained streaming queries joined by a DURABLE PARQUET
+  // TOPIC (the production stage-boundary shape — Spark forbids two
+  // flatMapGroupsWithState operators in one query):
+  //   A: file source → gate (stateless) → StreamingDedupOrdered
+  //      (text-keyed state; h-range chunks make the survivor the
+  //      global argmin (h, doc_id), SQL-replayable) → doc_id ≥ 20 →
+  //      decontam (map-side `exists` over the bounded 20-doc benchmark
+  //      shingle literal — t7's constant-array shape) → scrub →
+  //      PackEvent projection → parquet sink (the topic)
+  //   B: file source over the topic → StreamingPacking (per-shard
+  //      offset state) → memory sink
+  // Differences from e1, both deliberate: no temperature-mix stage
+  // (mixing rates are a global OFFLINE statistic of the surviving
+  // corpus — a real deployment computes them out-of-band; a stream
+  // can't know them online) and dedup keeps the min-(h, doc_id)
+  // survivor (= first ARRIVAL in pack order) where e1 keeps min
+  // doc_id — so st26 has its own oracle with the same CTE fragments
+  // and an (h, doc_id)-ordered dedup window.
+  val st26StreamingPipeline: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.{StreamingDedupOrdered, StreamingPacking}
+    import graft.streaming.StreamingDedupOrdered.DocEvent
+    import graft.streaming.StreamingPacking.PackEvent
+    val docs = Tables.load(s, dir, "documents")
+    // bounded benchmark constant (20 rows), the t7 pattern
+    val bench = docs.where(col("doc_id") < 20)
+      .select(shingleSet.as("hs")).as[Seq[Long]].collect().toSeq
+    val base = docs
+      .withColumn("h", (((col("doc_id") % P) * 2654435761L + 23L) % P + P) % P)
+      .select(col("doc_id"), col("text"), col("h"))
+    val cut1 = P / 3
+    val cut2 = 2L * (P / 3)
+    val chunks = Seq(base.where(col("h") < cut1),
+      base.where(col("h") >= cut1 && col("h") < cut2),
+      base.where(col("h") >= cut2)).map(_.drop("h"))
+
+    QueriesStreaming.withShufflePartitions(s, 4) {
+      base.persist()
+      val inDir = java.nio.file.Files.createTempDirectory(
+        QueriesStreaming.ingestRoot, "graft-st26-in-")
+      val midDir = java.nio.file.Files.createTempDirectory(
+        QueriesStreaming.ingestRoot, "graft-st26-mid-")
+      val ckA = java.nio.file.Files.createTempDirectory(
+        QueriesStreaming.ingestRoot, "graft-st26-ck-")
+      def rmRf(d: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      try {
+        val aStream = s.readStream.schema(chunks.head.schema).parquet(inDir.toString)
+        val toks = TextFunctions.tokens(col("text"))
+        val nTokRaw = size(toks).cast("long")
+        val stopCnt = TextFunctions.stopwordCount(toks).cast("long")
+        val gated = aStream
+          .withColumn("h", (((col("doc_id") % P) * 2654435761L + 23L) % P + P) % P)
+          .where(nTokRaw.between(5, 1000) && stopCnt * 20 >= nTokRaw)
+          .select(col("text"), col("doc_id").as("id"), col("h").as("order"))
+        val contaminated = exists(typedlit(bench),
+          b => size(array_intersect(shingleSet, b)) >= 3)
+        val aOut = StreamingDedupOrdered.firstByOrder(gated.as[DocEvent])
+          .where(col("id") >= 20 && !contaminated)
+          .withColumn("text", redactPii(plantPii(col("text"), col("id"))))
+          .select((col("order") % packShards).as("shard"), col("id").as("docId"),
+            col("order").as("h"), size(TextFunctions.tokens(col("text"))).cast("long").as("nTok"))
+        val qA = aOut.writeStream.format("parquet")
+          .option("path", midDir.toString)
+          .option("checkpointLocation", ckA.toString)
+          .outputMode("append").start()
+        val bStream = s.readStream
+          .schema(org.apache.spark.sql.Encoders.product[PackEvent].schema)
+          .parquet(midDir.toString)
+        val qB = StreamingPacking.pack(bStream.as[PackEvent], packSeqLen)
+          .writeStream.format("memory").queryName("st26_sink").outputMode("append").start()
+        try {
+          chunks.foreach { c =>
+            c.coalesce(4).write.mode("append").parquet(inDir.toString)
+            qA.processAllAvailable()
+            qB.processAllAvailable()
+          }
+        } finally { qA.stop(); qB.stop() }
+      } finally {
+        base.unpersist(blocking = false)
+        rmRf(inDir); rmRf(midDir); rmRf(ckA)
+      }
+    }
+
+    s.table("st26_sink")
+      .select(col("docId").as("doc_id"), col("shard"),
+        col("tokStart").as("tok_start"), col("tokEnd").as("tok_end"),
+        col("firstSeq").as("first_seq"), col("lastSeq").as("last_seq"))
+      .orderBy("doc_id")
+  }
+
+  val st26StreamingPipelineSql: String = {
+    val stop = s"len(list_filter($sqlToks, t -> list_contains(['the','a','of','and','to','in','is','on'], t)))"
+    s"""WITH q AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE len($sqlToks) BETWEEN 5 AND 1000 AND $stop * 20 >= len($sqlToks)),
+       |hq AS (SELECT doc_id, text,
+       |              ((((doc_id % $P) * 2654435761 + 23) % $P + $P) % $P) AS h
+       |       FROM q),
+       |d AS (
+       |  SELECT doc_id, text, h FROM (
+       |    SELECT hq.*, row_number() OVER (PARTITION BY text ORDER BY h, doc_id) AS rn
+       |    FROM hq)
+       |  WHERE rn = 1),
+       |shb AS (SELECT $sqlHs AS bh FROM documents WHERE doc_id < 20),
+       |shd AS (SELECT doc_id, $sqlHs AS hs FROM d WHERE doc_id >= 20),
+       |cont AS (SELECT DISTINCT doc_id FROM shd, shb WHERE len(list_intersect(hs, bh)) >= 3),
+       |clean AS (
+       |  SELECT * FROM d
+       |  WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM cont)),
+       |red AS (
+       |  SELECT doc_id, h, ${sqlRedactPii(s"($sqlPlantPii)")} AS text
+       |  FROM clean),
+       |t AS (SELECT doc_id, h, len($sqlToks)::BIGINT AS ntok FROM red),
+       |w AS (SELECT doc_id, h % $packShards AS shard, ntok,
+       |             cast(sum(ntok) OVER (PARTITION BY h % $packShards ORDER BY h, doc_id
+       |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
+       |      FROM t)
+       |SELECT doc_id, shard, tok_end - ntok AS tok_start, tok_end,
+       |       (tok_end - ntok) // $packSeqLen AS first_seq,
+       |       greatest(tok_end - ntok, tok_end - 1) // $packSeqLen AS last_seq
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- st21
   // The deterministic reservoir as a live stream: documents arrive in
   // three micro-batches, the keyed state is exactly the k smallest
@@ -1282,6 +1414,7 @@ object QueriesText {
     "p13_temperature_mix" -> p13TemperatureMix,
     "p14_sequence_pack" -> p14SequencePack,
     "st23_streaming_pack" -> st23StreamingPack,
+    "st26_streaming_pipeline" -> st26StreamingPipeline,
     "st21_streaming_sample" -> st21StreamingSample,
     "k4_token_quantiles" -> k4TokenQuantiles,
     "k5_grouped_quantiles" -> k5GroupedQuantiles,
@@ -1317,6 +1450,7 @@ object QueriesText {
     "p13_temperature_mix" -> p13TemperatureMixSql,
     "p14_sequence_pack" -> p14SequencePackSql,
     "st23_streaming_pack" -> p14SequencePackSql,
+    "st26_streaming_pipeline" -> st26StreamingPipelineSql,
     "st21_streaming_sample" -> p12BottomkSampleSql,
     "k4_token_quantiles" -> k4TokenQuantilesSql,
     "k5_grouped_quantiles" -> k5GroupedQuantilesSql,

@@ -781,4 +781,37 @@ class StreamingSpec extends SparkSpec {
       }
     } finally query.stop()
   }
+
+  test("StreamingDedupOrdered: deterministic min-(order,id) survivor; range-chunked batching-independent") {
+    import graft.streaming.StreamingDedupOrdered
+    import graft.streaming.StreamingDedupOrdered.DocEvent
+    implicit val sqlCtx = spark.sqlContext
+    // duplicate texts with copies inside one batch AND across batches
+    val evs = Seq(
+      DocEvent("aa", 5L, 50L), DocEvent("aa", 3L, 30L), // same batch: min order wins
+      DocEvent("bb", 1L, 10L), DocEvent("cc", 7L, 70L),
+      DocEvent("aa", 9L, 90L), DocEvent("bb", 2L, 95L), // later batches: dropped
+      DocEvent("dd", 4L, 85L))
+    def run(splits: Seq[Seq[DocEvent]], sink: String): Set[(String, Long, Long)] = {
+      val input = MemoryStream[DocEvent]
+      val query = StreamingDedupOrdered.firstByOrder(input.toDS())
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        splits.foreach { c => input.addData(c); query.processAllAvailable() }
+      } finally query.stop()
+      spark.table(sink).as[(String, Long, Long)].collect().toSet
+    }
+    // order-range chunking (the st26 ingest contract): all copies with
+    // smaller order land no later than larger ones
+    val byOrder = evs.sortBy(_.order)
+    val a = run(Seq(byOrder.take(4), byOrder.drop(4)), "dd_sink_a")
+    val b = run(Seq(byOrder.take(2), byOrder.slice(2, 5), byOrder.drop(5)), "dd_sink_b")
+    val expected = Set(("aa", 3L, 30L), ("bb", 1L, 10L), ("cc", 7L, 70L), ("dd", 4L, 85L))
+    a shouldBe expected
+    b shouldBe expected // same survivors under a different range chunking
+    // intra-batch determinism: both copies of "aa" in ONE batch -> the
+    // min-(order, id) one survives regardless of partition order
+    val c = run(Seq(evs), "dd_sink_c")
+    c.filter(_._1 == "aa") shouldBe Set(("aa", 3L, 30L))
+  }
 }
