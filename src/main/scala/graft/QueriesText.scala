@@ -1234,7 +1234,9 @@ object QueriesText {
   //      (text-keyed state; h-range chunks make the survivor the
   //      global argmin (h, doc_id), SQL-replayable) → doc_id ≥ 20 →
   //      decontam (map-side `exists` over the bounded 20-doc benchmark
-  //      shingle literal — t7's constant-array shape) → scrub →
+  //      shingle literal — t7's constant-array shape; a benchmark too
+  //      big to inline swaps in t7's Bloom-filter probe at the same
+  //      map-side signature) → scrub →
   //      PackEvent projection → parquet sink (the topic)
   //   B: file source over the topic → StreamingPacking (per-shard
   //      offset state) → memory sink
