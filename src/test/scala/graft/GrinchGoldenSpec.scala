@@ -16,6 +16,10 @@ import graft.operators.Grinch
   * matmul) while this engine uses double accumulation, and a near-tie
   * graft decision can legitimately flip in the last float32 ulp; the
   * resulting flat clusterings still agree on every tested case.
+  * (BASELINE.md's round-11 dissection pins why such ties are
+  * STRUCTURAL to the graft veto — it compares a fresh recompute
+  * against a memoized score of nearly the same pair — with the first
+  * divergent decision on the sf0.1 data firing on a 5e-9 gap.)
   */
 class GrinchGoldenSpec extends SparkSpec {
 
