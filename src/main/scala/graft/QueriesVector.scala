@@ -463,6 +463,55 @@ object QueriesVector {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // -------------------------------------------------------------- v14c
+  // v14b past the 32-bit window budget: table l is the top p bits of
+  // hi ROTATED left by (l·p) mod 32 — tables 0–4 are v14b's disjoint
+  // windows (a prefix sequence, so recall is monotone in L by
+  // candidate-superset), table 5 WRAPS (r=30: bits 1..0 ++ 31..28) and
+  // exercises the rotation path the 32-bit cap used to forbid. All
+  // pure integer SQL: rot = (hi % 2^(32-r))·2^r + hi // 2^(32-r),
+  // bucket = rot // 2^26, every term < 2^32.
+  private[graft] val V14cTables = 6
+
+  val v14cHammingRotated: Q = (s, dir) =>
+    Similarity.binaryHammingTopKMultiTable(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), k = 3, isQuery = v => v % 10 === 0,
+      prefixBits = V14PrefixBits, nTables = V14cTables)
+      .orderBy("query_id", "rank")
+
+  val v14cHammingRotatedSql: String = {
+    def half(lo: Int, hi: Int) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series($lo, $hi), " +
+        s"i -> CASE WHEN embedding[i]::DOUBLE > 0 THEN 1::BIGINT ELSE 0::BIGINT END)), " +
+        s"(acc, x) -> acc * 2 + x)"
+    val p = V14PrefixBits
+    val div = 1L << (32 - p)
+    val windows = (0 until V14cTables).map { l =>
+      val r = (l * p) % 32
+      val md = 1L << (32 - r) // hi % md isolates the wrapped low part
+      val ml = 1L << r
+      s"($l, $md, $ml)"
+    }.mkString(", ")
+    s"""WITH c AS (
+       |  SELECT vec_id, ${half(1, 32)} AS hi, ${half(33, 64)} AS lo
+       |  FROM embeddings),
+       |t AS (
+       |  SELECT c.vec_id, c.hi, c.lo, w.tbl,
+       |         ((c.hi % w.md) * w.ml + c.hi // w.md) // $div AS bucket
+       |  FROM c CROSS JOIN (VALUES $windows) AS w(tbl, md, ml)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, b.vec_id AS cid,
+       |         (bit_count(xor(q.hi, b.hi)) + bit_count(xor(q.lo, b.lo)))::BIGINT AS hamming
+       |  FROM t q JOIN t b ON q.tbl = b.tbl AND q.bucket = b.bucket AND q.vec_id <> b.vec_id
+       |  WHERE q.vec_id % 10 = 0),
+       |ranked AS (
+       |  SELECT qid, cid, hamming,
+       |         row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rank
+       |  FROM cand)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank::BIGINT AS rank, hamming
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- v12
   // Prototypicality pruning on the v9 integer cells — the
   // SSL-prototypes data-curation recipe (keep each cluster's most
@@ -614,6 +663,7 @@ object QueriesVector {
     "v13_binary_hamming" -> v13BinaryHamming,
     "v14_hamming_bucketed" -> v14HammingBucketed,
     "v14b_hamming_multitable" -> v14bHammingMultiTable,
+    "v14c_hamming_rotated" -> v14cHammingRotated,
     "v10_pq_topk" -> v10PqTopk,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
@@ -625,6 +675,7 @@ object QueriesVector {
     "v13_binary_hamming" -> v13BinaryHammingSql,
     "v14_hamming_bucketed" -> v14HammingBucketedSql,
     "v14b_hamming_multitable" -> v14bHammingMultiTableSql,
+    "v14c_hamming_rotated" -> v14cHammingRotatedSql,
     "v10_pq_topk" -> v10PqTopkSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_rhp_ann" -> v2RhpAnnSql,

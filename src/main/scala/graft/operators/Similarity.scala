@@ -445,8 +445,9 @@ object Similarity {
   /** v14b — multi-table sign-prefix LSH: the recall knob on
     * [[binaryHammingTopK]]'s bucket route. A single prefix table misses
     * any true neighbor that differs from the query in even ONE of the
-    * `prefixBits` bucket bits; `nTables` DISJOINT `prefixBits`-wide
-    * windows of the hi half act as L independent hash tables (each
+    * `prefixBits` bucket bits; `nTables` `prefixBits`-wide windows of
+    * the hi half — disjoint while they fit, WRAPPED bit-rotations past
+    * 32 bits — act as L independent hash tables (each
     * table hashes with a different subset of the 64 axis-aligned
     * hyperplanes — the standard L-table LSH construction, the same way
     * v7 extends v2's single RHP table). A candidate pair is generated
@@ -459,12 +460,16 @@ object Similarity {
     * is a superset and recall@k dominates the single-table route at
     * the cost of ≤ L× candidate generation. (At differing widths — the
     * defaults here are 6 bits vs 8 there — neither candidate set
-    * contains the other and domination is not guaranteed.)
+    * contains the other and domination is not guaranteed. A larger
+    * nTables at the same width IS a candidate superset of a smaller
+    * one — the tables form a prefix sequence — so recall is monotone
+    * in L.)
     *
-    * Deterministic (bit windows, not seeded permutations) ⇒ the whole
-    * route replays in integer SQL: table l's bucket is
-    * `(hi >> (32-(l+1)·prefixBits)) & (2^prefixBits - 1)` =
-    * `(hi // 2^(32-(l+1)·p)) % 2^p` on the oracle.
+    * Deterministic (bit windows/rotations, not seeded permutations) ⇒
+    * the whole route replays in integer SQL: table l's bucket is the
+    * top p bits of hi rotated left by r = (l·p) mod 32 — while windows
+    * fit, exactly `(hi // 2^(32-(l+1)·p)) % 2^p`; wrapped tables
+    * replay as `((hi % 2^(32-r))·2^r + hi // 2^(32-r)) // 2^(32-p)`.
     *
     * Scale: never broadcasts and never counts — candidates come from L
     * bucket-keyed equi-joins (posexplode to (tbl, bucket) keys, one
@@ -476,14 +481,25 @@ object Similarity {
                                   isQuery: Column => Column,
                                   prefixBits: Int = 6,
                                   nTables: Int = 4): DataFrame = {
-    require(prefixBits >= 1 && nTables >= 1 && nTables * prefixBits <= 32,
-      s"nTables=$nTables × prefixBits=$prefixBits must fit the 32 hi sign bits")
+    require(prefixBits >= 1 && prefixBits <= 32 && nTables >= 1 && nTables <= 32,
+      s"nTables=$nTables, prefixBits=$prefixBits must each fit the 32 hi sign bits")
     val base = df.select(id.cast("long").as("vid"),
       VectorFunctions.signCode(vec).as("code"))
       .select(col("vid"), col("code.hi").as("hi"), col("code.lo").as("lo"))
-    val mask = (1L << prefixBits) - 1L
+    // Table l = the top `prefixBits` bits of the hi half ROTATED left by
+    // (l·prefixBits) mod 32. For l·p + p ≤ 32 this is exactly the l-th
+    // disjoint bit window (the original formulation); past 32 bits the
+    // window WRAPS — still a deterministic p-bit subset and still pure
+    // integer SQL (rot = (hi mod 2^(32-r))·2^r + hi div 2^(32-r), every
+    // term < 2^32), which is what lifts the old nTables·prefixBits ≤ 32
+    // cap: up to 32 tables of recall headroom at any width.
+    val m32 = (1L << 32) - 1L
     val buckets = array((0 until nTables).map { l =>
-      shiftright(col("hi"), 32 - (l + 1) * prefixBits).bitwiseAND(lit(mask))
+      val r = (l * prefixBits) % 32
+      val rot =
+        if (r == 0) col("hi")
+        else shiftleft(col("hi"), r).bitwiseAND(lit(m32)) + shiftright(col("hi"), 32 - r)
+      shiftright(rot, 32 - prefixBits)
     }: _*)
     val tabled = base.select(col("vid"), col("hi"), col("lo"),
       posexplode(buckets).as(Seq("tbl", "bucket")))

@@ -377,6 +377,50 @@ class VectorSpec extends SparkSpec {
     recall(got) should be >= recall(single)
   }
 
+  test("binaryHammingTopKMultiTable rotation tables: wrapped windows match a local recompute; recall monotone in L") {
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(12)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val vecs = (0L until 300L).map { id =>
+      val c = centers((id % 12).toInt)
+      id -> c.map(x => x + (rnd.nextGaussian() * 0.1).toFloat)
+    }.toMap
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    val codes = df.select(col("vec_id"), VectorFunctions.signCode(col("embedding")).as("c"))
+      .select(col("vec_id"), col("c.hi"), col("c.lo"))
+      .as[(Long, Long, Long)].collect().map { case (i, h, l) => i -> ((h, l)) }.toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Long =
+      java.lang.Long.bitCount(a._1 ^ b._1).toLong + java.lang.Long.bitCount(a._2 ^ b._2)
+    val p = 6; val nT = 6 // table 5 rotates by 30 — the WRAPPED window
+    def bucket(c: (Long, Long), l: Int): Long = {
+      val r = (l * p) % 32
+      val rot = if (r == 0) c._1 else ((c._1 << r) & 0xFFFFFFFFL) + (c._1 >>> (32 - r))
+      rot >> (32 - p)
+    }
+    def shares(a: (Long, Long), b: (Long, Long)): Boolean =
+      (0 until nT).exists(l => bucket(a, l) == bucket(b, l))
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = v => v % 10 === 0
+    val got = Similarity.binaryHammingTopKMultiTable(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ, prefixBits = p, nTables = nT)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val expect = vecs.keys
+        .filter(c => c != qid && shares(codes(c), codes(qid))).toSeq
+        .map(c => (ham(codes(qid), codes(c)), c)).sorted.take(3)
+      withClue(s"qid=$qid: ") { rows.sortBy(_._3).map(r => (r._4, r._2)) shouldBe expect }
+    }
+    // tables form a prefix sequence → candidates(L=6) ⊇ candidates(L=4)
+    // → recall@3 vs the brute ranking is monotone in L
+    val four = Similarity.binaryHammingTopKMultiTable(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ, prefixBits = p, nTables = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val brute = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ).as[(Long, Long, Long, Long)].collect().toSeq
+    val bruteTop = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(rs: Seq[(Long, Long, Long, Long)]): Int =
+      rs.count { case (q, n, _, _) => bruteTop(q).contains(n) }
+    recall(got) should be >= recall(four)
+  }
+
   test("multi-table recall on the sf0.1 corpus: 4 tables quadruple single-table recall@3 vs the brute ranking") {
     // the driver-fixture-scale recall evidence (2,000 real embeddings,
     // 200 queries — deterministic, so the measured recalls are stable):
