@@ -32,9 +32,11 @@ object ScaleSmoke {
         "t10_dup_ngrams", "d10_shared_shingles", "t11_lm_score",
         "v12_prototypicality", "t12_bpe_merges", "w6_sliding_distinct",
         "v13_binary_hamming", "v14_hamming_bucketed",
-        // round 11: the multi-table recall route and the composed
-        // pipeline (now including the PII scrub stage)
-        "v14b_hamming_multitable", "e1_pipeline"))
+        // round 11: the multi-table recall routes, the composed
+        // pipeline (now including the PII scrub stage), and its
+        // live streaming twin
+        "v14b_hamming_multitable", "v14c_hamming_rotated",
+        "e1_pipeline", "st26_streaming_pipeline"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
