@@ -95,25 +95,37 @@ object QueriesStreaming {
     // lazily).
     cache.foreach(_.persist())
     val dir = java.nio.file.Files.createTempDirectory(ingestRoot, "graft-ingest-")
+    val staging = java.nio.file.Files.createTempDirectory(ingestRoot, "graft-staging-")
     try {
-      val stream = s.readStream.schema(chunks.head.schema).parquet(dir.toString)
+      // watch one level of chunk SUBDIRECTORIES (glob): each chunk is
+      // written to a staging dir and atomically RENAMED into the
+      // watched tree, so the continuously-polling source can never
+      // list a chunk mid-job-commit and split it across two
+      // micro-batches — which would both break the one-chunk-one-batch
+      // protocol and (for order-contract operators like the pack) leak
+      // commit-order as arrival-order
+      val stream = s.readStream.schema(chunks.head.schema).parquet(dir.toString + "/*")
       val query = start(stream)
       try {
-        chunks.foreach { c =>
+        chunks.zipWithIndex.foreach { case (c, i) =>
           // Coalesce the chunk write: the event-prep plans end on ≤32
           // shuffle partitions, and 32 near-empty part files per chunk
           // triple the source's list+open cost for nothing. StP files
           // keeps the write (and the downstream batch read) parallel;
           // the coalesce only narrows the final write stage.
-          c.coalesce(StP).write.mode("append").parquet(dir.toString)
+          val stag = staging.resolve(s"chunk-$i")
+          c.coalesce(StP).write.mode("overwrite").parquet(stag.toString)
+          java.nio.file.Files.move(stag, dir.resolve(s"chunk-$i"))
           query.processAllAvailable()
         }
       } finally query.stop()
     } finally {
       cache.foreach(_.unpersist(blocking = false))
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      Seq(dir, staging).foreach { d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
   }
 
@@ -138,27 +150,34 @@ object QueriesStreaming {
       java.nio.file.Files.walk(d).iterator().asScala.toSeq
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     }
+    val stagA = java.nio.file.Files.createTempDirectory(ingestRoot, "graft-staging-a-")
+    val stagB = java.nio.file.Files.createTempDirectory(ingestRoot, "graft-staging-b-")
     try {
-      val sa = s.readStream.schema(aChunks.head.schema).parquet(dirA.toString)
-      val sb = s.readStream.schema(bChunks.head.schema).parquet(dirB.toString)
+      // same staged-write + atomic-rename protocol as fileIngest (no
+      // mid-commit chunk splits), on both sides
+      val sa = s.readStream.schema(aChunks.head.schema).parquet(dirA.toString + "/*")
+      val sb = s.readStream.schema(bChunks.head.schema).parquet(dirB.toString + "/*")
       val query = start(sa, sb)
       try {
-        aChunks.zip(bChunks).foreach { case (a, b) =>
+        aChunks.zip(bChunks).zipWithIndex.foreach { case ((a, b), i) =>
           // the two sides' writes are independent Spark jobs — run them
           // concurrently (both must land before the drain, which is all
           // the time-aligned arrival contract needs)
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.Duration
-          val wa = Future(a.coalesce(StP).write.mode("append").parquet(dirA.toString))
-          val wb = Future(b.coalesce(StP).write.mode("append").parquet(dirB.toString))
+          val (sa_i, sb_i) = (stagA.resolve(s"chunk-$i"), stagB.resolve(s"chunk-$i"))
+          val wa = Future(a.coalesce(StP).write.mode("overwrite").parquet(sa_i.toString))
+          val wb = Future(b.coalesce(StP).write.mode("overwrite").parquet(sb_i.toString))
           Await.result(wa, Duration.Inf); Await.result(wb, Duration.Inf)
+          java.nio.file.Files.move(sa_i, dirA.resolve(s"chunk-$i"))
+          java.nio.file.Files.move(sb_i, dirB.resolve(s"chunk-$i"))
           query.processAllAvailable()
         }
       } finally query.stop()
     } finally {
       cache.foreach(_.unpersist(blocking = false))
-      rmRf(dirA); rmRf(dirB)
+      rmRf(dirA); rmRf(dirB); rmRf(stagA); rmRf(stagB)
     }
   }
 

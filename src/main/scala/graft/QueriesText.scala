@@ -1269,6 +1269,8 @@ object QueriesText {
       base.persist()
       val inDir = java.nio.file.Files.createTempDirectory(
         QueriesStreaming.ingestRoot, "graft-st26-in-")
+      val stagDir = java.nio.file.Files.createTempDirectory(
+        QueriesStreaming.ingestRoot, "graft-st26-stag-")
       val midDir = java.nio.file.Files.createTempDirectory(
         QueriesStreaming.ingestRoot, "graft-st26-mid-")
       val ckA = java.nio.file.Files.createTempDirectory(
@@ -1279,7 +1281,11 @@ object QueriesText {
           .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
       }
       try {
-        val aStream = s.readStream.schema(chunks.head.schema).parquet(inDir.toString)
+        // staged-write + atomic-rename chunk delivery (fileIngest's
+        // protocol): the polling source can't split a chunk mid-commit.
+        // B's source needs no staging — it reads stage A's FileStreamSink
+        // output, whose _spark_metadata log exposes only COMMITTED files.
+        val aStream = s.readStream.schema(chunks.head.schema).parquet(inDir.toString + "/*")
         val toks = TextFunctions.tokens(col("text"))
         val nTokRaw = size(toks).cast("long")
         val stopCnt = TextFunctions.stopwordCount(toks).cast("long")
@@ -1304,15 +1310,17 @@ object QueriesText {
         val qB = StreamingPacking.pack(bStream.as[PackEvent], packSeqLen)
           .writeStream.format("memory").queryName("st26_sink").outputMode("append").start()
         try {
-          chunks.foreach { c =>
-            c.coalesce(4).write.mode("append").parquet(inDir.toString)
+          chunks.zipWithIndex.foreach { case (c, i) =>
+            val stag = stagDir.resolve(s"chunk-$i")
+            c.coalesce(4).write.mode("overwrite").parquet(stag.toString)
+            java.nio.file.Files.move(stag, inDir.resolve(s"chunk-$i"))
             qA.processAllAvailable()
             qB.processAllAvailable()
           }
         } finally { qA.stop(); qB.stop() }
       } finally {
         base.unpersist(blocking = false)
-        rmRf(inDir); rmRf(midDir); rmRf(ckA)
+        rmRf(inDir); rmRf(stagDir); rmRf(midDir); rmRf(ckA)
       }
     }
 
