@@ -175,6 +175,14 @@ object Bench {
       "\"" + f + "\":[" + fmt(b) + "," + fmt(a) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
+    // batch/streaming sub-totals: the st family is ~half the catalog
+    // wall at sf0.1 and carries ±0.3 s/query of ingest-IO noise — split
+    // the headline so round-over-round regressions are attributable to
+    // the right family (the per-family retry rule above already applies
+    // the tighter 1.8x st trigger).
+    val (stRes, batchRes) = results.partition(_._1.startsWith("st"))
+    val stTotal = stRes.map(_._2._1).filter(_ >= 0).sum
+    val batchTotal = batchRes.map(_._2._1).filter(_ >= 0).sum
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val partJson = partial.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retryJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -183,7 +191,7 @@ object Bench {
     // queries map, and a second queries-free summary line goes LAST so
     // the headline total always survives any truncation.
     val fullLine =
-      s"""{"metric":"total","sf":"$sfDir","queries":$qs,"mins":$mins,"loadavg":$loads,"value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson}"""
+      s"""{"metric":"total","sf":"$sfDir","queries":$qs,"mins":$mins,"loadavg":$loads,"value":${fmt(total)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(stTotal)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson}"""
     // The per-query map ALSO goes to a file artifact: the captured
     // stdout line is head-truncated by the driver (round 6 kept only 70
     // of 99 medians) — <outDir>/bench_queries.json carries every median
@@ -197,7 +205,7 @@ object Bench {
       System.err.println(s"[bench] could not write $outDir/bench_queries.json: ${e.getMessage}")
     }
     println(fullLine)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(stTotal)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson,"sf":"$sfDir"}""")
     spark.stop()
     // conf-rooted checkpoints are NOT auto-deleted on stop (that only
     // happens for Spark-managed temp dirs) — without this, every bench

@@ -745,28 +745,22 @@ object QueriesRelational {
   // trailing-7-day union + estimate stay the same bounded relational
   // assembly the batch w6 runs — so st24 hash-matches w6's SQL oracle:
   // streaming = batch = SQL for the windowed-sketch family too.
+  // File-source ingest (fileIngest — no driver materialization): chunks
+  // are DAY ranges, ascending across micro-batches, which is exactly
+  // the day-ascending ingest contract; dailyRegisters re-sorts by day
+  // within a batch, so intra-chunk file order is free.
   val st24StreamingSlidingHll: Q = (s, dir) => {
     import s.implicits._
-    implicit val sqlCtx = s.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingSketch
     import graft.streaming.StreamingSketch.DayRhoEvent
-    val rows = slidingHllObs(s, dir)
-      .orderBy("day", "bucket", "rho")
-      .as[(Long, Long, Long)]
-      .collect()
-      .map { case (day, bucket, rho) => DayRhoEvent(bucket, day, rho) }
+    val obs = slidingHllObs(s, dir)
+    val chunks = QueriesStreaming.rangeChunks(obs, "day")
 
     QueriesStreaming.withShufflePartitions(s, 4) {
-      val input = MemoryStream[DayRhoEvent]
-      val query = StreamingSketch.dailyRegisters(input.toDS())
-        .writeStream.format("memory").queryName("st24_sink").outputMode("append").start()
-      try {
-        rows.grouped(rows.length / 3 + 1).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
+      QueriesStreaming.fileIngest(s, chunks, cache = Seq(obs)) { stream =>
+        StreamingSketch.dailyRegisters(stream.as[DayRhoEvent])
+          .writeStream.format("memory").queryName("st24_sink").outputMode("append").start()
+      }
     }
 
     val r = s.table("st24_sink")

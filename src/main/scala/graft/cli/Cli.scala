@@ -20,6 +20,9 @@ import graft.sources.Sources
   *   preprocess-ecbplus   ≙ scripts/preprocess_ecbplus.py
   *   embed                ≙ meercat/embed.py (deterministic hash encoder
   *                          standing in for the transformer)
+  *   pretokenize          ≙ scripts/pretokenize_jsonl.py (P2 window +
+  *                          S9 vocab labels; sub-word tokenizer
+  *                          pluggable at the F4 boundary)
   *   nn-thresh            ≙ meercat/nn_thresh.py
   *   combo                ≙ meercat/combo.py
   *   string-match         ≙ meercat/string_match.py
@@ -183,6 +186,64 @@ object Cli {
           col("entity_id"),
           TextFunctions.hashEmbed(TextFunctions.tokens(col("mention")), dim).as("embedding"))
         Sources.writeEmbeddingsTsv(df, "uid", "entity_id", "embedding", dim, out)
+
+      case "pretokenize" =>
+        // scripts/pretokenize_jsonl.py:8-14: JSONL mention rows →
+        // fixed-length token windows + entity-vocab labels
+        // (utils.ELDataset.from_jsonl → _encode_mention, utils.py:80-106).
+        // The sub-word tokenizer is the F4 model boundary (a HF
+        // WordPiece there) — the pluggable stand-in is the same
+        // whitespace tokenizer `embed` uses; everything around it is
+        // the reference's exact accounting: P2 centered window with
+        // slack redistribution, [E_START]/[E_END] mention wrapping
+        // (utils.py:18-19), [CLS]/[SEP] specials + max-length padding
+        // with attention mask (encode_plus), and the S9 entity-vocab
+        // label lookup (EntityTokenizer, utils.py:37-75).
+        val maxLen = flags.getOrElse("max-len", "128").toInt
+        val mentions = spark.read.json(in)
+        // EntityTokenizer: label = vocab file-row position ([PAD] is
+        // row 0). zipWithIndex preserves text-split order, so the idx
+        // is the file order without a driver-side dictionary.
+        val vocabRaw = Sources.readVocabCsv(spark, flags("entity-vocab"))
+        val vocab = spark.createDataFrame(
+          vocabRaw.select(col("entity")).rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row(r.getString(0), i)
+          },
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("_entity",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("label",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        // whitespace stand-in; tokenize("") must be [] (HF), not [""]
+        def ws(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          when(length(trim(c)) === 0, array().cast("array<string>"))
+            .otherwise(split(trim(c), "\\s+"))
+        val (lt, mt, rt) = (ws(col("left_context")), ws(col("mention")),
+          ws(col("right_context")))
+        // contextWindow budgets maxLen − (|mention|+2 markers) − 2
+        // specials — the same context_size line as _encode_mention:88
+        val (lk, rk) = Projections.contextWindow(lt, mt, rt, maxLen)
+        val body = concat(lk, array(lit("[E_START]")), mt, array(lit("[E_END]")), rk)
+        val withSpecials = concat(array(lit("[CLS]")), body, array(lit("[SEP]")))
+        val kept = least(size(withSpecials), lit(maxLen))
+        val padN = greatest(lit(maxLen) - size(withSpecials), lit(0))
+        val padded = concat(slice(withSpecials, 1, maxLen),
+          array_repeat(lit("[PAD]"), padN))
+        val mask = concat(array_repeat(lit(1), kept), array_repeat(lit(0), padN))
+        mentions
+          .join(broadcast(vocab), col("entity_id") === col("_entity"), "left")
+          .select(
+            col("mention_index").cast("long").as("mention_index"),
+            padded.as("input_tokens"),
+            mask.as("attention_mask"),
+            // the reference warns-and-appends on an unknown entity — a
+            // driver-side vocab mutation with no distributed twin; the
+            // engine fails loudly instead of silently renumbering
+            when(col("label").isNull,
+              raise_error(concat(lit("pretokenize: entity not in vocab: "),
+                col("entity_id"))))
+              .otherwise(col("label")).as("label"))
+          .coalesce(1).write.mode("overwrite").json(out)
 
       case "nn-thresh" =>
         val emb = Sources.readEmbeddingsTsv(spark, in)

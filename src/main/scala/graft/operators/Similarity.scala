@@ -483,6 +483,15 @@ object Similarity {
                                   nTables: Int = 4): DataFrame = {
     require(prefixBits >= 1 && prefixBits <= 32 && nTables >= 1 && nTables <= 32,
       s"nTables=$nTables, prefixBits=$prefixBits must each fit the 32 hi sign bits")
+    // rotation offsets r = (l·p) mod 32 repeat with period 32/gcd(p,32)
+    // — a table whose offset repeats is bit-identical to an earlier one
+    // and pays full candidate-generation cost for zero recall gain, so
+    // the duplicate is rejected rather than silently dropped
+    val distinctTables = 32 / BigInt(prefixBits).gcd(BigInt(32)).toInt
+    require(nTables <= distinctTables,
+      s"nTables=$nTables exceeds the $distinctTables distinct rotation offsets at " +
+        s"prefixBits=$prefixBits (offsets (l*$prefixBits) mod 32 repeat with period " +
+        s"$distinctTables): tables beyond that are duplicates — zero recall gain")
     val base = df.select(id.cast("long").as("vid"),
       VectorFunctions.signCode(vec).as("code"))
       .select(col("vid"), col("code.hi").as("hi"), col("code.lo").as("lo"))
@@ -492,7 +501,8 @@ object Similarity {
     // window WRAPS — still a deterministic p-bit subset and still pure
     // integer SQL (rot = (hi mod 2^(32-r))·2^r + hi div 2^(32-r), every
     // term < 2^32), which is what lifts the old nTables·prefixBits ≤ 32
-    // cap: up to 32 tables of recall headroom at any width.
+    // cap: up to 32/gcd(prefixBits,32) DISTINCT tables of recall
+    // headroom (e.g. 16 at p=6, 4 at p=8 — enforced above).
     val m32 = (1L << 32) - 1L
     val buckets = array((0 until nTables).map { l =>
       val r = (l * prefixBits) % 32

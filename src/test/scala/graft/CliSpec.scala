@@ -52,6 +52,48 @@ class CliSpec extends SparkSpec {
       .select("type").collect().head.getSeq[String](0) shouldBe Seq("T1", "T9")
   }
 
+  test("pretokenize windows + pads mention rows and labels from the entity vocab") {
+    // hand-computed golden of _encode_mention's accounting at
+    // max-len 12 (utils.py:80-106): context budget = 12 − (|m|+2) − 2,
+    // halves redistribute slack from the short side to the long one
+    val in = tmp("ptk.jsonl")
+    Files.writeString(java.nio.file.Paths.get(in),
+      """{"mention_index":0,"left_context":"a b c d e","mention":"m1 m2","right_context":"r1","entity_id":"Q1"}
+        |{"mention_index":1,"left_context":"","mention":"x","right_context":"","entity_id":"Q2"}
+        |""".stripMargin)
+    val vocabDir = tmp("ptk-vocab")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(vocabDir))
+    Files.writeString(java.nio.file.Paths.get(vocabDir + "/vocab.csv"),
+      "[PAD],0\nQ1,5\nQ2,3\n")
+    val out = tmp("ptk-out")
+    Cli.run(spark, "pretokenize", Map("input" -> in, "output" -> out,
+      "entity-vocab" -> (vocabDir + "/vocab.csv"), "max-len" -> "12"))
+    val rows = spark.read.json(out)
+      .select("mention_index", "input_tokens", "attention_mask", "label")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList,
+        r.getSeq[Long](2).toList, r.getLong(3))).sortBy(_._1).toList
+    // row 0: budget 6, halves 3/3; right has 1 → left absorbs 2 → 5/1;
+    // body fills the window exactly, no padding, full mask
+    rows(0) shouldBe ((0L,
+      List("[CLS]", "a", "b", "c", "d", "e", "[E_START]", "m1", "m2", "[E_END]", "r1", "[SEP]"),
+      List.fill(12)(1L), 1L))
+    // row 1: both contexts empty — tokenize("") must be [], not [""];
+    // 5 real slots, 7 [PAD]s, mask 1×5 0×7; Q2 → vocab row 2
+    rows(1) shouldBe ((1L,
+      List("[CLS]", "[E_START]", "x", "[E_END]", "[SEP]") ::: List.fill(7)("[PAD]"),
+      List.fill(5)(1L) ::: List.fill(7)(0L), 2L))
+    // unknown entity fails loudly instead of growing the vocab
+    val bad = tmp("ptk-bad.jsonl")
+    Files.writeString(java.nio.file.Paths.get(bad),
+      """{"mention_index":0,"left_context":"","mention":"x","right_context":"","entity_id":"NOPE"}
+        |""".stripMargin)
+    val e = intercept[Exception] {
+      Cli.run(spark, "pretokenize", Map("input" -> bad, "output" -> tmp("ptk-bad-out"),
+        "entity-vocab" -> (vocabDir + "/vocab.csv"), "max-len" -> "12"))
+    }
+    e.getMessage should include("entity not in vocab")
+  }
+
   test("preprocess-zeshel joins the two-file corpus into mention + entity rows") {
     val docs = tmp("zdocs"); val ments = tmp("zments"); val out = tmp("zout")
     Files.createDirectories(java.nio.file.Paths.get(docs))

@@ -471,16 +471,24 @@ class VectorSpec extends SparkSpec {
     val bucketedViaAuto = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
         k = 3, isQuery = isQ, maxBroadcastRows = 1L, prefixBits = 4)
       .as[(Long, Long, Long, Long)].collect().toSet
+    // Count only jobs from THIS test's job group (a concurrent suite's
+    // job can't over-count) and drain the listener bus before asserting
+    // (a slow bus can't under-count) — no fixed sleep anywhere.
+    val group = "vectorspec-bucketed-no-count"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (group == j.properties.getProperty("spark.jobGroup.id")) jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      spark.sparkContext.setJobGroup(group, "bucketed plan construction", false)
       val plan = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
         k = 3, isQuery = isQ, prefixBits = 4, route = Similarity.HammingRoute.Bucketed)
-      Thread.sleep(500) // let any eagerly-submitted job reach the listener bus
+      spark.sparkContext.clearJobGroup()
+      // listenerBus is private[spark] in source but public in bytecode
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus").invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
       withClue("Bucketed must not run the count() existence check: ") {
         jobs.get() shouldBe 0
       }
