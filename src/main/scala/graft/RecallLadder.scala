@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executed recall/cost ladder for the multi-table Hamming LSH route
+  * (VERDICT r11 #2): for each (prefixBits, nTables) operating point,
+  * measure recall@3 against the exact brute Hamming ranking AND wall
+  * time AND the deduped candidate-pair count on one or more sf dirs —
+  * so the v14b/v14c defaults are justified by a cost/recall table at
+  * 10× data (target/sf1), not only by the sf0.1 recall ladder that
+  * round 11 executed without cost alongside it.
+  *
+  * The query set is the driver's v14 family config (vec_id % 10 == 0,
+  * k = 3); "recall@3" is |returned ∩ brute top-3| / |brute top-3|
+  * summed over queries — the same definition VectorSpec pins. Brute
+  * truth is [[operators.Similarity.binaryHammingTopK]]'s exact
+  * broadcast path (the query side is 10% of the corpus, far under the
+  * cap at every tested sf). Wall is the min over iters of a full
+  * materialization of the multi-table plan (toRdd.count, same
+  * convention as [[ScaleSmoke]]); the candidate count and the recall
+  * collect run OUTSIDE the timed region.
+  *
+  * Usage: runMain graft.RecallLadder <sfDir> [<sfDir> ...]
+  * Env: SPARK_GRAFT_RECALL_ITERS (default 2),
+  *      SPARK_GRAFT_RECALL_OUT (optional: write ONE JSON object
+  *      "<dirBase> p=<p> L=<n>" → {recall3, wall, cands, queries} —
+  *      the round artifact RECALL_r{N}.json).
+  */
+object RecallLadder {
+  // the ladder: the driver widths (6 = v14/v14b/v14c) bracketed by a
+  // wider-bucket (p=4) and a narrower-bucket (p=8) width; L capped at
+  // each width's 32/gcd(p,32) distinct rotation offsets
+  private val Configs: Seq[(Int, Seq[Int])] = Seq(
+    4 -> Seq(1, 2, 4, 8),
+    6 -> Seq(1, 2, 4, 6, 8, 12, 16),
+    8 -> Seq(1, 2, 4))
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: RecallLadder <sfDir> [<sfDir> ...]")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_RECALL_ITERS", "2").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      v => v % 10 === 0
+    def topSets(d: DataFrame): Map[Long, Set[Long]] =
+      d.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    args.foreach { dir =>
+      val base = dir.stripSuffix("/").split("/").last
+      val emb = Tables.load(spark, dir, "embeddings")
+      val brute = topSets(operators.Similarity.binaryHammingTopK(
+        emb, col("vec_id"), col("embedding"), k = 3, isQuery = isQ))
+      val denom = brute.values.map(_.size).sum
+      Configs.foreach { case (p, ls) =>
+        ls.foreach { l =>
+          val plan = () => operators.Similarity.binaryHammingTopKMultiTable(
+            emb, col("vec_id"), col("embedding"), k = 3, isQuery = isQ,
+            prefixBits = p, nTables = l)
+          System.gc(); Thread.sleep(50)
+          val wall = (0 until iters).map { _ =>
+            val t0 = System.nanoTime()
+            plan().queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          val got = topSets(plan())
+          val hits = got.iterator.map { case (q, ns) =>
+            (ns & brute.getOrElse(q, Set.empty)).size
+          }.sum
+          val recall = hits.toDouble / denom
+          // deduped candidate-pair count: the plan's cost driver — the
+          // same construction as the operator's cand stage (untimed)
+          val m32 = (1L << 32) - 1L
+          val codes = emb.select(col("vec_id"),
+              functions.VectorFunctions.signCode(col("embedding")).as("c"))
+            .select(col("vec_id"), col("c.hi").as("hi"))
+          val buckets = array((0 until l).map { t =>
+            val r = (t * p) % 32
+            val rot = if (r == 0) col("hi")
+              else shiftleft(col("hi"), r).bitwiseAND(lit(m32)) +
+                shiftright(col("hi"), 32 - r)
+            shiftright(rot, 32 - p)
+          }: _*)
+          val tb = codes.select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
+          val q = tb.where(isQ(col("vec_id")))
+            .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+          val c = tb.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
+          val cands = q.join(c, Seq("tbl", "bucket"))
+            .where(col("qid") =!= col("cid"))
+            .select("qid", "cid").distinct().count()
+          println(s"""{"recall":{"sf":"$base","p":$p,"L":$l,""" +
+            s""""recall3":${fmt(recall)},"wall":${fmt(wall)},""" +
+            s""""cands":$cands,"queries":${brute.size}}}""")
+          out.update(s"$base p=$p L=$l",
+            s"""{"recall3": ${fmt(recall)}, "wall": ${fmt(wall)}, """ +
+              s""""cands": $cands, "queries": ${brute.size}}""")
+        }
+      }
+    }
+    sys.env.get("SPARK_GRAFT_RECALL_OUT").foreach { path =>
+      val body = out.map { case (k, v) => s"""  "$k": $v""" }
+        .mkString("{\n", ",\n", "\n}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body + "\n")
+      println(s"[recall] wrote $path")
+    }
+    spark.stop()
+  }
+}

@@ -36,7 +36,14 @@ object ScaleSmoke {
         // pipeline (now including the PII scrub stage), and its
         // live streaming twin
         "v14b_hamming_multitable", "v14c_hamming_rotated",
-        "e1_pipeline", "st26_streaming_pipeline"))
+        "e1_pipeline", "st26_streaming_pipeline",
+        // round 13: the GRINCH family's first executed scale rows —
+        // h4 is the scale path (one independent tree per label key in
+        // parallel partitions, input grows 10×); h9/h11 are fixed
+        // 200-point slices BY CONTRACT (single-tree semantics are
+        // sequential, the reference's own execution shape), so their
+        // sf1 rows pin constancy, not growth
+        "h4_grinch_by_label", "h9_grinch_graft_tree", "h11_grinch_prune_cut"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
