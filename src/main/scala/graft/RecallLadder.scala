@@ -38,6 +38,12 @@ object RecallLadder {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: RecallLadder <sfDir> [<sfDir> ...]")
+    // artifact rows are keyed by the dir's basename — two dirs sharing a
+    // final path segment would silently overwrite each other's rows
+    val bases = args.map(_.stripSuffix("/").split("/").last)
+    require(bases.distinct.length == bases.length,
+      s"sf dirs must have distinct basenames (artifact rows are keyed by " +
+        s"them); got ${bases.mkString(", ")}")
     val iters = sys.env.getOrElse("SPARK_GRAFT_RECALL_ITERS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
@@ -61,8 +67,11 @@ object RecallLadder {
     args.foreach { dir =>
       val base = dir.stripSuffix("/").split("/").last
       val emb = Tables.load(spark, dir, "embeddings")
+      // route=Exact so an over-cap query side fails loudly rather than
+      // silently downgrading the truth set to the single-table LSH route
       val brute = topSets(operators.Similarity.binaryHammingTopK(
-        emb, col("vec_id"), col("embedding"), k = 3, isQuery = isQ))
+        emb, col("vec_id"), col("embedding"), k = 3, isQuery = isQ,
+        route = operators.Similarity.HammingRoute.Exact))
       val denom = brute.values.map(_.size).sum
       Configs.foreach { case (p, ls) =>
         ls.foreach { l =>
@@ -80,20 +89,15 @@ object RecallLadder {
             (ns & brute.getOrElse(q, Set.empty)).size
           }.sum
           val recall = hits.toDouble / denom
-          // deduped candidate-pair count: the plan's cost driver — the
-          // same construction as the operator's cand stage (untimed)
-          val m32 = (1L << 32) - 1L
+          // deduped candidate-pair count: the plan's cost driver —
+          // Similarity.multiTableBuckets is the SAME builder the timed
+          // operator uses, so `cands` cannot desync from the plan
           val codes = emb.select(col("vec_id"),
               functions.VectorFunctions.signCode(col("embedding")).as("c"))
             .select(col("vec_id"), col("c.hi").as("hi"))
-          val buckets = array((0 until l).map { t =>
-            val r = (t * p) % 32
-            val rot = if (r == 0) col("hi")
-              else shiftleft(col("hi"), r).bitwiseAND(lit(m32)) +
-                shiftright(col("hi"), 32 - r)
-            shiftright(rot, 32 - p)
-          }: _*)
-          val tb = codes.select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
+          val tb = codes.select(col("vec_id"),
+            posexplode(operators.Similarity.multiTableBuckets(col("hi"), p, l))
+              .as(Seq("tbl", "bucket")))
           val q = tb.where(isQ(col("vec_id")))
             .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
           val c = tb.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))

@@ -476,11 +476,44 @@ object Similarity {
     * shuffle keyed on both), linear in summed bucket occupancy; the
     * dedup is a partial-agg-friendly distinct on (qid, cid, hamming);
     * top-k is a per-query window over candidates only. No n² anywhere.
+    *
+    * Defaults (p=6, L=8) are the executed cost/recall frontier
+    * (RECALL_r13.json, [[graft.RecallLadder]], SCALE.md "Multi-table
+    * Hamming LSH operating points"): at sf1 (20k×20k, 2k queries) p=6
+    * dominates p=4 at every equal candidate budget (L=4: recall@3
+    * 0.548 @ 2.7M cands vs p=4 L=1's 0.320 @ 2.6M) while p=8 is capped
+    * at 4 distinct tables (recall ceiling 0.333); L=8 buys recall@3
+    * 0.741 at sf1 / 0.545 at sf0.1 for ~4.5 s — the knee before the
+    * near-linear-cost tail to the p=6 ceiling (L=16: 0.875 @ 7.7 s).
+    * Callers chasing >0.9 recall switch to p=4 L=8 (0.967 @ 14 s).
     */
+  /** The L-table bucket array shared by [[binaryHammingTopKMultiTable]]
+    * and [[RecallLadder]]'s candidate counter (a single construction so
+    * the ladder's reported `cands` can never desync from the plan being
+    * timed): element l is table l's bucket — the top `prefixBits` bits
+    * of `hi` ROTATED left by r = (l·prefixBits) mod 32. For l·p + p ≤ 32
+    * this is exactly the l-th disjoint bit window (the original v14b
+    * formulation); past 32 bits the window WRAPS — still a deterministic
+    * p-bit subset and still pure integer SQL (rot = (hi mod
+    * 2^(32-r))·2^r + hi div 2^(32-r), every term < 2^32), which is what
+    * lifts the old nTables·prefixBits ≤ 32 cap: up to 32/gcd(p,32)
+    * DISTINCT tables of recall headroom (16 at p=6, 4 at p=8). */
+  private[graft] def multiTableBuckets(hi: Column, prefixBits: Int,
+                                       nTables: Int): Column = {
+    val m32 = (1L << 32) - 1L
+    array((0 until nTables).map { l =>
+      val r = (l * prefixBits) % 32
+      val rot =
+        if (r == 0) hi
+        else shiftleft(hi, r).bitwiseAND(lit(m32)) + shiftright(hi, 32 - r)
+      shiftright(rot, 32 - prefixBits)
+    }: _*)
+  }
+
   def binaryHammingTopKMultiTable(df: DataFrame, id: Column, vec: Column, k: Int,
                                   isQuery: Column => Column,
                                   prefixBits: Int = 6,
-                                  nTables: Int = 4): DataFrame = {
+                                  nTables: Int = 8): DataFrame = {
     require(prefixBits >= 1 && prefixBits <= 32 && nTables >= 1 && nTables <= 32,
       s"nTables=$nTables, prefixBits=$prefixBits must each fit the 32 hi sign bits")
     // rotation offsets r = (l·p) mod 32 repeat with period 32/gcd(p,32)
@@ -495,24 +528,9 @@ object Similarity {
     val base = df.select(id.cast("long").as("vid"),
       VectorFunctions.signCode(vec).as("code"))
       .select(col("vid"), col("code.hi").as("hi"), col("code.lo").as("lo"))
-    // Table l = the top `prefixBits` bits of the hi half ROTATED left by
-    // (l·prefixBits) mod 32. For l·p + p ≤ 32 this is exactly the l-th
-    // disjoint bit window (the original formulation); past 32 bits the
-    // window WRAPS — still a deterministic p-bit subset and still pure
-    // integer SQL (rot = (hi mod 2^(32-r))·2^r + hi div 2^(32-r), every
-    // term < 2^32), which is what lifts the old nTables·prefixBits ≤ 32
-    // cap: up to 32/gcd(prefixBits,32) DISTINCT tables of recall
-    // headroom (e.g. 16 at p=6, 4 at p=8 — enforced above).
-    val m32 = (1L << 32) - 1L
-    val buckets = array((0 until nTables).map { l =>
-      val r = (l * prefixBits) % 32
-      val rot =
-        if (r == 0) col("hi")
-        else shiftleft(col("hi"), r).bitwiseAND(lit(m32)) + shiftright(col("hi"), 32 - r)
-      shiftright(rot, 32 - prefixBits)
-    }: _*)
     val tabled = base.select(col("vid"), col("hi"), col("lo"),
-      posexplode(buckets).as(Seq("tbl", "bucket")))
+      posexplode(multiTableBuckets(col("hi"), prefixBits, nTables))
+        .as(Seq("tbl", "bucket")))
     val q = tabled.where(isQuery(col("vid")))
       .select(col("vid").as("qid"), col("hi").as("qhi"), col("lo").as("qlo"),
         col("tbl"), col("bucket"))
