@@ -421,6 +421,30 @@ class VectorSpec extends SparkSpec {
     recall(got) should be >= recall(four)
   }
 
+  test("multiTableBuckets: matches a local rotate-and-truncate recompute at every (p, L); table 0 is the single-table bucket key") {
+    // the shared builder is what both the operator's candidate stage
+    // and RecallLadder's candidate counter posexplode — pin it directly
+    // against plain JVM bit arithmetic, wrapped windows included
+    val rnd = new scala.util.Random(47)
+    val his = Seq.fill(64)(rnd.nextLong() & 0xFFFFFFFFL) :+ 0L :+ 0xFFFFFFFFL
+    val df = his.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("id", "hi")
+    for ((p, nT) <- Seq((4, 8), (6, 16), (8, 4))) {
+      val got = df.select(col("id"),
+          Similarity.multiTableBuckets(col("hi"), p, nT).as("b"))
+        .as[(Long, Seq[Long])].collect().toMap
+      his.zipWithIndex.foreach { case (h, i) =>
+        val expect = (0 until nT).map { l =>
+          val r = (l * p) % 32
+          val rot = ((h << r) & 0xFFFFFFFFL) | (h >>> (32 - r) & (if (r == 0) 0L else 0xFFFFFFFFL))
+          rot >>> (32 - p)
+        }
+        withClue(s"p=$p L=$nT hi=$h: ") { got(i.toLong) shouldBe expect }
+        // table 0 IS the single-table route's bucket key
+        got(i.toLong).head shouldBe (h >>> (32 - p))
+      }
+    }
+  }
+
   test("multi-table recall on the sf0.1 corpus: 4 tables quadruple single-table recall@3 vs the brute ranking") {
     // the driver-fixture-scale recall evidence (2,000 real embeddings,
     // 200 queries — deterministic, so the measured recalls are stable):
