@@ -3,13 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Executed recall/cost ladder for the multi-table Hamming LSH route
-  * (VERDICT r11 #2): for each (prefixBits, nTables) operating point,
-  * measure recall@3 against the exact brute Hamming ranking AND wall
-  * time AND the deduped candidate-pair count on one or more sf dirs —
-  * so the v14b/v14c defaults are justified by a cost/recall table at
-  * 10× data (target/sf1), not only by the sf0.1 recall ladder that
-  * round 11 executed without cost alongside it.
+/** Executed recall/cost ladders for BOTH approximate-NN routes:
+  * the multi-table Hamming LSH (v14b/v14c — VERDICT r11 #2) over a
+  * (prefixBits, nTables) grid, and the multi-table cosine RHP LSH
+  * (v2/v7 — round 14) over a (nBits, nTables) grid. For each operating
+  * point: recall@3 against the exact brute ranking (Hamming
+  * route=Exact / cosine broadcast path) AND wall time AND the deduped
+  * candidate-pair count on one or more sf dirs — so the operator
+  * defaults are justified by a cost/recall table at 10× data
+  * (target/sf1), not only by a recall number without cost alongside.
   *
   * The query set is the driver's v14 family config (vec_id % 10 == 0,
   * k = 3); "recall@3" is |returned ∩ brute top-3| / |brute top-3|
@@ -28,13 +30,21 @@ import org.apache.spark.sql.functions._
   *      the round artifact RECALL_r{N}.json).
   */
 object RecallLadder {
-  // the ladder: the driver widths (6 = v14/v14b/v14c) bracketed by a
-  // wider-bucket (p=4) and a narrower-bucket (p=8) width; L capped at
-  // each width's 32/gcd(p,32) distinct rotation offsets
+  // the Hamming ladder: the driver widths (6 = v14/v14b/v14c) bracketed
+  // by a wider-bucket (p=4) and a narrower-bucket (p=8) width; L capped
+  // at each width's 32/gcd(p,32) distinct rotation offsets
   private val Configs: Seq[(Int, Seq[Int])] = Seq(
     4 -> Seq(1, 2, 4, 8),
     6 -> Seq(1, 2, 4, 6, 8, 12, 16),
     8 -> Seq(1, 2, 4))
+  // the cosine RHP ladder (v2/v7's route): the driver width (8 bits =
+  // AnnBits) bracketed by a coarser and a finer signature; tables are
+  // INDEPENDENT hyperplane sets (seed offsets), so L is uncapped — the
+  // grid stops where the recall curve flattens
+  private val CosineConfigs: Seq[(Int, Seq[Int])] = Seq(
+    6 -> Seq(1, 2, 3),
+    8 -> Seq(1, 2, 3, 4, 6),
+    10 -> Seq(1, 2, 4, 8))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: RecallLadder <sfDir> [<sfDir> ...]")
@@ -110,6 +120,51 @@ object RecallLadder {
           out.update(s"$base p=$p L=$l",
             s"""{"recall3": ${fmt(recall)}, "wall": ${fmt(wall)}, """ +
               s""""cands": $cands, "queries": ${brute.size}}""")
+        }
+      }
+      // ---- the cosine RHP family (v2/v7's route): same protocol —
+      // recall@3 vs the exact brute cosine ranking (broadcast path, the
+      // %10 query side is far under the cap at every tested sf), wall =
+      // min-of-iters full materialization, cands = deduped union of the
+      // per-table bucket joins (the SAME signature expression the timed
+      // plan evaluates: rhpSignature at seed + t·7919)
+      val bruteCos = topSets(operators.Similarity.cosineTopK(
+        emb, emb.where(isQ(col("vec_id"))), col("vec_id"), col("embedding"),
+        k = 3))
+      val denomCos = bruteCos.values.map(_.size).sum
+      CosineConfigs.foreach { case (b, ls) =>
+        ls.foreach { l =>
+          val plan = () => operators.Similarity.rhpAnnTopKMulti(
+            emb, col("vec_id"), col("embedding"), nBits = b, dim = 64, k = 3,
+            nTables = l, isQuery = isQ)
+          System.gc(); Thread.sleep(50)
+          val wall = (0 until iters).map { _ =>
+            val t0 = System.nanoTime()
+            plan().queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          val got = topSets(plan())
+          val hits = got.iterator.map { case (q, ns) =>
+            (ns & bruteCos.getOrElse(q, Set.empty)).size
+          }.sum
+          val recall = hits.toDouble / denomCos
+          val sigs = (0 until l).map { t =>
+            emb.select(col("vec_id"), lit(t).as("tbl"),
+              functions.VectorFunctions.rhpSignature(col("embedding"), b, 64,
+                42L + t * 7919L).as("bucket"))
+          }.reduce(_ unionByName _)
+          val q = sigs.where(isQ(col("vec_id")))
+            .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+          val c = sigs.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
+          val cands = q.join(c, Seq("tbl", "bucket"))
+            .where(col("qid") =!= col("cid"))
+            .select("qid", "cid").distinct().count()
+          println(s"""{"recall":{"sf":"$base","family":"rhp","bits":$b,"L":$l,""" +
+            s""""recall3":${fmt(recall)},"wall":${fmt(wall)},""" +
+            s""""cands":$cands,"queries":${bruteCos.size}}}""")
+          out.update(s"$base rhp b=$b L=$l",
+            s"""{"recall3": ${fmt(recall)}, "wall": ${fmt(wall)}, """ +
+              s""""cands": $cands, "queries": ${bruteCos.size}}""")
         }
       }
     }

@@ -132,14 +132,20 @@ object Similarity {
     * union is linear in total bucket occupancy, never n².
     */
   def rhpAnnTopKMulti(df: DataFrame, id: Column, vec: Column, nBits: Int, dim: Int, k: Int,
-                      nTables: Int, seed: Long = 42L): DataFrame = {
+                      nTables: Int, seed: Long = 42L,
+                      isQuery: Column => Column = _ => lit(true)): DataFrame = {
     val base = df.select(id.as("vid"), vec.as("v"))
       .withColumn("nrm", VectorFunctions.l2Norm(col("v")))
     val sigs = (0 until nTables).map { t =>
       base.withColumn("bucket", VectorFunctions.rhpSignature(col("v"), nBits, dim, seed + t * 7919L))
         .withColumn("tbl", lit(t))
     }.reduce(_ unionByName _)
-    val a = sigs.select(col("tbl"), col("bucket"), col("vid").as("qid"), col("v").as("qvec"), col("nrm").as("qnrm"))
+    // `isQuery` restricts the QUERY side before the join (the corpus
+    // side always carries every vector): default all-true = the v7
+    // every-vector-is-a-query shape; a predicate makes the per-query
+    // candidate cost attributable (the RecallLadder's cosine grid)
+    val a = sigs.where(isQuery(col("vid")))
+      .select(col("tbl"), col("bucket"), col("vid").as("qid"), col("v").as("qvec"), col("nrm").as("qnrm"))
     val b = sigs.select(col("tbl"), col("bucket"), col("vid").as("cid"), col("v").as("cvec"), col("nrm").as("cnrm"))
     // a pair may collide in several tables — rank it once. The dedup
     // runs AFTER the (map-side) cosine so the exchange carries
