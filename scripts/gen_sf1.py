@@ -11,7 +11,9 @@ events with uniform types — seeded and deterministic. Statistical
 equivalence is all the scale smoke needs: it measures wall-time
 SCALING and convergence-round counts, not oracle hashes.
 
-Usage: python3 scripts/gen_sf1.py [outdir]   (default target/sf1)
+Usage: python3 scripts/gen_sf1.py [outdir] [mult]
+  outdir default target/sf1; mult = size multiple of sf0.1 (default 10
+  = sf1; 100 = an sf10-shaped set for the 100x scaling series).
 """
 import json
 import os
@@ -22,11 +24,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "target/sf1"
+MULT = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
 SEED = 42
-N_DOCS = 50_000          # 10x sf0.1's 5,000
-N_VECS = 20_000          # 10x sf0.1's 2,000
-N_EVENTS = 1_000_000     # 10x sf0.1's 100,000
-N_USERS = 15_000         # 10x sf0.1's 1,500 (constant per-user rate)
+N_DOCS = int(5_000 * MULT)      # sf0.1 has 5,000
+N_VECS = int(2_000 * MULT)      # sf0.1 has 2,000
+N_EVENTS = int(100_000 * MULT)  # sf0.1 has 100,000
+N_USERS = int(1_500 * MULT)     # sf0.1 has 1,500 (constant per-user rate)
 
 VOCAB = np.array(sorted(
     "a agg batch big column customer data dup fast filter group hash join "

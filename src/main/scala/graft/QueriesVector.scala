@@ -512,6 +512,65 @@ object QueriesVector {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // -------------------------------------------------------------- v14d
+  // Occupancy-targeted auto-width multi-table Hamming LSH — the 100×
+  // fix from SCALE_100X_r14.json: v14/v14b/v14c's FIXED widths mean
+  // fixed 2^p bucket cardinality, so occupancy grows linearly with the
+  // corpus and candidate pairs quadratically (797×/1239× wall at 100×
+  // data). v14d derives p from one scalar count so expected occupancy
+  // stays ≈ 32 at every corpus size (p = min(32, max(4,
+  // ceilLog2(ceil(n/32)))) — integer ceil-log2, no float rounding at
+  // power-of-two boundaries) and clamps L=8 to the 32/gcd(p,32)
+  // distinct rotation offsets. The oracle replays the WIDTH DERIVATION
+  // ITSELF in SQL (MIN i with 2^i ≥ ceil(n/32) over a series), so one
+  // static SQL string hash-matches at every sf: sf0.01 → p=4, sf0.1 →
+  // p=6, sf1 → p=10, sf10 → p=13.
+  private[graft] val V14dOccupancy = 32
+  private[graft] val V14dTables = 8
+
+  val v14dHammingAutoWidth: Q = (s, dir) =>
+    Similarity.binaryHammingTopKMultiTable(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), k = 3, isQuery = v => v % 10 === 0,
+      nTables = V14dTables, targetOccupancy = V14dOccupancy)
+      .orderBy("query_id", "rank")
+
+  val v14dHammingAutoWidthSql: String = {
+    def half(lo: Int, hi: Int) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series($lo, $hi), " +
+        s"i -> CASE WHEN embedding[i]::DOUBLE > 0 THEN 1::BIGINT ELSE 0::BIGINT END)), " +
+        s"(acc, x) -> acc * 2 + x)"
+    val occ = V14dOccupancy
+    s"""WITH c AS (
+       |  SELECT vec_id, ${half(1, 32)} AS hi, ${half(33, 64)} AS lo
+       |  FROM embeddings),
+       |pp AS (
+       |  SELECT LEAST(32, GREATEST(4, (
+       |    SELECT MIN(i) FROM generate_series(0, 40) s(i)
+       |    WHERE CAST(power(2, i) AS BIGINT) >=
+       |          ((SELECT count(*) FROM c) + $occ - 1) // $occ))) AS p),
+       |tabs AS (
+       |  SELECT p, unnest(generate_series(0, LEAST($V14dTables, 32 // gcd(p, 32)) - 1)) AS tbl
+       |  FROM pp),
+       |t AS (
+       |  SELECT c.vec_id, c.hi, c.lo, tabs.tbl,
+       |         ((c.hi % CAST(power(2, 32 - ((tabs.tbl * tabs.p) % 32)) AS BIGINT))
+       |            * CAST(power(2, (tabs.tbl * tabs.p) % 32) AS BIGINT)
+       |          + c.hi // CAST(power(2, 32 - ((tabs.tbl * tabs.p) % 32)) AS BIGINT))
+       |         // CAST(power(2, 32 - tabs.p) AS BIGINT) AS bucket
+       |  FROM c CROSS JOIN tabs),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, b.vec_id AS cid,
+       |         (bit_count(xor(q.hi, b.hi)) + bit_count(xor(q.lo, b.lo)))::BIGINT AS hamming
+       |  FROM t q JOIN t b ON q.tbl = b.tbl AND q.bucket = b.bucket AND q.vec_id <> b.vec_id
+       |  WHERE q.vec_id % 10 = 0),
+       |ranked AS (
+       |  SELECT qid, cid, hamming,
+       |         row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rank
+       |  FROM cand)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank::BIGINT AS rank, hamming
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- v12
   // Prototypicality pruning on the v9 integer cells — the
   // SSL-prototypes data-curation recipe (keep each cluster's most
@@ -664,6 +723,7 @@ object QueriesVector {
     "v14_hamming_bucketed" -> v14HammingBucketed,
     "v14b_hamming_multitable" -> v14bHammingMultiTable,
     "v14c_hamming_rotated" -> v14cHammingRotated,
+    "v14d_hamming_autowidth" -> v14dHammingAutoWidth,
     "v10_pq_topk" -> v10PqTopk,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
@@ -676,6 +736,7 @@ object QueriesVector {
     "v14_hamming_bucketed" -> v14HammingBucketedSql,
     "v14b_hamming_multitable" -> v14bHammingMultiTableSql,
     "v14c_hamming_rotated" -> v14cHammingRotatedSql,
+    "v14d_hamming_autowidth" -> v14dHammingAutoWidthSql,
     "v10_pq_topk" -> v10PqTopkSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_rhp_ann" -> v2RhpAnnSql,

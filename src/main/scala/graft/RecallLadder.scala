@@ -48,6 +48,16 @@ object RecallLadder {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: RecallLadder <sfDir> [<sfDir> ...]")
+    // SPARK_GRAFT_RECALL_FAMILIES: comma subset of hamming,cosine,auto
+    // (default all three). The fixed-width grids are QUADRATIC in corpus
+    // size (the 100× lesson) — at sf10 run families=auto only.
+    val families = sys.env.getOrElse("SPARK_GRAFT_RECALL_FAMILIES", "hamming,cosine,auto")
+      .split(",").map(_.trim).toSet
+    // SPARK_GRAFT_RECALL_QMOD: query-side modulus (default 10 = the v14
+    // family config). At sf10 the exact brute truth over a %10 query
+    // side costs ~4G popcount pairs — %100 keeps the truth set tractable
+    // (the artifact row records the query count).
+    val qmod = sys.env.getOrElse("SPARK_GRAFT_RECALL_QMOD", "10").toInt
     // artifact rows are keyed by the dir's basename — two dirs sharing a
     // final path segment would silently overwrite each other's rows
     val bases = args.map(_.stripSuffix("/").split("/").last)
@@ -68,7 +78,7 @@ object RecallLadder {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      v => v % 10 === 0
+      v => v % qmod === 0
     def topSets(d: DataFrame): Map[Long, Set[Long]] =
       d.select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -78,48 +88,71 @@ object RecallLadder {
       val base = dir.stripSuffix("/").split("/").last
       val emb = Tables.load(spark, dir, "embeddings")
       // route=Exact so an over-cap query side fails loudly rather than
-      // silently downgrading the truth set to the single-table LSH route
-      val brute = topSets(operators.Similarity.binaryHammingTopK(
+      // silently downgrading the truth set to the single-table LSH
+      // route; lazy — only computed when a family that needs it runs
+      lazy val brute = topSets(operators.Similarity.binaryHammingTopK(
         emb, col("vec_id"), col("embedding"), k = 3, isQuery = isQ,
         route = operators.Similarity.HammingRoute.Exact))
-      val denom = brute.values.map(_.size).sum
-      Configs.foreach { case (p, ls) =>
+      lazy val denom = brute.values.map(_.size).sum
+      // one Hamming operating point: time the plan, replay recall vs
+      // brute, and count the deduped candidate pairs with the SAME
+      // multiTableBuckets builder the timed operator uses
+      def hammingPoint(key: String, tag: String, p: Int, l: Int,
+                       plan: () => DataFrame): Unit = {
+        System.gc(); Thread.sleep(50)
+        val wall = (0 until iters).map { _ =>
+          val t0 = System.nanoTime()
+          plan().queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val got = topSets(plan())
+        val hits = got.iterator.map { case (q, ns) =>
+          (ns & brute.getOrElse(q, Set.empty)).size
+        }.sum
+        val recall = hits.toDouble / denom
+        val codes = emb.select(col("vec_id"),
+            functions.VectorFunctions.signCode(col("embedding")).as("c"))
+          .select(col("vec_id"), col("c.hi").as("hi"))
+        val tb = codes.select(col("vec_id"),
+          posexplode(operators.Similarity.multiTableBuckets(col("hi"), p, l))
+            .as(Seq("tbl", "bucket")))
+        val q = tb.where(isQ(col("vec_id")))
+          .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+        val c = tb.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
+        val cands = q.join(c, Seq("tbl", "bucket"))
+          .where(col("qid") =!= col("cid"))
+          .select("qid", "cid").distinct().count()
+        println(s"""{"recall":{"sf":"$base",$tag,""" +
+          s""""recall3":${fmt(recall)},"wall":${fmt(wall)},""" +
+          s""""cands":$cands,"queries":${brute.size}}}""")
+        out.update(s"$base $key",
+          s"""{"recall3": ${fmt(recall)}, "wall": ${fmt(wall)}, """ +
+            s""""cands": $cands, "queries": ${brute.size}}""")
+      }
+      if (families("hamming")) Configs.foreach { case (p, ls) =>
         ls.foreach { l =>
-          val plan = () => operators.Similarity.binaryHammingTopKMultiTable(
-            emb, col("vec_id"), col("embedding"), k = 3, isQuery = isQ,
-            prefixBits = p, nTables = l)
-          System.gc(); Thread.sleep(50)
-          val wall = (0 until iters).map { _ =>
-            val t0 = System.nanoTime()
-            plan().queryExecution.toRdd.count()
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          val got = topSets(plan())
-          val hits = got.iterator.map { case (q, ns) =>
-            (ns & brute.getOrElse(q, Set.empty)).size
-          }.sum
-          val recall = hits.toDouble / denom
-          // deduped candidate-pair count: the plan's cost driver —
-          // Similarity.multiTableBuckets is the SAME builder the timed
-          // operator uses, so `cands` cannot desync from the plan
-          val codes = emb.select(col("vec_id"),
-              functions.VectorFunctions.signCode(col("embedding")).as("c"))
-            .select(col("vec_id"), col("c.hi").as("hi"))
-          val tb = codes.select(col("vec_id"),
-            posexplode(operators.Similarity.multiTableBuckets(col("hi"), p, l))
-              .as(Seq("tbl", "bucket")))
-          val q = tb.where(isQ(col("vec_id")))
-            .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
-          val c = tb.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
-          val cands = q.join(c, Seq("tbl", "bucket"))
-            .where(col("qid") =!= col("cid"))
-            .select("qid", "cid").distinct().count()
-          println(s"""{"recall":{"sf":"$base","p":$p,"L":$l,""" +
-            s""""recall3":${fmt(recall)},"wall":${fmt(wall)},""" +
-            s""""cands":$cands,"queries":${brute.size}}}""")
-          out.update(s"$base p=$p L=$l",
-            s"""{"recall3": ${fmt(recall)}, "wall": ${fmt(wall)}, """ +
-              s""""cands": $cands, "queries": ${brute.size}}""")
+          hammingPoint(s"p=$p L=$l", s""""p":$p,"L":$l""", p, l,
+            () => operators.Similarity.binaryHammingTopKMultiTable(
+              emb, col("vec_id"), col("embedding"), k = 3, isQuery = isQ,
+              prefixBits = p, nTables = l))
+        }
+      }
+      // ---- auto-width rows (targetOccupancy=32, the 100×-safe route):
+      // the derived width is recomputed here with the operator's own
+      // integer formula so the candidate counter uses the same tables
+      if (families("auto")) {
+        val occ = 32
+        val n = emb.count()
+        val b = (n + occ - 1) / occ
+        val cl2 = if (b <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(b - 1L)
+        val p = math.min(32, math.max(4, cl2))
+        val cap = 32 / BigInt(p).gcd(BigInt(32)).toInt
+        Seq(8, 16, 32).filter(_ <= cap).foreach { l =>
+          hammingPoint(s"auto occ=$occ L=$l (p=$p)",
+            s""""auto":true,"occ":$occ,"p":$p,"L":$l""", p, l,
+            () => operators.Similarity.binaryHammingTopKMultiTable(
+              emb, col("vec_id"), col("embedding"), k = 3, isQuery = isQ,
+              nTables = l, targetOccupancy = occ))
         }
       }
       // ---- the cosine RHP family (v2/v7's route): same protocol —
@@ -128,6 +161,7 @@ object RecallLadder {
       // min-of-iters full materialization, cands = deduped union of the
       // per-table bucket joins (the SAME signature expression the timed
       // plan evaluates: rhpSignature at seed + t·7919)
+      if (families("cosine")) {
       val bruteCos = topSets(operators.Similarity.cosineTopK(
         emb, emb.where(isQ(col("vec_id"))), col("vec_id"), col("embedding"),
         k = 3))
@@ -166,6 +200,7 @@ object RecallLadder {
             s"""{"recall3": ${fmt(recall)}, "wall": ${fmt(wall)}, """ +
               s""""cands": $cands, "queries": ${bruteCos.size}}""")
         }
+      }
       }
     }
     sys.env.get("SPARK_GRAFT_RECALL_OUT").foreach { path =>

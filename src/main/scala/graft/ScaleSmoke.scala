@@ -36,6 +36,9 @@ object ScaleSmoke {
         // pipeline (now including the PII scrub stage), and its
         // live streaming twin
         "v14b_hamming_multitable", "v14c_hamming_rotated",
+        // round 14: the occupancy-targeted auto-width route — the
+        // 100×-safe member of the v14 family (SCALE_100X_r14.json)
+        "v14d_hamming_autowidth",
         "e1_pipeline", "st26_streaming_pipeline",
         // round 13: the GRINCH family's first executed scale rows —
         // h4 is the scale path (one independent tree per label key in

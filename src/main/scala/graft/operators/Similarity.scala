@@ -492,6 +492,22 @@ object Similarity {
     * 0.741 at sf1 / 0.545 at sf0.1 for ~4.5 s — the knee before the
     * near-linear-cost tail to the p=6 ceiling (L=16: 0.875 @ 7.7 s).
     * Callers chasing >0.9 recall switch to p=4 L=8 (0.967 @ 14 s).
+    *
+    * `targetOccupancy > 0` switches the width to OCCUPANCY-TARGETED
+    * auto mode — the 100× lesson from SCALE_100X_r14.json: ANY fixed
+    * prefix width has a fixed 2^p bucket cardinality, so occupancy
+    * grows linearly with the corpus and candidate pairs QUADRATICALLY
+    * (the measured fixed-width walls blow up 797×/1239× at 100× data).
+    * Auto mode derives p from one bounded scalar count so expected
+    * occupancy stays ≈ targetOccupancy at every corpus size:
+    * p = min(32, max(4, ceilLog2(ceil(n / targetOccupancy)))), in pure
+    * integer arithmetic (no float log2 — boundary powers of two must
+    * round identically in the SQL replay), and CLAMPS nTables to the
+    * 32/gcd(p,32) distinct rotation offsets. Candidates then grow
+    * LINEARLY (n · L · occupancy); per-table recall drops as p widens,
+    * bought back by raising L — odd derived widths keep gcd(p,32)=1
+    * and the full 32-table headroom. `prefixBits` is ignored in auto
+    * mode.
     */
   /** The L-table bucket array shared by [[binaryHammingTopKMultiTable]]
     * and [[RecallLadder]]'s candidate counter (a single construction so
@@ -519,23 +535,38 @@ object Similarity {
   def binaryHammingTopKMultiTable(df: DataFrame, id: Column, vec: Column, k: Int,
                                   isQuery: Column => Column,
                                   prefixBits: Int = 6,
-                                  nTables: Int = 8): DataFrame = {
-    require(prefixBits >= 1 && prefixBits <= 32 && nTables >= 1 && nTables <= 32,
-      s"nTables=$nTables, prefixBits=$prefixBits must each fit the 32 hi sign bits")
+                                  nTables: Int = 8,
+                                  targetOccupancy: Int = 0): DataFrame = {
+    val p =
+      if (targetOccupancy <= 0) prefixBits
+      else {
+        // bounded scalar count (the allowlisted driver-side-constant
+        // shape) → integer ceil-log2, replayed verbatim in oracle SQL
+        val n = df.count()
+        val b = (n + targetOccupancy - 1) / targetOccupancy
+        val cl2 = if (b <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(b - 1L)
+        math.min(32, math.max(4, cl2))
+      }
+    require(p >= 1 && p <= 32 && nTables >= 1 && nTables <= 32,
+      s"nTables=$nTables, prefixBits=$p must each fit the 32 hi sign bits")
     // rotation offsets r = (l·p) mod 32 repeat with period 32/gcd(p,32)
     // — a table whose offset repeats is bit-identical to an earlier one
-    // and pays full candidate-generation cost for zero recall gain, so
-    // the duplicate is rejected rather than silently dropped
-    val distinctTables = 32 / BigInt(prefixBits).gcd(BigInt(32)).toInt
-    require(nTables <= distinctTables,
-      s"nTables=$nTables exceeds the $distinctTables distinct rotation offsets at " +
-        s"prefixBits=$prefixBits (offsets (l*$prefixBits) mod 32 repeat with period " +
-        s"$distinctTables): tables beyond that are duplicates — zero recall gain")
+    // and pays full candidate-generation cost for zero recall gain. At
+    // an EXPLICIT width the duplicate is rejected rather than silently
+    // dropped; in auto mode (the caller cannot know the derived width
+    // up front) the table count is CLAMPED to the distinct-offset cap.
+    val distinctTables = 32 / BigInt(p).gcd(BigInt(32)).toInt
+    if (targetOccupancy <= 0)
+      require(nTables <= distinctTables,
+        s"nTables=$nTables exceeds the $distinctTables distinct rotation offsets at " +
+          s"prefixBits=$p (offsets (l*$p) mod 32 repeat with period " +
+          s"$distinctTables): tables beyond that are duplicates — zero recall gain")
+    val nT = math.min(nTables, distinctTables)
     val base = df.select(id.cast("long").as("vid"),
       VectorFunctions.signCode(vec).as("code"))
       .select(col("vid"), col("code.hi").as("hi"), col("code.lo").as("lo"))
     val tabled = base.select(col("vid"), col("hi"), col("lo"),
-      posexplode(multiTableBuckets(col("hi"), prefixBits, nTables))
+      posexplode(multiTableBuckets(col("hi"), p, nT))
         .as(Seq("tbl", "bucket")))
     val q = tabled.where(isQuery(col("vid")))
       .select(col("vid").as("qid"), col("hi").as("qhi"), col("lo").as("qlo"),

@@ -445,6 +445,43 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("auto-width multi-table Hamming: derived width equals the explicit-width run; occupancy target holds across sizes") {
+    // the width formula p = min(32, max(4, ceilLog2(ceil(n/occ)))) is
+    // replayed by the v14d oracle SQL — pin the Scala side on corpus
+    // sizes that land on and around power-of-two boundaries
+    def width(n: Long, occ: Int): Int = {
+      val b = (n + occ - 1) / occ
+      val cl2 = if (b <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(b - 1L)
+      math.min(32, math.max(4, cl2))
+    }
+    width(200, 32) shouldBe 4    // sf0.01: b=7 -> 3, clamped to 4
+    width(2000, 32) shouldBe 6   // sf0.1: b=63 -> 6
+    width(2048, 32) shouldBe 6   // boundary: b=64 -> exactly 6
+    width(2049, 32) shouldBe 7   // one past the boundary -> 7
+    width(20000, 32) shouldBe 10 // sf1
+    width(200000, 32) shouldBe 13 // sf10: odd width, 32 distinct tables
+    val rnd = new scala.util.Random(83)
+    val vecs = (0L until 300L).map { id =>
+      id -> Array.fill(64)(rnd.nextGaussian().toFloat)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = v => v % 10 === 0
+    // n=300, occ=32 -> b=10 -> p=4; nTables clamps to min(8, 32/gcd(4,32)=8)=8
+    val auto = Similarity.binaryHammingTopKMultiTable(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ, nTables = 8, targetOccupancy = 32)
+      .orderBy("query_id", "rank").collect()
+    val explicit = Similarity.binaryHammingTopKMultiTable(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ, prefixBits = 4, nTables = 8)
+      .orderBy("query_id", "rank").collect()
+    auto should contain theSameElementsInOrderAs explicit
+    // auto mode clamps an over-cap table count instead of throwing
+    // (the caller cannot know the derived width up front)
+    val clamped = Similarity.binaryHammingTopKMultiTable(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ, nTables = 32, targetOccupancy = 32)
+      .orderBy("query_id", "rank").collect()
+    clamped should contain theSameElementsInOrderAs explicit
+  }
+
   test("multi-table recall on the sf0.1 corpus: 4 tables quadruple single-table recall@3 vs the brute ranking") {
     // the driver-fixture-scale recall evidence (2,000 real embeddings,
     // 200 queries — deterministic, so the measured recalls are stable):
