@@ -11,9 +11,14 @@ events with uniform types — seeded and deterministic. Statistical
 equivalence is all the scale smoke needs: it measures wall-time
 SCALING and convergence-round counts, not oracle hashes.
 
-Usage: python3 scripts/gen_sf1.py [outdir] [mult]
+Usage: python3 scripts/gen_sf1.py [outdir] [mult] [n_clusters]
   outdir default target/sf1; mult = size multiple of sf0.1 (default 10
   = sf1; 100 = an sf10-shaped set for the 100x scaling series).
+  n_clusters (default 10, the driver shape) sets embedding label
+  cardinality — pass e.g. mult/10 * 10 to let keys GROW with the
+  corpus, the realistic shape for per-key operators (h4): real corpora
+  grow entities with data, and a fixed key count concentrates per-tree
+  growth instead of spreading it across partitions.
 """
 import json
 import os
@@ -25,6 +30,7 @@ import pyarrow.parquet as pq
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "target/sf1"
 MULT = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+N_CLUSTERS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 SEED = 42
 N_DOCS = int(5_000 * MULT)      # sf0.1 has 5,000
 N_VECS = int(2_000 * MULT)      # sf0.1 has 2,000
@@ -70,9 +76,9 @@ def documents():
 
 
 def embeddings():
-    centers = rng.normal(size=(10, 64))
+    centers = rng.normal(size=(N_CLUSTERS, 64))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    labels = rng.integers(0, 10, N_VECS)
+    labels = rng.integers(0, N_CLUSTERS, N_VECS)
     vecs = centers[labels] + rng.normal(scale=0.25, size=(N_VECS, 64))
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     tbl = pa.table({
