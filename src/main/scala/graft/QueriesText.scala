@@ -192,6 +192,41 @@ object QueriesText {
        |WHERE len(list_intersect(x.hs, y.hs)) * 2 >= (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 1
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --------------------------------------------------------------- d3b
+  // d3 with the occupancy guard (lshCandidatePairs maxBucket=64): band
+  // buckets with more than 64 members — degenerate band hashes that
+  // carry almost no similarity evidence — are dropped before the pair
+  // self-join. The d-family analog of v14d: SCALE_100X_r14.json showed
+  // d3 going ~quadratic (123× at 100× data) when bounded content
+  // cardinality saturates buckets; the cap restores the linear shape
+  // while true near-dup pairs keep their non-degenerate bands. The cap
+  // is a no-op at the tiny gate sf (all buckets small) and bites at
+  // sf10 — the oracle replays the filter either way.
+  private val d3bMaxBucket = 64
+
+  val d3bMinhashCapped: Q = (s, dir) => {
+    val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)
+    val bands = Dedup.minHashBandsFromSets(sets, dedupK, dedupR)
+    Dedup.nearDupPairsFromSets(sets, bands, 1, 2, maxBucket = d3bMaxBucket)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d3bMinhashCappedSql: String =
+    s"""WITH $sqlBandCtes,
+       |bsz AS (SELECT band, band_hash, count(*) AS n FROM bands GROUP BY 1, 2),
+       |kept AS (SELECT bands.* FROM bands JOIN bsz USING (band, band_hash)
+       |  WHERE bsz.n <= $d3bMaxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       len(list_intersect(x.hs, y.hs))::BIGINT AS j_num,
+       |       (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))::BIGINT AS j_den,
+       |       cast(len(list_intersect(x.hs, y.hs)) as double)
+       |         / cast(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) as double) AS jaccard
+       |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+       |WHERE len(list_intersect(x.hs, y.hs)) * 2 >= (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- d4
   // SimHash (16-bit) per document over token hashes.
   val d4Simhash: Q = (s, dir) =>
@@ -1411,6 +1446,7 @@ object QueriesText {
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_bands" -> d2MinhashBands,
     "d3_minhash_neardup" -> d3MinhashNeardup,
+    "d3b_minhash_capped" -> d3bMinhashCapped,
     "d4_simhash" -> d4Simhash,
     "d5_ngram_jaccard" -> d5NgramJaccard,
     "d7_cc_dedup" -> d7CcDedup,
@@ -1447,6 +1483,7 @@ object QueriesText {
     "d1_exact_dedup" -> d1ExactDedupSql,
     "d2_minhash_bands" -> d2MinhashBandsSql,
     "d3_minhash_neardup" -> d3MinhashNeardupSql,
+    "d3b_minhash_capped" -> d3bMinhashCappedSql,
     "d4_simhash" -> d4SimhashSql,
     "d5_ngram_jaccard" -> d5NgramJaccardSql,
     "d7_cc_dedup" -> d7CcDedupSql,

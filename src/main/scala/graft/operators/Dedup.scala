@@ -75,10 +75,31 @@ object Dedup {
 
   /** Distinct candidate pairs (a < b) from shared LSH band hashes. The
     * join shuffles on (band, band_hash) — collision buckets, not docs.
+    *
+    * `maxBucket > 0` drops collision buckets with more than that many
+    * members BEFORE the self-join — the d-family's occupancy guard
+    * (SCALE_100X_r14.json: when content cardinality is bounded, band
+    * buckets saturate and in-bucket pairs grow quadratically; d3's 123×
+    * wall at 100× data). An oversize bucket is a DEGENERATE band hash —
+    * its members agree on one band of minhashes, which at that
+    * occupancy carries almost no similarity evidence (the standard
+    * MinHash-LSH practice of discarding overfull bands); true near-dup
+    * pairs keep ~all their other bands, so the recall cost is the
+    * probability a pair collides ONLY in degenerate buckets. The size
+    * pre-aggregation shuffles on the same (band, band_hash) key as the
+    * join itself — partial-agg-friendly, no new shuffle key.
     */
-  def lshCandidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
-    val b = bands.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
+  def lshCandidatePairs(bands: DataFrame, maxBucket: Int = 0): DataFrame = {
+    val kept =
+      if (maxBucket <= 0) bands
+      else {
+        val sizes = bands.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("__bsz"))
+          .where(col("__bsz") <= maxBucket)
+        bands.join(sizes, Seq("band", "band_hash")).drop("__bsz")
+      }
+    val a = kept.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
+    val b = kept.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
     a.join(b, Seq("band", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
@@ -188,8 +209,9 @@ object Dedup {
     * Output carries the exact intersection/union counts plus the ratio.
     */
   def nearDupPairsFromSets(sets: DataFrame, bands: DataFrame,
-                           threshNum: Int, threshDen: Int): DataFrame = {
-    val cand = lshCandidatePairs(bands)
+                           threshNum: Int, threshDen: Int,
+                           maxBucket: Int = 0): DataFrame = {
+    val cand = lshCandidatePairs(bands, maxBucket)
     cand
       .join(sets.select(col("doc").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sets.select(col("doc").as("doc_b"), col("hs").as("hs_b")), "doc_b")

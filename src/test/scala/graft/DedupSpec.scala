@@ -118,6 +118,31 @@ class DedupSpec extends SparkSpec {
     pairs shouldBe Array((0L, 1L))
   }
 
+  test("lshCandidatePairs maxBucket: no-op when all buckets fit; drops only degenerate-bucket pairs when it bites") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val nearDup = base.replace("tonight", "today")
+    // a block of identical docs: every band hash collides across all of
+    // them — one saturated (degenerate) bucket per band
+    val clones = Seq.fill(10)("copy paste boilerplate filler words repeated across many many documents here")
+    val df = (Seq(base, nearDup) ++ clones).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val shingleSet = TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3)
+    val sets = Dedup.shingleSets(df, col("doc_id"), shingleSet)
+    val bands = Dedup.minHashBandsFromSets(sets)
+    def pairs(cap: Int) = Dedup.lshCandidatePairs(bands, cap)
+      .as[(Long, Long)].collect().toSet
+    // cap above every bucket's occupancy: identical candidate set
+    pairs(1000) shouldBe pairs(0)
+    // cap below the clone block's occupancy (10 docs per bucket): the
+    // clone-block pairs vanish, the genuine near-dup pair survives —
+    // its buckets hold only the two near-dup docs
+    val capped = pairs(5)
+    capped should contain((0L, 1L))
+    capped.exists { case (a, b) => a >= 2L && b >= 2L } shouldBe false
+    // and the uncapped set did contain clone pairs (the cap actually bit)
+    pairs(0).exists { case (a, b) => a >= 2L && b >= 2L } shouldBe true
+  }
+
   test("simHash of identical docs matches; of disjoint docs differs") {
     val df = Seq("alpha beta gamma", "alpha beta gamma", "delta epsilon zeta eta").toDF("t")
       .select(TextFunctions.simHash(TextFunctions.tokens(col("t")), 16).as("h"))
