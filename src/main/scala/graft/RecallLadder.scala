@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.RecallLadder <sfDir> [<sfDir> ...]
   * Env: SPARK_GRAFT_RECALL_ITERS (default 2),
   *      SPARK_GRAFT_RECALL_OUT (optional: write ONE JSON object
-  *      "<dirBase> p=<p> L=<n>" → {recall3, wall, cands, queries} —
-  *      the round artifact RECALL_r{N}.json).
+  *      "<dirBase> p=<p> L=<n>" / "... rhp b=<b> L=<n>" /
+  *      "... auto occ=<o> L=<n> (p=<p>)" → {recall3, wall, cands,
+  *      queries} — the round artifacts RECALL_r{N}.json),
+  *      SPARK_GRAFT_RECALL_FAMILIES (comma subset of
+  *      hamming,cosine,auto; default all — run auto ONLY at sf10+,
+  *      the fixed grids are quadratic there),
+  *      SPARK_GRAFT_RECALL_QMOD (query modulus, default 10; 100 keeps
+  *      the sf10 brute truth tractable).
   */
 object RecallLadder {
   // the Hamming ladder: the driver widths (6 = v14/v14b/v14c) bracketed
