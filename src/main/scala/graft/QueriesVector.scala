@@ -54,7 +54,7 @@ object QueriesVector {
     val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.where(col("vec_id") % 50 === 0)
     Similarity.cosineTopK(emb, queries, col("vec_id"), col("embedding"), 5,
-      maxBroadcastRows = 100000L, nBits = AnnBits, dim = Dim, seed = Seed)
+      maxBroadcastRows = 100000L, dim = Dim, seed = Seed)
       .orderBy("query_id", "rank")
   }
 
@@ -389,9 +389,12 @@ object QueriesVector {
   private[graft] val V14PrefixBits = 6
 
   val v14HammingBucketed: Q = (s, dir) =>
+    // route=Bucketed pins the EXPLICIT fixed-width tier this oracle
+    // replays (since round 15 the over-cap Auto fallback is the
+    // auto-width multi-table route — that path is v14d/v15's oracle)
     Similarity.binaryHammingTopK(Tables.load(s, dir, "embeddings"),
       col("vec_id"), col("embedding"), k = 3, isQuery = v => v % 10 === 0,
-      maxBroadcastRows = 1L, prefixBits = V14PrefixBits)
+      prefixBits = V14PrefixBits, route = Similarity.HammingRoute.Bucketed)
       .orderBy("query_id", "rank")
 
   val v14HammingBucketedSql: String = {
@@ -571,6 +574,64 @@ object QueriesVector {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- v15
+  // Occupancy-targeted auto-width multi-table RHP LSH — the COSINE
+  // family twin of v14d, and the exact plan cosineTopK's over-cap Auto
+  // fallback runs since round 15 (Similarity.rhpTopKForQueriesAuto):
+  // the RHP signature width p is derived from one bounded scalar count
+  // (p = min(32, max(4, ceilLog2(ceil(n/32)))), pure integer
+  // arithmetic), so expected bucket occupancy stays ≈ 32 at every
+  // corpus size and candidates grow linearly — never the fixed-width
+  // 2^8 route that measured 316× at 100× data (SCALE_100X_r14.json).
+  // L = 8 independent seeded hyperplane sets (seed + t·7919, the v7
+  // convention) buy back per-table recall. The oracle replays the
+  // WIDTH DERIVATION ITSELF in SQL, so one static string hash-matches
+  // at every sf (sf0.01 → p=4, sf0.1 → p=6, sf1 → p=10, sf10 → p=13).
+  private[graft] val V15Tables = 8
+  private[graft] val V15Occupancy = 32
+
+  val v15RhpAutoWidth: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.rhpTopKForQueriesAuto(emb, emb.where(col("vec_id") % 10 === 0),
+      col("vec_id"), col("embedding"), dim = Dim, k = 3, seed = Seed,
+      nTables = V15Tables, targetOccupancy = V15Occupancy)
+      .orderBy("query_id", "rank")
+  }
+
+  val v15RhpAutoWidthSql: String = {
+    // sqlRhpW with the per-table seed (42 + t·7919); outer parens are
+    // load-bearing (see v7RhpMultiTableSql)
+    def rhpW(k: String, i: String): String =
+      s"((((42 + t*7919) + ($k)*$Dim + (($i)-1)) * 2654435761) % 1000000007 - 500000003)"
+    // p-bit signature with p a COLUMN (from the pp CTE), not a literal
+    val bucket =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, pp.p - 1), k -> k::BIGINT)), " +
+        s"(acc, k) -> acc*2 + CASE WHEN " +
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
+        s"i -> embedding[i]::DOUBLE * ${rhpW("k", "i")}::DOUBLE)), (a2, x) -> a2 + x) > 0 THEN 1 ELSE 0 END)"
+    s"""WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |pp AS (
+       |  SELECT LEAST(32, GREATEST(4, (
+       |    SELECT MIN(i) FROM generate_series(0, 40) s(i)
+       |    WHERE CAST(power(2, i) AS BIGINT) >=
+       |          ((SELECT count(*) FROM e) + $V15Occupancy - 1) // $V15Occupancy))) AS p),
+       |sig AS (
+       |  SELECT vec_id, t, $bucket AS bucket
+       |  FROM e, pp, generate_series(0, ${V15Tables - 1}) AS ts(t)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+       |  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 10 = 0),
+       |scored AS (
+       |  SELECT qid, cid, ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
+       |  FROM cand JOIN e q ON q.vec_id = qid JOIN e c ON c.vec_id = cid),
+       |ranked AS (
+       |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank, sim
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- v12
   // Prototypicality pruning on the v9 integer cells — the
   // SSL-prototypes data-curation recipe (keep each cluster's most
@@ -724,6 +785,7 @@ object QueriesVector {
     "v14b_hamming_multitable" -> v14bHammingMultiTable,
     "v14c_hamming_rotated" -> v14cHammingRotated,
     "v14d_hamming_autowidth" -> v14dHammingAutoWidth,
+    "v15_rhp_autowidth" -> v15RhpAutoWidth,
     "v10_pq_topk" -> v10PqTopk,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
@@ -737,6 +799,7 @@ object QueriesVector {
     "v14b_hamming_multitable" -> v14bHammingMultiTableSql,
     "v14c_hamming_rotated" -> v14cHammingRotatedSql,
     "v14d_hamming_autowidth" -> v14dHammingAutoWidthSql,
+    "v15_rhp_autowidth" -> v15RhpAutoWidthSql,
     "v10_pq_topk" -> v10PqTopkSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_rhp_ann" -> v2RhpAnnSql,

@@ -21,15 +21,45 @@ object Similarity {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Routing contract for [[binaryHammingTopK]]. `Auto` keeps the
-    * historical behavior (brute under the broadcast cap, bucket route
-    * past it, with a warn); `Exact` makes the brute contract explicit
-    * and FAILS FAST past the cap instead of silently downgrading to
-    * bucket recall (callers whose oracle is exact all-pairs SQL must
-    * never get approximate rows back); `Bucketed` always takes the
-    * sign-prefix bucket route — no count() existence check at all, so
-    * the engine path matches a bucket-only oracle by construction even
-    * on degenerate (≤1-query) inputs.
+  /** Defaults for every Auto over-cap ANN fallback (the v14d operating
+    * point, RECALL_SF10_r14.json / SCALE_100X_r14.json): expected
+    * bucket occupancy held ≈32 at any corpus size by deriving the LSH
+    * width from one bounded count, recall bought back with 8 tables.
+    * The 100× sweep showed ANY fixed width is quadratic in corpus size
+    * (fixed 2^p buckets ⇒ occupancy ∝ n ⇒ candidate pairs ∝ n²), so
+    * since round 15 no silent fallback routes to a fixed-width tier —
+    * those remain available only as EXPLICIT routes/operators
+    * ([[HammingRoute.Bucketed]], [[rhpTopKForQueries]], [[rhpAnnTopK]])
+    * whose bounded-corpus oracles pin them.
+    */
+  val AutoTables: Int = 8
+  val AutoOccupancy: Int = 32
+
+  /** Occupancy-targeted LSH width (the v14d derivation): the smallest
+    * p with 2^p buckets ≥ ceil(n / targetOccupancy), clamped to
+    * [4, 32] — pure integer ceil-log2 (no float log2: boundary powers
+    * of two must round identically in the DuckDB oracle replay).
+    */
+  private[graft] def autoPrefixBits(n: Long, targetOccupancy: Int): Int = {
+    require(targetOccupancy > 0, s"targetOccupancy=$targetOccupancy must be positive")
+    val b = (n + targetOccupancy - 1) / targetOccupancy
+    val cl2 = if (b <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(b - 1L)
+    math.min(32, math.max(4, cl2))
+  }
+
+  /** Routing contract for [[binaryHammingTopK]]. `Auto` picks the
+    * scale-safe plan (brute broadcast under the cap; past it, the
+    * occupancy-targeted auto-width multi-table LSH — the v14d route —
+    * with a warn); `Exact` makes the brute contract explicit and FAILS
+    * FAST past the cap instead of silently downgrading to LSH recall
+    * (callers whose oracle is exact all-pairs SQL must never get
+    * approximate rows back); `Bucketed` always takes the FIXED-WIDTH
+    * single-table sign-prefix route — no count() existence check at
+    * all, so the engine path matches a bucket-only oracle by
+    * construction even on degenerate (≤1-query) inputs. Bucketed is
+    * the bounded-corpus tier its oracles pin (v14); past ~10× data its
+    * fixed 2^prefixBits cardinality is quadratic (SCALE_100X_r14) —
+    * unbounded corpora belong on Auto.
     */
   sealed trait HammingRoute
   object HammingRoute {
@@ -47,14 +77,18 @@ object Similarity {
     * broadcast, so it is capped by ABSOLUTE row count, never a corpus
     * fraction — a proportional subset ("2% of the corpus") scales with
     * the data and is a guaranteed executor OOM at 100×. Past
-    * `maxBroadcastRows` the operator routes to the RHP-LSH bucketed
-    * join ([[rhpTopKForQueries]]): approximate (bucket recall), but
-    * linear and broadcast-free. `nBits`/`dim`/`seed` configure only
-    * that fallback.
+    * `maxBroadcastRows` the operator routes to the OCCUPANCY-TARGETED
+    * auto-width multi-table RHP-LSH join ([[rhpTopKForQueriesAuto]]):
+    * approximate (LSH recall), but linear at any corpus size and
+    * broadcast-free — never the fixed-width tier
+    * ([[rhpTopKForQueries]]), whose fixed 2^nBits bucket cardinality
+    * is quadratic in the corpus (SCALE_100X_r14). `dim`/`seed`/
+    * `nTables`/`targetOccupancy` configure only that fallback.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column, k: Int,
-                 maxBroadcastRows: Long = 100000L, nBits: Int = 8, dim: Int = 64,
-                 seed: Long = 42L): DataFrame = {
+                 maxBroadcastRows: Long = 100000L, dim: Int = 64,
+                 seed: Long = 42L, nTables: Int = AutoTables,
+                 targetOccupancy: Int = AutoOccupancy): DataFrame = {
     // bounded existence check: CollectLimit stops after cap+1 rows
     // (cap clamped so the +1 can't overflow Int)
     val cap = math.min(maxBroadcastRows, Int.MaxValue - 1L).toInt
@@ -63,8 +97,10 @@ object Similarity {
     // caller gets LSH-recall neighbors, not exact ones
     if (over) {
       log.warn(s"cosineTopK: query side exceeds broadcast cap $cap — routing to " +
-        "approximate RHP-LSH (bucket recall, no broadcast)")
-      return rhpTopKForQueries(corpus, queries, id, vec, nBits, dim, k, seed)
+        s"occupancy-targeted auto-width multi-table RHP-LSH (targetOccupancy=" +
+        s"$targetOccupancy, L=$nTables; LSH recall, no broadcast)")
+      return rhpTopKForQueriesAuto(corpus, queries, id, vec, dim, k, seed,
+        nTables, targetOccupancy)
     }
     log.info(s"cosineTopK: query side within broadcast cap $cap — exact broadcast path")
     val c = corpus.select(id.as("cid"), vec.as("cvec"))
@@ -80,11 +116,14 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("sim"))
   }
 
-  /** Query-subset-vs-corpus RHP-LSH top-k: both sides bucket on the
-    * same hyperplane signature and join on the bucket key — the
-    * unbounded-query-side path of [[cosineTopK]]. Shuffles on bucket
-    * occupancy, no broadcast; misses cross-bucket neighbors (standard
-    * LSH recall trade, same as [[rhpAnnTopK]]).
+  /** Query-subset-vs-corpus RHP-LSH top-k at an EXPLICIT fixed width:
+    * both sides bucket on the same hyperplane signature and join on
+    * the bucket key. Shuffles on bucket occupancy, no broadcast;
+    * misses cross-bucket neighbors (standard LSH recall trade, same as
+    * [[rhpAnnTopK]]). Bounded-corpus tier only — the fixed 2^nBits
+    * bucket cardinality is quadratic in the corpus (SCALE_100X_r14);
+    * since round 15 [[cosineTopK]]'s over-cap fallback routes to
+    * [[rhpTopKForQueriesAuto]] instead.
     */
   def rhpTopKForQueries(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
                         nBits: Int, dim: Int, k: Int, seed: Long = 42L): DataFrame = {
@@ -96,6 +135,63 @@ object Similarity {
       .withColumn("bucket", VectorFunctions.rhpSignature(col("qvec"), nBits, dim, seed))
     val cand = q.join(c, Seq("bucket")).where(col("qid") =!= col("cid"))
       .withColumn("sim", cosOf(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** The 100×-safe unbounded-query-side route of [[cosineTopK]] — the
+    * cosine-family twin of v14d's occupancy-targeted auto width
+    * ([[binaryHammingTopKMultiTable]] with `targetOccupancy`): the RHP
+    * signature width is derived from ONE bounded scalar count of the
+    * corpus (p = min(32, max(4, ceilLog2(ceil(n/targetOccupancy)))),
+    * integer arithmetic so the DuckDB oracle replays the derivation
+    * verbatim), holding expected bucket occupancy ≈ targetOccupancy at
+    * every corpus size — candidates grow LINEARLY (n · L · occupancy),
+    * never quadratically as with any fixed width (SCALE_100X_r14:
+    * fixed 2^8 RHP buckets hit a 316× wall at 100× data). Per-table
+    * recall drops as p widens; `nTables` INDEPENDENT seeded hyperplane
+    * sets (seed + t·7919, the [[rhpAnnTopKMulti]] convention) buy it
+    * back — a pair colliding in ANY table is a candidate, deduped
+    * before the rank so each pair scores once.
+    *
+    * Scale: one scan per side (the L signatures are an array +
+    * posexplode, not L passes); the join shuffles on (tbl, bucket);
+    * the dedup exchange carries (qid, cid, sim) scalars, not vectors;
+    * top-k is a per-query window over candidates only. No broadcast,
+    * no count beyond the one bounded scalar, no n².
+    */
+  def rhpTopKForQueriesAuto(corpus: DataFrame, queries: DataFrame, id: Column,
+                            vec: Column, dim: Int, k: Int, seed: Long = 42L,
+                            nTables: Int = AutoTables,
+                            targetOccupancy: Int = AutoOccupancy): DataFrame = {
+    require(nTables >= 1, s"nTables=$nTables must be positive")
+    // bounded scalar count (a driver-side constant, the allowlisted
+    // shape) → integer ceil-log2 width
+    val n = corpus.count()
+    val nBits = autoPrefixBits(n, targetOccupancy)
+    log.info(s"rhpTopKForQueriesAuto: corpus n=$n, targetOccupancy=$targetOccupancy " +
+      s"-> nBits=$nBits, L=$nTables")
+    def sigArr(v: Column): Column =
+      array((0 until nTables).map { t =>
+        VectorFunctions.rhpSignature(v, nBits, dim, seed + t * 7919L)
+      }: _*)
+    val c = corpus.select(id.as("cid"), vec.as("cvec"))
+      .withColumn("cnrm", VectorFunctions.l2Norm(col("cvec")))
+      .select(col("cid"), col("cvec"), col("cnrm"),
+        posexplode(sigArr(col("cvec"))).as(Seq("tbl", "bucket")))
+    val q = queries.select(id.as("qid"), vec.as("qvec"))
+      .withColumn("qnrm", VectorFunctions.l2Norm(col("qvec")))
+      .select(col("qid"), col("qvec"), col("qnrm"),
+        posexplode(sigArr(col("qvec"))).as(Seq("tbl", "bucket")))
+    // cosine BEFORE the dedup so the exchange carries scalars; the
+    // per-table recomputed sims are bit-identical (same strict fold),
+    // so max() just collapses copies — the rhpAnnTopKMulti convention
+    val cand = q.join(c, Seq("tbl", "bucket")).where(col("qid") =!= col("cid"))
+      .withColumn("sim", cosOf(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+      .groupBy(col("qid"), col("cid")).agg(max(col("sim")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -415,20 +511,34 @@ object Similarity {
       throw new IllegalStateException(
         s"binaryHammingTopK(route=Exact): query side exceeds broadcast cap $cap — " +
           "refusing to silently downgrade the exact contract to bucket recall; " +
-          "pass route=Bucketed (or Auto) to accept the sign-prefix LSH route, " +
-          "or binaryHammingTopKMultiTable for higher-recall multi-table LSH")
+          "pass route=Auto to accept the auto-width multi-table LSH route, " +
+          "route=Bucketed for the fixed-width single-table tier, " +
+          "or binaryHammingTopKMultiTable to pick the LSH knobs explicitly")
+    if (over && route == HammingRoute.Auto) {
+      // The 100×-safe fallback (since round 15): occupancy-targeted
+      // auto-width multi-table LSH — the v14d operating point. A fixed
+      // prefix width here would have fixed 2^p bucket cardinality, so
+      // occupancy grows linearly with the corpus and candidate pairs
+      // QUADRATICALLY (SCALE_100X_r14: 797× wall at 100× data); the
+      // auto width holds expected occupancy ≈ AutoOccupancy at every
+      // corpus size, so candidates stay linear. The fixed-width tier
+      // remains reachable as an EXPLICIT route=Bucketed.
+      log.warn(s"binaryHammingTopK: query side exceeds broadcast cap $cap — " +
+        s"routing to occupancy-targeted auto-width multi-table LSH " +
+        s"(targetOccupancy=$AutoOccupancy, L=$AutoTables)")
+      return binaryHammingTopKMultiTable(df, id, vec, k, isQuery,
+        nTables = AutoTables, targetOccupancy = AutoOccupancy)
+    }
     val cand =
       if (over) {
-        // Sign-prefix LSH: the top `prefixBits` bits of the hi half ARE
-        // an axis-aligned random-hyperplane signature (bit i = sign of
-        // dim i), so they double as the bucket key — v2's bucket-join
-        // shape, no broadcast, shuffle on bucket occupancy. Exact
-        // Hamming re-rank inside each bucket; misses cross-bucket
-        // neighbors (standard LSH recall trade — see
+        // route=Bucketed — EXPLICIT fixed-width sign-prefix LSH: the
+        // top `prefixBits` bits of the hi half ARE an axis-aligned
+        // random-hyperplane signature (bit i = sign of dim i), so they
+        // double as the bucket key — v2's bucket-join shape, no
+        // broadcast, shuffle on bucket occupancy. Exact Hamming
+        // re-rank inside each bucket; misses cross-bucket neighbors
+        // (standard LSH recall trade — see
         // [[binaryHammingTopKMultiTable]] for the L-table recall knob).
-        if (route != HammingRoute.Bucketed)
-          log.warn(s"binaryHammingTopK: query side exceeds broadcast cap $cap — " +
-            s"routing to sign-prefix bucket join ($prefixBits-bit prefix, bucket recall)")
         val shift = 32 - prefixBits
         val c = base.select(col("vid").as("cid"), col("hi"), col("lo"),
           shiftright(col("hi"), shift).as("bucket"))

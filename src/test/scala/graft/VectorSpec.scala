@@ -52,14 +52,52 @@ class VectorSpec extends SparkSpec {
     out.map(_._2) should not contain 0L
   }
 
-  test("cosineTopK past the broadcast cap routes to the LSH bucket join") {
+  test("cosineTopK past the broadcast cap routes to the auto-width multi-table LSH") {
     val df = vecs.toDF("vec_id", "embedding")
     val capped = Similarity.cosineTopK(df, df, col("vec_id"), col("embedding"), 2,
-      maxBroadcastRows = 2L, nBits = 4, dim = 3)
-    val lsh = Similarity.rhpTopKForQueries(df, df, col("vec_id"), col("embedding"),
-      nBits = 4, dim = 3, k = 2)
+      maxBroadcastRows = 2L, dim = 3)
+    val auto = Similarity.rhpTopKForQueriesAuto(df, df, col("vec_id"), col("embedding"),
+      dim = 3, k = 2)
     val a = capped.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
-    val b = lsh.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val b = auto.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    a shouldBe b
+    a should not be empty
+  }
+
+  test("autoPrefixBits: occupancy-targeted integer ceil-log2 width, clamped [4, 32]") {
+    // tiny corpora clamp to the 4-bit floor
+    Similarity.autoPrefixBits(0L, 32) shouldBe 4
+    Similarity.autoPrefixBits(1L, 32) shouldBe 4
+    Similarity.autoPrefixBits(512L, 32) shouldBe 4 // 512/32 = 16 = 2^4 exactly
+    // boundary powers of two must NOT over-widen (the no-float-log2 rule)
+    Similarity.autoPrefixBits(513L, 32) shouldBe 5  // ceil(513/32)=17 -> 2^5
+    Similarity.autoPrefixBits(1024L, 32) shouldBe 5 // 32 buckets exactly
+    Similarity.autoPrefixBits(1025L, 32) shouldBe 6
+    // the driver-sf widths pinned by the v14d oracle artifact
+    // (sf0.01=200 vecs, sf0.1=2k, sf1=20k, sf10=200k -> p=4/6/10/13)
+    Similarity.autoPrefixBits(200L, 32) shouldBe 4
+    Similarity.autoPrefixBits(2000L, 32) shouldBe 6
+    Similarity.autoPrefixBits(20000L, 32) shouldBe 10
+    Similarity.autoPrefixBits(200000L, 32) shouldBe 13
+    // the 32-bit ceiling (hi packs 32 sign bits)
+    Similarity.autoPrefixBits(Long.MaxValue / 2, 32) shouldBe 32
+  }
+
+  test("binaryHammingTopK route=Auto past the cap matches the auto-width multi-table route") {
+    val dim = 64
+    val n = 40
+    val rnd = new scala.util.Random(7)
+    val df = (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 4 === 0
+    // cap=1 forces the over-cap Auto route
+    val auto = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
+      k = 3, isQuery = isQ, maxBroadcastRows = 1L, route = Similarity.HammingRoute.Auto)
+    val explicit = Similarity.binaryHammingTopKMultiTable(df, col("vec_id"), col("embedding"),
+      k = 3, isQuery = isQ, nTables = Similarity.AutoTables,
+      targetOccupancy = Similarity.AutoOccupancy)
+    val a = auto.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val b = explicit.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     a shouldBe b
     a should not be empty
   }
@@ -304,9 +342,11 @@ class VectorSpec extends SparkSpec {
     val prefixBits = 4
     def prefix(c: (Long, Long)): Long = c._1 >> (32 - prefixBits)
     val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = v => v % 10 === 0
-    // cap of 1 forces every multi-query input onto the bucket path
+    // route=Bucketed pins the EXPLICIT fixed-width tier (since round 15
+    // the over-cap Auto fallback is the auto-width multi-table route)
     val bucketed = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
-        k = 3, isQuery = isQ, maxBroadcastRows = 1L, prefixBits = prefixBits)
+        k = 3, isQuery = isQ, prefixBits = prefixBits,
+        route = Similarity.HammingRoute.Bucketed)
       .as[(Long, Long, Long, Long)].collect().toSeq
     val brute = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
         k = 3, isQuery = isQ) // default cap: exact broadcast path
@@ -495,7 +535,7 @@ class VectorSpec extends SparkSpec {
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val brute = top(Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"), 3, isQ))
     val single = top(Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"), 3, isQ,
-      maxBroadcastRows = 1L, prefixBits = 6))
+      prefixBits = 6, route = Similarity.HammingRoute.Bucketed))
     val multi = top(Similarity.binaryHammingTopKMultiTable(df, col("vec_id"), col("embedding"),
       3, isQ, prefixBits = 6, nTables = 4))
     def recall(m: Map[Long, Set[Long]]): Double = {
@@ -510,7 +550,7 @@ class VectorSpec extends SparkSpec {
     }
   }
 
-  test("binaryHammingTopK routes: Exact over-cap fails fast; Bucketed ≡ Auto over-cap and plans without a count job") {
+  test("binaryHammingTopK routes: Exact over-cap fails fast; Bucketed is deterministic and plans without a count job") {
     val rnd = new scala.util.Random(37)
     val vecs = (0L until 120L).map(id => id -> Array.fill(64)(rnd.nextGaussian().toFloat))
     val df = vecs.toDF("vec_id", "embedding")
@@ -528,9 +568,11 @@ class VectorSpec extends SparkSpec {
     val auto = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
         k = 3, isQuery = isQ).as[(Long, Long, Long, Long)].collect().toSet
     exact shouldBe auto
-    // Bucketed = the Auto over-cap bucket route, without the existence check
-    val bucketedViaAuto = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
-        k = 3, isQuery = isQ, maxBroadcastRows = 1L, prefixBits = 4)
+    // Bucketed = the explicit fixed-width sign-prefix tier (since round
+    // 15 the Auto over-cap fallback is the auto-width multi-table
+    // route, so Bucketed is reached only by asking for it)
+    val bucketedRef = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
+        k = 3, isQuery = isQ, prefixBits = 4, route = Similarity.HammingRoute.Bucketed)
       .as[(Long, Long, Long, Long)].collect().toSet
     // Count only jobs from THIS test's job group (a concurrent suite's
     // job can't over-count) and drain the listener bus before asserting
@@ -553,7 +595,7 @@ class VectorSpec extends SparkSpec {
       withClue("Bucketed must not run the count() existence check: ") {
         jobs.get() shouldBe 0
       }
-      plan.as[(Long, Long, Long, Long)].collect().toSet shouldBe bucketedViaAuto
+      plan.as[(Long, Long, Long, Long)].collect().toSet shouldBe bucketedRef
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
