@@ -282,6 +282,56 @@ object QueriesText {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- d5b
+  // d5 with the occupancy guard (lshCandidatePairs maxBucket=64) — the
+  // same one-parameter fix d3b applied to d3: SCALE_100X_r14.json
+  // measured d5 at 192× wall at 100× data from the identical
+  // saturating-bucket cause (bounded content cardinality ⇒ band
+  // buckets saturate ⇒ in-bucket candidate pairs grow quadratically).
+  // Oversize collision buckets are degenerate band hashes carrying
+  // almost no similarity evidence; dropping them pre-join restores the
+  // linear shape while true near-dup pairs keep their non-degenerate
+  // bands. No-op at the tiny gate sf (all buckets small), bites at
+  // sf10 — the oracle replays the bucket-size filter either way (the
+  // same bsz/kept CTE as d3b).
+  private val d5bMaxBucket = 64
+
+  val d5bJaccardCapped: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val bands = Dedup.minHashBands(docs, col("doc_id"), shingleSet, dedupK, dedupR)
+    val tri = docs.select(col("doc_id").as("doc"), TextFunctions.charNgramHashes(col("text"), 3).as("tri"))
+      .repartition(col("doc")).persist()
+    Dedup.lshCandidatePairs(bands, maxBucket = d5bMaxBucket)
+      .join(tri.select(col("doc").as("doc_a"), col("tri").as("tri_a")), "doc_a")
+      .join(tri.select(col("doc").as("doc_b"), col("tri").as("tri_b")), "doc_b")
+      .withColumn("t_num", size(array_intersect(col("tri_a"), col("tri_b"))).cast("long"))
+      .withColumn("t_den", (size(col("tri_a")) + size(col("tri_b"))).cast("long") - col("t_num"))
+      .select(
+        col("doc_a"), col("doc_b"), col("t_num"), col("t_den"),
+        (col("t_num").cast("double") / col("t_den").cast("double")).as("tri_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d5bJaccardCappedSql: String = {
+    val triOf = s"list_distinct(list_transform(" +
+      s"list_transform(generate_series(1, greatest(length(text)-2, 0)), i -> substring(text, i, 3)), " +
+      s"sstr -> ${sqlStrHash("sstr")}))"
+    s"""WITH $sqlBandCtes,
+       |bsz AS (SELECT band, band_hash, count(*) AS n FROM bands GROUP BY 1, 2),
+       |kept AS (SELECT bands.* FROM bands JOIN bsz USING (band, band_hash)
+       |  WHERE bsz.n <= $d5bMaxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |tri AS (SELECT doc_id, $triOf AS tri FROM documents)
+       |SELECT doc_a, doc_b,
+       |       len(list_intersect(x.tri, y.tri))::BIGINT AS t_num,
+       |       (len(x.tri) + len(y.tri) - len(list_intersect(x.tri, y.tri)))::BIGINT AS t_den,
+       |       cast(len(list_intersect(x.tri, y.tri)) as double)
+       |         / cast(len(x.tri) + len(y.tri) - len(list_intersect(x.tri, y.tri)) as double) AS tri_jaccard
+       |FROM cand JOIN tri x ON x.doc_id = doc_a JOIN tri y ON y.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t6
   // Repetition detection (degenerate-text quality signal): the most
   // frequent token trigram's share of all trigram occurrences. A
@@ -1449,6 +1499,7 @@ object QueriesText {
     "d3b_minhash_capped" -> d3bMinhashCapped,
     "d4_simhash" -> d4Simhash,
     "d5_ngram_jaccard" -> d5NgramJaccard,
+    "d5b_jaccard_capped" -> d5bJaccardCapped,
     "d7_cc_dedup" -> d7CcDedup,
     "d8_keep_best" -> d8KeepBest,
     "d10_shared_shingles" -> d10SharedShingles,
@@ -1486,6 +1537,7 @@ object QueriesText {
     "d3b_minhash_capped" -> d3bMinhashCappedSql,
     "d4_simhash" -> d4SimhashSql,
     "d5_ngram_jaccard" -> d5NgramJaccardSql,
+    "d5b_jaccard_capped" -> d5bJaccardCappedSql,
     "d7_cc_dedup" -> d7CcDedupSql,
     "d8_keep_best" -> d8KeepBestSql,
     "d10_shared_shingles" -> d10SharedShinglesSql,

@@ -39,6 +39,9 @@ object ScaleSmoke {
         // round 14: the occupancy-targeted auto-width route — the
         // 100×-safe member of the v14 family (SCALE_100X_r14.json)
         "v14d_hamming_autowidth",
+        // round 15: the cosine-family auto-width route (the cosineTopK
+        // over-cap Auto fallback) and the capped d5
+        "v15_rhp_autowidth", "d5b_jaccard_capped",
         "e1_pipeline", "st26_streaming_pipeline",
         // round 13: the GRINCH family's first executed scale rows —
         // h4 is the scale path (one independent tree per label key in
