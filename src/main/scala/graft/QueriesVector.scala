@@ -574,6 +574,61 @@ object QueriesVector {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- v14e
+  // Multi-PROBE multi-table Hamming LSH: v14b's 4-table route with each
+  // QUERY additionally probing the p buckets at prefix Hamming distance
+  // exactly 1 per table (bucket XOR 2^j, j < p) — the recall lever that
+  // does NOT add tables: at a fixed table budget the probe catches true
+  // neighbors that differ from the query in exactly one bucket bit, the
+  // dominant miss mode once p is wide (auto-width at 100× data derives
+  // p=13, where single-bit bucket misses cost v14d most of its recall —
+  // RECALL_SF10_r14.json's 0.247 ceiling at the 32-table cap). The
+  // probe set is a deterministic integer enumeration (XOR masks 0, 1,
+  // 2, …, 2^(p-1)), so the oracle replays it exactly like v14b's
+  // windows: the query side cross-joins the 1+p masks. Candidates
+  // remain a superset of v14b's (mask 0 IS v14b's bucket), deduped
+  // before the exact Hamming re-rank.
+  private[graft] val V14eTables = 4
+  private[graft] val V14eProbe = 1
+
+  val v14eHammingMultiProbe: Q = (s, dir) =>
+    Similarity.binaryHammingTopKMultiTable(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), k = 3, isQuery = v => v % 10 === 0,
+      prefixBits = V14PrefixBits, nTables = V14eTables, probe = V14eProbe)
+      .orderBy("query_id", "rank")
+
+  val v14eHammingMultiProbeSql: String = {
+    def half(lo: Int, hi: Int) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series($lo, $hi), " +
+        s"i -> CASE WHEN embedding[i]::DOUBLE > 0 THEN 1::BIGINT ELSE 0::BIGINT END)), " +
+        s"(acc, x) -> acc * 2 + x)"
+    val mask = (1L << V14PrefixBits) - 1L
+    val windows = (0 until V14eTables)
+      .map(l => s"($l, ${1L << (32 - (l + 1) * V14PrefixBits)})").mkString(", ")
+    // the probe masks: 0 (the bucket itself) + one-hot bits below p
+    val probes = (0L +: (0 until V14PrefixBits).map(j => 1L << j)).mkString("), (")
+    s"""WITH c AS (
+       |  SELECT vec_id, ${half(1, 32)} AS hi, ${half(33, 64)} AS lo
+       |  FROM embeddings),
+       |t AS (
+       |  SELECT c.vec_id, c.hi, c.lo, w.tbl, (c.hi // w.dv) % ${mask + 1} AS bucket
+       |  FROM c CROSS JOIN (VALUES $windows) AS w(tbl, dv)),
+       |qp AS (
+       |  SELECT t.vec_id, t.hi, t.lo, t.tbl, xor(t.bucket, mk.m) AS bucket
+       |  FROM t CROSS JOIN (VALUES ($probes)) AS mk(m)
+       |  WHERE t.vec_id % 10 = 0),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, b.vec_id AS cid,
+       |         (bit_count(xor(q.hi, b.hi)) + bit_count(xor(q.lo, b.lo)))::BIGINT AS hamming
+       |  FROM qp q JOIN t b ON q.tbl = b.tbl AND q.bucket = b.bucket AND q.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, hamming,
+       |         row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rank
+       |  FROM cand)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank::BIGINT AS rank, hamming
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- v15
   // Occupancy-targeted auto-width multi-table RHP LSH — the COSINE
   // family twin of v14d, and the exact plan cosineTopK's over-cap Auto
@@ -785,6 +840,7 @@ object QueriesVector {
     "v14b_hamming_multitable" -> v14bHammingMultiTable,
     "v14c_hamming_rotated" -> v14cHammingRotated,
     "v14d_hamming_autowidth" -> v14dHammingAutoWidth,
+    "v14e_hamming_multiprobe" -> v14eHammingMultiProbe,
     "v15_rhp_autowidth" -> v15RhpAutoWidth,
     "v10_pq_topk" -> v10PqTopk,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
@@ -799,6 +855,7 @@ object QueriesVector {
     "v14b_hamming_multitable" -> v14bHammingMultiTableSql,
     "v14c_hamming_rotated" -> v14cHammingRotatedSql,
     "v14d_hamming_autowidth" -> v14dHammingAutoWidthSql,
+    "v14e_hamming_multiprobe" -> v14eHammingMultiProbeSql,
     "v15_rhp_autowidth" -> v15RhpAutoWidthSql,
     "v10_pq_topk" -> v10PqTopkSql,
     "v1_cosine_topk" -> v1CosineTopkSql,

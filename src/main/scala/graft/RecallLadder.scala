@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   * Env: SPARK_GRAFT_RECALL_ITERS (default 2),
   *      SPARK_GRAFT_RECALL_OUT (optional: write ONE JSON object
   *      "<dirBase> p=<p> L=<n>" / "... rhp b=<b> L=<n>" /
-  *      "... auto occ=<o> L=<n> (p=<p>)" → {recall3, wall, cands,
-  *      queries} — the round artifacts RECALL_r{N}.json),
+  *      "... auto occ=<o> L=<n> [probe=1] (p=<p>)" → {recall3, wall,
+  *      cands, queries} — the round artifacts RECALL_r{N}.json; a
+  *      non-default qmod is part of the key: "<dirBase> qmod=<m> …"),
   *      SPARK_GRAFT_RECALL_FAMILIES (comma subset of
   *      hamming,cosine,auto; default all — run auto ONLY at sf10+,
   *      the fixed grids are quadratic there),
@@ -59,6 +60,11 @@ object RecallLadder {
     // size (the 100× lesson) — at sf10 run families=auto only.
     val families = sys.env.getOrElse("SPARK_GRAFT_RECALL_FAMILIES", "hamming,cosine,auto")
       .split(",").map(_.trim).toSet
+    // a typo'd family name would silently skip that family and write a
+    // partial artifact with no error — fail loudly instead
+    require(families.subsetOf(Set("hamming", "cosine", "auto")),
+      s"SPARK_GRAFT_RECALL_FAMILIES must be a comma subset of hamming,cosine,auto; " +
+        s"got ${families.mkString(",")}")
     // SPARK_GRAFT_RECALL_QMOD: query-side modulus (default 10 = the v14
     // family config). At sf10 the exact brute truth over a %10 query
     // side costs ~4G popcount pairs — %100 keeps the truth set tractable
@@ -90,21 +96,32 @@ object RecallLadder {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // artifact rows carry the non-default query modulus in their key so
+    // qmod=100 rows can't be confused with qmod=10 rows of the same dir
+    // when artifacts from different runs are compared side by side
+    val qtag = if (qmod == 10) "" else s" qmod=$qmod"
     args.foreach { dir =>
       val base = dir.stripSuffix("/").split("/").last
       val emb = Tables.load(spark, dir, "embeddings")
       // route=Exact so an over-cap query side fails loudly rather than
       // silently downgrading the truth set to the single-table LSH
       // route; lazy — only computed when a family that needs it runs
-      lazy val brute = topSets(operators.Similarity.binaryHammingTopK(
-        emb, col("vec_id"), col("embedding"), k = 3, isQuery = isQ,
-        route = operators.Similarity.HammingRoute.Exact))
+      lazy val brute = {
+        val b = topSets(operators.Similarity.binaryHammingTopK(
+          emb, col("vec_id"), col("embedding"), k = 3, isQuery = isQ,
+          route = operators.Similarity.HammingRoute.Exact))
+        // a qmod past the id range selects zero queries → recall would
+        // be 0/0 = NaN, which fmt renders as invalid JSON in the artifact
+        require(b.nonEmpty, s"no queries at qmod=$qmod for $base")
+        b
+      }
       lazy val denom = brute.values.map(_.size).sum
       // one Hamming operating point: time the plan, replay recall vs
       // brute, and count the deduped candidate pairs with the SAME
-      // multiTableBuckets builder the timed operator uses
+      // multiTableBuckets + probedBuckets builders the timed operator
+      // uses (probe expands only the query side, mirroring the plan)
       def hammingPoint(key: String, tag: String, p: Int, l: Int,
-                       plan: () => DataFrame): Unit = {
+                       plan: () => DataFrame, probe: Int = 0): Unit = {
         System.gc(); Thread.sleep(50)
         val wall = (0 until iters).map { _ =>
           val t0 = System.nanoTime()
@@ -122,8 +139,11 @@ object RecallLadder {
         val tb = codes.select(col("vec_id"),
           posexplode(operators.Similarity.multiTableBuckets(col("hi"), p, l))
             .as(Seq("tbl", "bucket")))
+        val qb =
+          if (probe == 0) col("bucket")
+          else explode(operators.Similarity.probedBuckets(col("bucket"), p, probe))
         val q = tb.where(isQ(col("vec_id")))
-          .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+          .select(col("vec_id").as("qid"), col("tbl"), qb.as("bucket"))
         val c = tb.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
         val cands = q.join(c, Seq("tbl", "bucket"))
           .where(col("qid") =!= col("cid"))
@@ -131,7 +151,7 @@ object RecallLadder {
         println(s"""{"recall":{"sf":"$base",$tag,""" +
           s""""recall3":${fmt(recall)},"wall":${fmt(wall)},""" +
           s""""cands":$cands,"queries":${brute.size}}}""")
-        out.update(s"$base $key",
+        out.update(s"$base$qtag $key",
           s"""{"recall3": ${fmt(recall)}, "wall": ${fmt(wall)}, """ +
             s""""cands": $cands, "queries": ${brute.size}}""")
       }
@@ -153,12 +173,20 @@ object RecallLadder {
         val cl2 = if (b <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(b - 1L)
         val p = math.min(32, math.max(4, cl2))
         val cap = 32 / BigInt(p).gcd(BigInt(32)).toInt
-        Seq(8, 16, 32).filter(_ <= cap).foreach { l =>
-          hammingPoint(s"auto occ=$occ L=$l (p=$p)",
-            s""""auto":true,"occ":$occ,"p":$p,"L":$l""", p, l,
-            () => operators.Similarity.binaryHammingTopKMultiTable(
-              emb, col("vec_id"), col("embedding"), k = 3, isQuery = isQ,
-              nTables = l, targetOccupancy = occ))
+        // probe=0 (the v14d rows) AND probe=1 (round 15: each query
+        // also probes the p buckets at prefix Hamming distance 1 —
+        // the recall lever that does NOT add tables, aimed at the
+        // sf10 recall ceiling at the 32-table cap)
+        Seq(0, 1).foreach { pr =>
+          Seq(8, 16, 32).filter(_ <= cap).foreach { l =>
+            val prKey = if (pr == 0) "" else s" probe=$pr"
+            hammingPoint(s"auto occ=$occ L=$l$prKey (p=$p)",
+              s""""auto":true,"occ":$occ,"p":$p,"L":$l,"probe":$pr""", p, l,
+              () => operators.Similarity.binaryHammingTopKMultiTable(
+                emb, col("vec_id"), col("embedding"), k = 3, isQuery = isQ,
+                nTables = l, targetOccupancy = occ, probe = pr),
+              probe = pr)
+          }
         }
       }
       // ---- the cosine RHP family (v2/v7's route): same protocol —
@@ -202,7 +230,7 @@ object RecallLadder {
           println(s"""{"recall":{"sf":"$base","family":"rhp","bits":$b,"L":$l,""" +
             s""""recall3":${fmt(recall)},"wall":${fmt(wall)},""" +
             s""""cands":$cands,"queries":${bruteCos.size}}}""")
-          out.update(s"$base rhp b=$b L=$l",
+          out.update(s"$base$qtag rhp b=$b L=$l",
             s"""{"recall3": ${fmt(recall)}, "wall": ${fmt(wall)}, """ +
               s""""cands": $cands, "queries": ${bruteCos.size}}""")
         }

@@ -642,11 +642,27 @@ object Similarity {
     }: _*)
   }
 
+  /** The multi-probe query-side bucket set: the bucket itself plus —
+    * at `probe = 1` — every bucket at Hamming distance exactly 1 in
+    * the p-bit prefix (bucket XOR 2^j, j < p). A deterministic integer
+    * enumeration (XOR masks {0, 1, 2, 4, …, 2^(p-1)}), so the probed
+    * route replays in SQL exactly like v14b's windows. Shared by
+    * [[binaryHammingTopKMultiTable]] and [[graft.RecallLadder]]'s
+    * candidate counter so the ladder's reported `cands` can never
+    * desync from the timed plan.
+    */
+  private[graft] def probedBuckets(bucket: Column, p: Int, probe: Int): Column = {
+    require(probe >= 0 && probe <= 1, s"probe=$probe must be 0 or 1 (prefix Hamming radius)")
+    if (probe == 0) array(bucket)
+    else array(bucket +: (0 until p).map(j => bucket.bitwiseXOR(lit(1L << j))): _*)
+  }
+
   def binaryHammingTopKMultiTable(df: DataFrame, id: Column, vec: Column, k: Int,
                                   isQuery: Column => Column,
                                   prefixBits: Int = 6,
                                   nTables: Int = 8,
-                                  targetOccupancy: Int = 0): DataFrame = {
+                                  targetOccupancy: Int = 0,
+                                  probe: Int = 0): DataFrame = {
     val p =
       if (targetOccupancy <= 0) prefixBits
       else {
@@ -659,6 +675,8 @@ object Similarity {
       }
     require(p >= 1 && p <= 32 && nTables >= 1 && nTables <= 32,
       s"nTables=$nTables, prefixBits=$p must each fit the 32 hi sign bits")
+    require(probe >= 0 && probe <= 1,
+      s"probe=$probe must be 0 or 1 (prefix Hamming radius of the query-side probe set)")
     // rotation offsets r = (l·p) mod 32 repeat with period 32/gcd(p,32)
     // — a table whose offset repeats is bit-identical to an earlier one
     // and pays full candidate-generation cost for zero recall gain. At
@@ -678,9 +696,18 @@ object Similarity {
     val tabled = base.select(col("vid"), col("hi"), col("lo"),
       posexplode(multiTableBuckets(col("hi"), p, nT))
         .as(Seq("tbl", "bucket")))
+    // Multi-probe expands only the QUERY side (|Q| · L · (1+p) rows —
+    // the corpus side stays one row per (vid, tbl)): each query also
+    // probes the p buckets at prefix Hamming distance 1, catching true
+    // neighbors that differ from the query in exactly one bucket bit —
+    // the standard recall lever that does NOT add tables (and so does
+    // not re-shuffle the corpus).
+    val qBucket =
+      if (probe == 0) col("bucket") // no explode node on the probe-less path
+      else explode(probedBuckets(col("bucket"), p, probe))
     val q = tabled.where(isQuery(col("vid")))
       .select(col("vid").as("qid"), col("hi").as("qhi"), col("lo").as("qlo"),
-        col("tbl"), col("bucket"))
+        col("tbl"), qBucket.as("bucket"))
     val c = tabled.select(col("vid").as("cid"), col("hi"), col("lo"),
       col("tbl"), col("bucket"))
     val cand = q.join(c, Seq("tbl", "bucket")).where(col("qid") =!= col("cid"))

@@ -83,6 +83,54 @@ class VectorSpec extends SparkSpec {
     Similarity.autoPrefixBits(Long.MaxValue / 2, 32) shouldBe 32
   }
 
+  test("multi-probe: probed candidates superset unprobed at equal (p, L); matches a local recompute") {
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val vecs = (0L until 240L).map { id =>
+      val c = centers((id % 10).toInt)
+      id -> c.map(x => x + (rnd.nextGaussian() * 0.15).toFloat)
+    }.toMap
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 10 === 0
+    val (p, l) = (6, 4)
+    def run(probe: Int) = Similarity.binaryHammingTopKMultiTable(
+      df, col("vec_id"), col("embedding"), k = 3, isQuery = isQ,
+      prefixBits = p, nTables = l, probe = probe)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val plain = run(0)
+    val probed = run(1)
+    // local recompute of the probed route: candidate = codes agree on
+    // any table's window OR differ in exactly one bit of it
+    import graft.functions.VectorFunctions
+    val codes = df.select(col("vec_id"), VectorFunctions.signCode(col("embedding")).as("c"))
+      .select(col("vec_id"), col("c.hi"), col("c.lo"))
+      .as[(Long, Long, Long)].collect().map { case (i, h, lo) => i -> ((h, lo)) }.toMap
+    def window(hi: Long, t: Int): Long = {
+      val r = (t * p) % 32
+      val rot = if (r == 0) hi else ((hi << r) & 0xFFFFFFFFL) + (hi >>> (32 - r))
+      rot >>> (32 - p)
+    }
+    def ham(a: (Long, Long), b: (Long, Long)): Long =
+      java.lang.Long.bitCount(a._1 ^ b._1).toLong + java.lang.Long.bitCount(a._2 ^ b._2)
+    val masks = 0L +: (0 until p).map(1L << _)
+    probed.groupBy(_._1).foreach { case (qid, rows) =>
+      val expect = vecs.keys.filter { c =>
+        c != qid && (0 until l).exists(t =>
+          masks.exists(m => (window(codes(qid)._1, t) ^ m) == window(codes(c)._1, t)))
+      }.toSeq.map(c => (ham(codes(qid), codes(c)), c)).sorted.take(3)
+      withClue(s"qid=$qid: ") {
+        rows.sortBy(_._3).map(r => (r._4, r._2)) shouldBe expect
+      }
+    }
+    // mask 0 IS the unprobed bucket, so the probed candidate set is a
+    // superset: per-query Hamming of rank-1 can only improve or tie
+    val p1 = plain.filter(_._3 == 1L).map(r => r._1 -> r._4).toMap
+    probed.filter(_._3 == 1L).foreach { case (q, _, _, h) =>
+      h should be <= p1.getOrElse(q, Long.MaxValue)
+    }
+    probed.map(_._1).toSet should contain allElementsOf plain.map(_._1).toSet
+  }
+
   test("binaryHammingTopK route=Auto past the cap matches the auto-width multi-table route") {
     val dim = 64
     val n = 40
