@@ -273,7 +273,13 @@ object QueriesVector {
     * by the d9 semantic-dedup oracle so both replay the IDENTICAL
     * build [[graft.operators.Similarity.intIvfAssign]] runs.
     */
-  private val sqlIntIvfPrefix: String =
+  /** The shared integer-IVF build CTEs with the cell count given as a
+    * SQL expression — `IvfCells.toString` for the fixed-cell tier
+    * (v9/v11/v12/d9), [[sqlAutoCells]] for the corpus-scaled tier
+    * (v9b/v11b): the rn-filtered c0 is identical to ORDER BY + LIMIT
+    * but accepts a subquery-valued bound.
+    */
+  private def sqlIntIvfPrefixN(ncSql: String): String =
     s"""gs AS (
        |  SELECT max(list_reduce(list_prepend(0.0::DOUBLE,
        |    list_transform(generate_series(1, $Dim), mi -> abs(embedding[mi]::DOUBLE))),
@@ -284,9 +290,11 @@ object QueriesVector {
        |  SELECT vec_id, list_transform(generate_series(1, $Dim),
        |    i -> cast(round(embedding[i]::DOUBLE / scale) AS BIGINT)) AS q
        |  FROM embeddings, sc),
+       |cc AS (SELECT ($ncSql) AS nc),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS cent
-       |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $IvfCells)),
+       |  FROM (SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn FROM qv)
+       |  WHERE rn <= (SELECT nc FROM cc)),
        |a1 AS (
        |  SELECT vec_id, q, cell,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY ${sqlIsq("q", "cent")}, cell) AS rk
@@ -302,6 +310,19 @@ object QueriesVector {
        |         row_number() OVER (PARTITION BY vec_id ORDER BY ${sqlIsq("q", "cent")}, cell) AS rk
        |  FROM qv, c1),
        |m2 AS (SELECT vec_id, q, cell FROM a2 WHERE rk = 1)""".stripMargin
+
+  private val sqlIntIvfPrefix: String = sqlIntIvfPrefixN(IvfCells.toString)
+
+  /** Corpus-scaled cell count (Similarity.autoIvfCells's formula in
+    * SQL): the smallest c with c² ≥ ceil(n / balance), clamped to
+    * [4, 4096] — integer-exact, so the derivation itself replays.
+    */
+  private val sqlAutoCells: String = {
+    val bal = Similarity.AutoCellBalance
+    s"LEAST(4096, GREATEST(4, (SELECT MIN(c) FROM generate_series(1, 100000) t(c) " +
+      s"WHERE c*c >= ((SELECT count(*) FROM embeddings) + ${bal - 1}) // $bal)))"
+  }
+  private val sqlIntIvfPrefixAuto: String = sqlIntIvfPrefixN(sqlAutoCells)
 
   val v9IntIvfSql: String =
     s"""WITH $sqlIntIvfPrefix,
@@ -329,6 +350,58 @@ object QueriesVector {
 
   val v11IvfRerankSql: String =
     s"""WITH $sqlIntIvfPrefix,
+       |e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |cand AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |         ${sqlDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS sim
+       |  FROM m2 a JOIN m2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE a.vec_id % 50 = 0),
+       |ranked AS (
+       |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM cand)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank, sim
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------- v9b/v11b
+  // The corpus-SCALED integer IVF (nCells ≤ 0 ⇒ auto mode): remedy (b)
+  // from SCALE.md's 100× diagnosis — v9/v11's FIXED 16 cells mean cell
+  // occupancy ∝ n and in-cell candidate pairs ∝ n² (v11 measured 193×
+  // wall at 100× data, SCALE_100X_r14.json). Auto mode derives
+  // nCells = clamp(4, 4096, ceilSqrt(ceil(n/50))) from one bounded
+  // scalar count (Similarity.autoIvfCells — integer-exact ceil-sqrt),
+  // so assign cost (n·C) and in-cell search cost (∝ n²/C) both stay
+  // ~n^1.5. The oracle replays the CELL-COUNT DERIVATION ITSELF (MIN c
+  // with c² ≥ ceil(n/50) over a series — the v14d trick), so one
+  // static SQL string hash-matches at every sf: sf0.01 → C=4 (floor
+  // clamp), sf0.1 → C=7, sf1 → C=20, sf10 → C=64.
+  val v9bIntIvfAuto: Q = (s, dir) =>
+    Similarity.intIvfTopK(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), nCells = 0, k = 3,
+      isQuery = v => v % 50 === 0)
+      .orderBy("query_id", "rank")
+
+  val v9bIntIvfAutoSql: String =
+    s"""WITH $sqlIntIvfPrefixAuto,
+       |cand AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid, ${sqlIdot("a.q", "b.q")} AS idot
+       |  FROM m2 a JOIN m2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 50 = 0),
+       |ranked AS (
+       |  SELECT qid, cid, idot, row_number() OVER (PARTITION BY qid ORDER BY idot DESC, cid) AS rank
+       |  FROM cand)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank, idot
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  val v11bIvfRerankAuto: Q = (s, dir) =>
+    Similarity.intIvfRerankTopK(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), nCells = 0, k = 3,
+      isQuery = v => v % 50 === 0)
+      .orderBy("query_id", "rank")
+
+  val v11bIvfRerankAutoSql: String =
+    s"""WITH $sqlIntIvfPrefixAuto,
        |e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
        |cand AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
@@ -834,6 +907,8 @@ object QueriesVector {
     "v9_int_ivf" -> v9IntIvf,
     "d9_semantic_dedup" -> d9SemanticDedup,
     "v11_ivf_rerank" -> v11IvfRerank,
+    "v9b_int_ivf_auto" -> v9bIntIvfAuto,
+    "v11b_ivf_rerank_auto" -> v11bIvfRerankAuto,
     "v12_prototypicality" -> v12Prototypicality,
     "v13_binary_hamming" -> v13BinaryHamming,
     "v14_hamming_bucketed" -> v14HammingBucketed,
@@ -849,6 +924,8 @@ object QueriesVector {
     "v9_int_ivf" -> v9IntIvfSql,
     "d9_semantic_dedup" -> d9SemanticDedupSql,
     "v11_ivf_rerank" -> v11IvfRerankSql,
+    "v9b_int_ivf_auto" -> v9bIntIvfAutoSql,
+    "v11b_ivf_rerank_auto" -> v11bIvfRerankAutoSql,
     "v12_prototypicality" -> v12PrototypicalitySql,
     "v13_binary_hamming" -> v13BinaryHammingSql,
     "v14_hamming_bucketed" -> v14HammingBucketedSql,

@@ -40,8 +40,10 @@ object ScaleSmoke {
         // 100×-safe member of the v14 family (SCALE_100X_r14.json)
         "v14d_hamming_autowidth",
         // round 15: the cosine-family auto-width route (the cosineTopK
-        // over-cap Auto fallback) and the capped d5
+        // over-cap Auto fallback), the capped d5, the corpus-scaled
+        // IVF, and the multi-probe recall lever
         "v15_rhp_autowidth", "d5b_jaccard_capped",
+        "v9b_int_ivf_auto", "v11b_ivf_rerank_auto", "v14e_hamming_multiprobe",
         "e1_pipeline", "st26_streaming_pipeline",
         // round 13: the GRINCH family's first executed scale rows —
         // h4 is the scale path (one independent tree per label key in

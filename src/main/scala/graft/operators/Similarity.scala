@@ -359,8 +359,46 @@ object Similarity {
     * every step engine-replayable, so consumers keep full hash-checked
     * oracles.
     */
-  def intIvfAssign(df: DataFrame, id: Column, vec: Column, nCells: Int): DataFrame = {
-    val base = df.select(id.cast("long").as("vid"), vec.as("v"))
+  /** Balance constant for [[autoIvfCells]]: the catalog's query side is
+    * a ~1/50 stride of the corpus, so total work (assign n·C + in-cell
+    * search n²/(50·C)) is minimized at C ≈ √(n/50).
+    */
+  val AutoCellBalance: Int = 50
+
+  /** Corpus-scaled IVF cell count — remedy (b) from SCALE.md's 100×
+    * diagnosis (SCALE_100X_r14: fixed nCells means cell occupancy ∝ n
+    * and in-cell candidate pairs ∝ n², the measured 193× wall on v11):
+    * nCells = clamp(4, 4096, ceilSqrt(ceil(n / balance))) grows with
+    * √n so both the broadcast-assign cost (n·C) and the in-cell search
+    * cost (∝ n²/C) stay ~n^1.5, never n². Integer-exact ceil-sqrt (the
+    * float sqrt is only a seed for the exact adjust loop), so DuckDB
+    * replays it as MIN c WITH c·c ≥ ceil(n/balance) over a series —
+    * the v14d trick applied to the cell count.
+    */
+  private[graft] def autoIvfCells(n: Long, balance: Int = AutoCellBalance): Int = {
+    require(balance > 0, s"balance=$balance must be positive")
+    val target = (n + balance - 1) / balance
+    var c = math.max(1L, math.sqrt(target.toDouble).toLong - 2L)
+    while (c * c < target) c += 1
+    math.min(4096L, math.max(4L, c)).toInt
+  }
+
+  /** `nCells <= 0` switches the cell count to corpus-scaled auto mode
+    * ([[autoIvfCells]] from one bounded scalar count) — the 100×-safe
+    * default; an explicit positive nCells pins the bounded-corpus tier
+    * its oracles replay (v9/v11/v12/d9's fixed 16).
+    */
+  def intIvfAssign(df: DataFrame, id: Column, vec: Column, nCells0: Int): DataFrame = {
+    val base0 = df.select(id.cast("long").as("vid"), vec.as("v"))
+    val nCells =
+      if (nCells0 > 0) nCells0
+      else {
+        val n = base0.count() // bounded scalar, the allowlisted shape
+        val c = autoIvfCells(n)
+        log.info(s"intIvfAssign: corpus n=$n -> auto nCells=$c (balance=$AutoCellBalance)")
+        c
+      }
+    val base = base0
     val maxAbs = base.agg(max(aggregate(col("v"), lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
     val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0

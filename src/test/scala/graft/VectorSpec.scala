@@ -131,6 +131,33 @@ class VectorSpec extends SparkSpec {
     probed.map(_._1).toSet should contain allElementsOf plain.map(_._1).toSet
   }
 
+  test("autoIvfCells: integer ceil-sqrt of ceil(n/50), clamped [4, 4096]") {
+    Similarity.autoIvfCells(0L) shouldBe 4
+    Similarity.autoIvfCells(200L) shouldBe 4     // sf0.01: ceil(200/50)=4 -> 2, clamped
+    Similarity.autoIvfCells(2000L) shouldBe 7    // sf0.1: ceil(2000/50)=40 -> 7 (49>=40)
+    Similarity.autoIvfCells(20000L) shouldBe 20  // sf1: 400 -> 20 exactly
+    Similarity.autoIvfCells(200000L) shouldBe 64 // sf10: 4000 -> 64 (63^2=3969 < 4000)
+    // exact-square boundary must not over-shoot (integer, not float)
+    Similarity.autoIvfCells(50L * 400) shouldBe 20
+    Similarity.autoIvfCells(50L * 400 + 1) shouldBe 21
+    Similarity.autoIvfCells(Long.MaxValue / 4) shouldBe 4096 // ceiling clamp
+  }
+
+  test("intIvfTopK nCells=0 auto mode matches the explicit derived cell count") {
+    val rnd = new scala.util.Random(43)
+    val df = (0L until 300L).map(id => (id, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 10 === 0
+    val auto = Similarity.intIvfTopK(df, col("vec_id"), col("embedding"),
+        nCells = 0, k = 3, isQuery = isQ)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val explicit = Similarity.intIvfTopK(df, col("vec_id"), col("embedding"),
+        nCells = Similarity.autoIvfCells(300L), k = 3, isQuery = isQ)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    auto shouldBe explicit
+    auto should not be empty
+  }
+
   test("binaryHammingTopK route=Auto past the cap matches the auto-width multi-table route") {
     val dim = 64
     val n = 40
