@@ -686,14 +686,25 @@ object QueriesText {
 
   // ---------------------------------------------------------------- d7
   // Duplicate-group assembly: connected components over the verified
-  // near-dup pairs (d3's output graph); canonical doc = min id per
-  // component. The oracle replays min-label propagation as a recursive
-  // CTE (propagating only shrinking labels — the component min always
-  // reaches every member).
+  // near-dup pairs (the capped d3b graph since round 15); canonical
+  // doc = min id per component. The oracle replays min-label
+  // propagation as a recursive CTE (propagating only shrinking labels
+  // — the component min always reaches every member).
+  //
+  // Round-15 profiling (target/sf10, ProfileD7 split): the VERIFIED-
+  // PAIR EDGE BUILD was 75.0 s of d7's ~105 s wall; the CC loop itself
+  // only 4.2 s (2 rounds, 10,894 pairs / 20,485 nodes) — so the cut is
+  // d3b's bucket-occupancy guard on the edge build, not CC internals:
+  // maxBucket=64 keeps 10,860/10,894 pairs (99.7%) and 20,422/20,485
+  // grouped nodes at sf10 for edge_build 37.3 s + cc 4.0 s, and is a
+  // no-op at the oracle gate sfs (identical rows at sf0.01/sf0.1).
+  private val d7MaxBucket = 64
+
   val d7CcDedup: Q = (s, dir) => {
     val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)
     val bands = Dedup.minHashBandsFromSets(sets, dedupK, dedupR)
-    val pairs = Dedup.nearDupPairsFromSets(sets, bands, 1, 2).select("doc_a", "doc_b")
+    val pairs = Dedup.nearDupPairsFromSets(sets, bands, 1, 2, maxBucket = d7MaxBucket)
+      .select("doc_a", "doc_b")
     Dedup.connectedComponents(pairs, col("doc_a"), col("doc_b"))
       .select(col("node").as("doc_id"), col("comp").as("component"),
         (col("node") === col("comp")).as("is_canonical"))
@@ -702,8 +713,11 @@ object QueriesText {
 
   val d7CcDedupSql: String =
     s"""WITH RECURSIVE $sqlBandCtes,
+       |bsz AS (SELECT band, band_hash, count(*) AS n FROM bands GROUP BY 1, 2),
+       |kept AS (SELECT bands.* FROM bands JOIN bsz USING (band, band_hash)
+       |  WHERE bsz.n <= $d7MaxBucket),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
        |ndp AS (SELECT doc_a, doc_b FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
        |  WHERE len(list_intersect(x.hs, y.hs)) * 2 >= (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 1),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ndp UNION SELECT doc_b, doc_a FROM ndp),
