@@ -93,10 +93,17 @@ object Dedup {
     val kept =
       if (maxBucket <= 0) bands
       else {
-        val sizes = bands.groupBy("band", "band_hash")
+        // anti-join against the OVERSIZE buckets, not inner-join against
+        // the kept ones: the >maxBucket set is the small side (healthy
+        // data has few degenerate band hashes; heavy duplication
+        // CONCENTRATES into few buckets), so AQE plans the guard as a
+        // broadcast anti-join at runtime instead of re-shuffling the
+        // whole band relation against a kept-set nearly its own size
+        val big = bands.groupBy("band", "band_hash")
           .agg(count(lit(1)).as("__bsz"))
-          .where(col("__bsz") <= maxBucket)
-        bands.join(sizes, Seq("band", "band_hash")).drop("__bsz")
+          .where(col("__bsz") > maxBucket)
+          .select("band", "band_hash")
+        bands.join(big, Seq("band", "band_hash"), "left_anti")
       }
     val a = kept.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
     val b = kept.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
@@ -135,7 +142,12 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
                           maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(a.cast("long").as("src"), b.cast("long").as("dst"))
+    // persist the directed edges BEFORE the symmetrizing union: its two
+    // branches otherwise each recompute the whole upstream pair
+    // pipeline (minhash + bucket guard + Jaccard verify — measured 2×
+    // the pair-build cost on d7 at sf0.1, and the guard's own two
+    // band branches compound it to 4×)
+    val edges = pairs.select(a.cast("long").as("src"), b.cast("long").as("dst")).persist()
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var labels = sym.select(col("src").as("node")).distinct()
@@ -167,6 +179,7 @@ object Dedup {
       rounds += 1
     }
     sym.unpersist()
+    edges.unpersist()
     lastCcRounds = rounds
     require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
     labels
