@@ -21,10 +21,12 @@ object Similarity {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Defaults for every Auto over-cap ANN fallback (the v14d operating
-    * point, RECALL_SF10_r14.json / SCALE_100X_r14.json): expected
-    * bucket occupancy held ≈32 at any corpus size by deriving the LSH
-    * width from one bounded count, recall bought back with 8 tables.
+  /** Defaults for every Auto over-cap ANN fallback (the v14d
+    * derivation, SCALE_100X_r14.json): expected bucket occupancy held
+    * ≈32 at any corpus size by deriving the LSH width from one bounded
+    * count; recall bought back with independent tables (8 for the
+    * cosine route; the Hamming route adds multi-probe — see
+    * [[HammingAutoTables]]).
     * The 100× sweep showed ANY fixed width is quadratic in corpus size
     * (fixed 2^p buckets ⇒ occupancy ∝ n ⇒ candidate pairs ∝ n²), so
     * since round 15 no silent fallback routes to a fixed-width tier —
@@ -34,6 +36,19 @@ object Similarity {
     */
   val AutoTables: Int = 8
   val AutoOccupancy: Int = 32
+
+  /** The Hamming Auto over-cap operating point (round 15,
+    * RECALL_r15.json): 16 auto-width tables probed at prefix Hamming
+    * radius 1. Probing expands only the query side (a per-row bucket
+    * enumeration, no extra shuffled table builds), so it buys recall
+    * at near-flat wall: at sf10 (200k vectors) recall@3 is 0.667 at
+    * 3.7 s vs 0.147 at 2.4 s for the unprobed L=8 route — the knee of
+    * the probed frontier measured by [[graft.RecallLadder]]. The
+    * cosine fallback keeps [[AutoTables]]: RHP cells have no prefix
+    * window to probe.
+    */
+  val HammingAutoTables: Int = 16
+  val HammingAutoProbe: Int = 1
 
   /** Occupancy-targeted LSH width (the v14d derivation): the smallest
     * p with 2^p buckets ≥ ceil(n / targetOccupancy), clamped to
@@ -554,7 +569,8 @@ object Similarity {
           "or binaryHammingTopKMultiTable to pick the LSH knobs explicitly")
     if (over && route == HammingRoute.Auto) {
       // The 100×-safe fallback (since round 15): occupancy-targeted
-      // auto-width multi-table LSH — the v14d operating point. A fixed
+      // auto-width multi-table LSH at the measured production
+      // operating point (L=16 probe=1, RECALL_r15.json). A fixed
       // prefix width here would have fixed 2^p bucket cardinality, so
       // occupancy grows linearly with the corpus and candidate pairs
       // QUADRATICALLY (SCALE_100X_r14: 797× wall at 100× data); the
@@ -563,9 +579,11 @@ object Similarity {
       // remains reachable as an EXPLICIT route=Bucketed.
       log.warn(s"binaryHammingTopK: query side exceeds broadcast cap $cap — " +
         s"routing to occupancy-targeted auto-width multi-table LSH " +
-        s"(targetOccupancy=$AutoOccupancy, L=$AutoTables)")
+        s"(targetOccupancy=$AutoOccupancy, L=$HammingAutoTables, " +
+        s"probe=$HammingAutoProbe)")
       return binaryHammingTopKMultiTable(df, id, vec, k, isQuery,
-        nTables = AutoTables, targetOccupancy = AutoOccupancy)
+        nTables = HammingAutoTables, targetOccupancy = AutoOccupancy,
+        probe = HammingAutoProbe)
     }
     val cand =
       if (over) {
@@ -698,7 +716,13 @@ object Similarity {
   def binaryHammingTopKMultiTable(df: DataFrame, id: Column, vec: Column, k: Int,
                                   isQuery: Column => Column,
                                   prefixBits: Int = 6,
-                                  nTables: Int = 8,
+                                  // default kept at the original 4 (the
+                                  // v14b driver config): every in-repo
+                                  // caller passes L explicitly, and an
+                                  // external caller on the default must
+                                  // not silently double its candidate
+                                  // cost across versions
+                                  nTables: Int = 4,
                                   targetOccupancy: Int = 0,
                                   probe: Int = 0): DataFrame = {
     val p =

@@ -65,6 +65,8 @@ class PlanAuditSpec extends SparkSpec {
     "v3_gram_pairs" -> "bounded broadcast query side",
     "v4_blend_scores" -> "bounded broadcast query side",
     "v9_int_ivf" -> "broadcast centroids (nCells rows)",
+    "v9b_int_ivf_auto" -> "broadcast centroids (auto nCells, clamped <= 4096 rows)",
+    "v11b_ivf_rerank_auto" -> "broadcast centroids (auto nCells, clamped <= 4096 rows), cell-bounded candidates",
     "v10_pq_topk" -> "broadcast sub-codebooks (M x k rows) + literal distance table",
     "v11_ivf_rerank" -> "broadcast centroids, cell-bounded candidates",
     "v12_prototypicality" -> "broadcast cell centroids (nCells rows)",

@@ -169,8 +169,9 @@ class VectorSpec extends SparkSpec {
     val auto = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
       k = 3, isQuery = isQ, maxBroadcastRows = 1L, route = Similarity.HammingRoute.Auto)
     val explicit = Similarity.binaryHammingTopKMultiTable(df, col("vec_id"), col("embedding"),
-      k = 3, isQuery = isQ, nTables = Similarity.AutoTables,
-      targetOccupancy = Similarity.AutoOccupancy)
+      k = 3, isQuery = isQ, nTables = Similarity.HammingAutoTables,
+      targetOccupancy = Similarity.AutoOccupancy,
+      probe = Similarity.HammingAutoProbe)
     val a = auto.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     val b = explicit.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     a shouldBe b
