@@ -125,9 +125,20 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # scale dirs (target/sf1, target/sf10 from gen_sf1.py) carry only
+        # the documents/embeddings/events tables — views are best-effort
+        # so those dirs can be oracle-checked for the queries they cover
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except Exception:
+            pass
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # only check queries whose Spark output was dumped into out_dir —
+    # a merged full-catalog oracle_sql.json against a prefix-filtered
+    # Verify dump must not report the undumped rest as failures
+    import os
+    oracles = {n: s for n, s in oracles.items() if os.path.isdir(f"{out_dir}/{n}")}
     n_ok = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:

@@ -40,10 +40,15 @@ object ScaleSmoke {
         // 100×-safe member of the v14 family (SCALE_100X_r14.json)
         "v14d_hamming_autowidth",
         // round 15: the cosine-family auto-width route (the cosineTopK
-        // over-cap Auto fallback), the capped d5, the corpus-scaled
-        // IVF, and the multi-probe recall lever
+        // over-cap Auto fallback), the capped d5, and the corpus-scaled
+        // IVF. v14e (multi-probe at FIXED p=6) is deliberately absent:
+        // like v14b/v14c it is a bounded-corpus config — its fixed 64
+        // buckets saturate at sf10 and the ×(1+p) probe expansion on
+        // top is quadratic-times-seven (OOMs a default heap); at scale
+        // multi-probe combines with the AUTO width instead (the
+        // RecallLadder probe=1 rows)
         "v15_rhp_autowidth", "d5b_jaccard_capped",
-        "v9b_int_ivf_auto", "v11b_ivf_rerank_auto", "v14e_hamming_multiprobe",
+        "v9b_int_ivf_auto", "v11b_ivf_rerank_auto",
         "e1_pipeline", "st26_streaming_pipeline",
         // round 13: the GRINCH family's first executed scale rows —
         // h4 is the scale path (one independent tree per label key in
