@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
   *      hamming,cosine,auto; default all — run auto ONLY at sf10+,
   *      the fixed grids are quadratic there),
   *      SPARK_GRAFT_RECALL_QMOD (query modulus, default 10; 100 keeps
-  *      the sf10 brute truth tractable).
+  *      the sf10 brute truth tractable),
+  *      SPARK_GRAFT_RECALL_PROBES (comma subset of 0,1,2 for the auto
+  *      family's probe radii; default "0,1" — probe=2 is a targeted
+  *      run, its probe set is ~p/2 times probe=1's).
   */
 object RecallLadder {
   // the Hamming ladder: the driver widths (6 = v14/v14b/v14c) bracketed
@@ -176,8 +179,15 @@ object RecallLadder {
         // probe=0 (the v14d rows) AND probe=1 (round 15: each query
         // also probes the p buckets at prefix Hamming distance 1 —
         // the recall lever that does NOT add tables, aimed at the
-        // sf10 recall ceiling at the 32-table cap)
-        Seq(0, 1).foreach { pr =>
+        // sf10 recall ceiling at the 32-table cap). probe=2 (the
+        // p(p-1)/2 two-bit masks) is opt-in via
+        // SPARK_GRAFT_RECALL_PROBES — its candidate set is ~p/2 times
+        // probe=1's, so it is a targeted run, not a default row.
+        val probes = sys.env.getOrElse("SPARK_GRAFT_RECALL_PROBES", "0,1")
+          .split(",").map(_.trim.toInt).toSeq
+        require(probes.forall(pr => pr >= 0 && pr <= 2),
+          s"SPARK_GRAFT_RECALL_PROBES must be a comma subset of 0,1,2; got $probes")
+        probes.foreach { pr =>
           Seq(8, 16, 32).filter(_ <= cap).foreach { l =>
             val prKey = if (pr == 0) "" else s" probe=$pr"
             hammingPoint(s"auto occ=$occ L=$l$prKey (p=$p)",

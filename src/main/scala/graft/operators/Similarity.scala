@@ -708,9 +708,21 @@ object Similarity {
     * desync from the timed plan.
     */
   private[graft] def probedBuckets(bucket: Column, p: Int, probe: Int): Column = {
-    require(probe >= 0 && probe <= 1, s"probe=$probe must be 0 or 1 (prefix Hamming radius)")
+    require(probe >= 0 && probe <= 2, s"probe=$probe must be 0, 1 or 2 (prefix Hamming radius)")
     if (probe == 0) array(bucket)
-    else array(bucket +: (0 until p).map(j => bucket.bitwiseXOR(lit(1L << j))): _*)
+    else {
+      // radius 1: the p single-bit XOR masks; radius 2 adds the
+      // p(p-1)/2 two-bit masks — a quadratic-in-p (but corpus-
+      // independent) probe set, still a deterministic integer
+      // enumeration. The expression count is 1 + p + p(p-1)/2
+      // (≤ 529 at the p=32 clamp) — query-side only, no new shuffle.
+      val singles = (0 until p).map(j => bucket.bitwiseXOR(lit(1L << j)))
+      val pairs =
+        if (probe < 2) Seq.empty
+        else for { i <- 0 until p; j <- i + 1 until p }
+          yield bucket.bitwiseXOR(lit((1L << i) | (1L << j)))
+      array(((bucket +: singles) ++ pairs): _*)
+    }
   }
 
   def binaryHammingTopKMultiTable(df: DataFrame, id: Column, vec: Column, k: Int,
@@ -737,8 +749,8 @@ object Similarity {
       }
     require(p >= 1 && p <= 32 && nTables >= 1 && nTables <= 32,
       s"nTables=$nTables, prefixBits=$p must each fit the 32 hi sign bits")
-    require(probe >= 0 && probe <= 1,
-      s"probe=$probe must be 0 or 1 (prefix Hamming radius of the query-side probe set)")
+    require(probe >= 0 && probe <= 2,
+      s"probe=$probe must be 0, 1 or 2 (prefix Hamming radius of the query-side probe set)")
     // rotation offsets r = (l·p) mod 32 repeat with period 32/gcd(p,32)
     // — a table whose offset repeats is bit-identical to an earlier one
     // and pays full candidate-generation cost for zero recall gain. At

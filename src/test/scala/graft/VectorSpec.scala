@@ -129,6 +129,24 @@ class VectorSpec extends SparkSpec {
       h should be <= p1.getOrElse(q, Long.MaxValue)
     }
     probed.map(_._1).toSet should contain allElementsOf plain.map(_._1).toSet
+    // probe=2: the two-bit masks join the enumeration — same local
+    // recompute with the pair masks added; rank-1 can only improve
+    val probed2 = run(2)
+    val masks2 = masks ++ (for { i <- 0 until p; j <- i + 1 until p }
+      yield (1L << i) | (1L << j))
+    probed2.groupBy(_._1).foreach { case (qid, rows) =>
+      val expect = vecs.keys.filter { c =>
+        c != qid && (0 until l).exists(t =>
+          masks2.exists(m => (window(codes(qid)._1, t) ^ m) == window(codes(c)._1, t)))
+      }.toSeq.map(c => (ham(codes(qid), codes(c)), c)).sorted.take(3)
+      withClue(s"probe=2 qid=$qid: ") {
+        rows.sortBy(_._3).map(r => (r._4, r._2)) shouldBe expect
+      }
+    }
+    val h1 = probed.filter(_._3 == 1L).map(r => r._1 -> r._4).toMap
+    probed2.filter(_._3 == 1L).foreach { case (q, _, _, h) =>
+      h should be <= h1.getOrElse(q, Long.MaxValue)
+    }
   }
 
   test("autoIvfCells: integer ceil-sqrt of ceil(n/50), clamped [4, 4096]") {
