@@ -31,8 +31,9 @@ import org.apache.spark.sql.functions._
   *      cands, queries} — the round artifacts RECALL_r{N}.json; a
   *      non-default qmod is part of the key: "<dirBase> qmod=<m> …"),
   *      SPARK_GRAFT_RECALL_FAMILIES (comma subset of
-  *      hamming,cosine,auto; default all — run auto ONLY at sf10+,
-  *      the fixed grids are quadratic there),
+  *      hamming,cosine,auto,ivf; default all — run auto/ivf ONLY at
+  *      sf10+, the fixed grids are quadratic there; the ivf family's
+  *      fixed-16 config self-limits to corpora ≤ 50k),
   *      SPARK_GRAFT_RECALL_QMOD (query modulus, default 10; 100 keeps
   *      the sf10 brute truth tractable),
   *      SPARK_GRAFT_RECALL_PROBES (comma subset of 0,1,2 for the auto
@@ -61,13 +62,14 @@ object RecallLadder {
     // SPARK_GRAFT_RECALL_FAMILIES: comma subset of hamming,cosine,auto
     // (default all three). The fixed-width grids are QUADRATIC in corpus
     // size (the 100× lesson) — at sf10 run families=auto only.
-    val families = sys.env.getOrElse("SPARK_GRAFT_RECALL_FAMILIES", "hamming,cosine,auto")
+    val families = sys.env.getOrElse("SPARK_GRAFT_RECALL_FAMILIES",
+        "hamming,cosine,auto,ivf")
       .split(",").map(_.trim).toSet
     // a typo'd family name would silently skip that family and write a
     // partial artifact with no error — fail loudly instead
-    require(families.subsetOf(Set("hamming", "cosine", "auto")),
-      s"SPARK_GRAFT_RECALL_FAMILIES must be a comma subset of hamming,cosine,auto; " +
-        s"got ${families.mkString(",")}")
+    require(families.subsetOf(Set("hamming", "cosine", "auto", "ivf")),
+      s"SPARK_GRAFT_RECALL_FAMILIES must be a comma subset of " +
+        s"hamming,cosine,auto,ivf; got ${families.mkString(",")}")
     // SPARK_GRAFT_RECALL_QMOD: query-side modulus (default 10 = the v14
     // family config). At sf10 the exact brute truth over a %10 query
     // side costs ~4G popcount pairs — %100 keeps the truth set tractable
@@ -205,11 +207,17 @@ object RecallLadder {
       // min-of-iters full materialization, cands = deduped union of the
       // per-table bucket joins (the SAME signature expression the timed
       // plan evaluates: rhpSignature at seed + t·7919)
+      // exact brute cosine truth, shared by the cosine AND ivf
+      // families (lazy — only computed when one of them runs)
+      lazy val bruteCos = {
+        val b = topSets(operators.Similarity.cosineTopK(
+          emb, emb.where(isQ(col("vec_id"))), col("vec_id"), col("embedding"),
+          k = 3))
+        require(b.nonEmpty, s"no queries at qmod=$qmod for $base (cosine truth)")
+        b
+      }
+      lazy val denomCos = bruteCos.values.map(_.size).sum
       if (families("cosine")) {
-      val bruteCos = topSets(operators.Similarity.cosineTopK(
-        emb, emb.where(isQ(col("vec_id"))), col("vec_id"), col("embedding"),
-        k = 3))
-      val denomCos = bruteCos.values.map(_.size).sum
       CosineConfigs.foreach { case (b, ls) =>
         ls.foreach { l =>
           val plan = () => operators.Similarity.rhpAnnTopKMulti(
@@ -245,6 +253,52 @@ object RecallLadder {
               s""""cands": $cands, "queries": ${bruteCos.size}}""")
         }
       }
+      }
+      // ---- the integer-IVF family (v11/v11b's route, round 15):
+      // recall@3 of the IVF-candidates + exact-float-rerank recipe vs
+      // the same brute cosine truth. Single-probe by design (a query
+      // only searches its own cell), so recall is bounded by how often
+      // true neighbors share the quantizer cell — the number v9b/v11b's
+      // scale rows need alongside their walls. The fixed-16 config (the
+      // v11 oracle tier) runs only at bounded corpora: its per-cell
+      // occupancy grows linearly with the corpus (193× wall at 100×).
+      if (families("ivf")) {
+        val n = emb.count()
+        val cfgs = (if (n <= 50000L) Seq(16) else Seq.empty) :+ 0
+        cfgs.foreach { c =>
+          val plan = () => operators.Similarity.intIvfRerankTopK(
+            emb, col("vec_id"), col("embedding"), nCells = c, k = 3,
+            isQuery = isQ)
+          System.gc(); Thread.sleep(50)
+          val wall = (0 until iters).map { _ =>
+            val t0 = System.nanoTime()
+            plan().queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          val got = topSets(plan())
+          val hits = got.iterator.map { case (q, ns) =>
+            (ns & bruteCos.getOrElse(q, Set.empty)).size
+          }.sum
+          val recall = hits.toDouble / denomCos
+          // candidate pairs from the SAME assignment builder the timed
+          // plan uses: queries joined to corpus rows sharing a cell
+          val fin = operators.Similarity.intIvfAssign(
+            emb, col("vec_id"), col("embedding"), c)
+          val qc = fin.where(isQ(col("vid")))
+            .select(col("vid").as("qid"), col("cell"))
+          val cc = fin.select(col("vid").as("cid"), col("cell"))
+          val cands = qc.join(cc, Seq("cell"))
+            .where(col("qid") =!= col("cid"))
+            .select("qid", "cid").distinct().count()
+          val cells = if (c > 0) c else operators.Similarity.autoIvfCells(n)
+          val lbl = s"ivf cells=$cells" + (if (c <= 0) " (auto)" else "")
+          println(s"""{"recall":{"sf":"$base","family":"ivf","cells":$cells,""" +
+            s""""auto":${c <= 0},"recall3":${fmt(recall)},"wall":${fmt(wall)},""" +
+            s""""cands":$cands,"queries":${bruteCos.size}}}""")
+          out.update(s"$base$qtag $lbl",
+            s"""{"recall3": ${fmt(recall)}, "wall": ${fmt(wall)}, """ +
+              s""""cands": $cands, "queries": ${bruteCos.size}}""")
+        }
       }
     }
     sys.env.get("SPARK_GRAFT_RECALL_OUT").foreach { path =>
