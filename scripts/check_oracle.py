@@ -122,7 +122,9 @@ def selftest():
 def main():
     if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
         selftest()
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    partial = "--partial" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a != "--partial"]
+    sf_dir, out_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         # scale dirs (target/sf1, target/sf10 from gen_sf1.py) carry only
@@ -134,11 +136,19 @@ def main():
             pass
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
-    # only check queries whose Spark output was dumped into out_dir —
-    # a merged full-catalog oracle_sql.json against a prefix-filtered
-    # Verify dump must not report the undumped rest as failures
+    # --partial: only check queries whose Spark output was dumped into
+    # out_dir (a merged full-catalog oracle_sql.json against a
+    # prefix-filtered Verify dump must not report the undumped rest as
+    # failures) — and SAY what was skipped, a silent filter would let a
+    # crashed full-catalog Verify run report "N ok, 0 failed" with
+    # queries never verified. Default (no flag): a missing dump is a
+    # FAIL, the full-catalog certification contract.
     import os
-    oracles = {n: s for n, s in oracles.items() if os.path.isdir(f"{out_dir}/{n}")}
+    if partial:
+        skipped = sorted(n for n in oracles if not os.path.isdir(f"{out_dir}/{n}"))
+        oracles = {n: s for n, s in oracles.items() if n not in skipped}
+        if skipped:
+            print(f"SKIP ({len(skipped)} not dumped, --partial): {', '.join(skipped)}")
     n_ok = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:

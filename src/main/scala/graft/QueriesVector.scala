@@ -47,9 +47,11 @@ object QueriesVector {
   // Brute-force exact cosine top-5 for a query subset vs the corpus —
   // the ANN baseline. The broadcast side is bounded by ABSOLUTE count
   // inside cosineTopK (100k rows); past the cap the operator routes to
-  // the LSH bucket join, so a corpus-proportional subset can't OOM an
-  // executor at scale. At bench scales the subset is far below the cap,
-  // so the exact path (and this oracle) is what runs.
+  // the occupancy-targeted auto-width multi-table RHP-LSH join
+  // (rhpTopKForQueriesAuto — v15 pins its derivation), so a
+  // corpus-proportional subset can't OOM an executor at scale. At
+  // bench scales the subset is far below the cap, so the exact path
+  // (and this oracle) is what runs.
   val v1CosineTopk: Q = (s, dir) => {
     val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.where(col("vec_id") % 50 === 0)
@@ -663,6 +665,11 @@ object QueriesVector {
   // before the exact Hamming re-rank.
   private[graft] val V14eTables = 4
   private[graft] val V14eProbe = 1
+  // the oracle SQL below enumerates exactly the radius-1 mask set
+  // (0 + the p one-hot bits); raising V14eProbe without extending the
+  // `probes` list would silently desync the Spark plan from its oracle
+  assert(V14eProbe == 1,
+    "v14eHammingMultiProbeSql enumerates radius-1 probe masks only")
 
   val v14eHammingMultiProbe: Q = (s, dir) =>
     Similarity.binaryHammingTopKMultiTable(Tables.load(s, dir, "embeddings"),

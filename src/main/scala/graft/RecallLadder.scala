@@ -298,6 +298,10 @@ object RecallLadder {
           out.update(s"$base$qtag $lbl",
             s"""{"recall3": ${fmt(recall)}, "wall": ${fmt(wall)}, """ +
               s""""cands": $cands, "queries": ${bruteCos.size}}""")
+          // intIvfAssign persists its quantized assignment internally
+          // and each plan()/counter call makes a fresh one — drop them
+          // between configs or later walls run under eviction pressure
+          spark.catalog.clearCache()
         }
       }
     }

@@ -577,12 +577,26 @@ object Similarity {
       // auto width holds expected occupancy ≈ AutoOccupancy at every
       // corpus size, so candidates stay linear. The fixed-width tier
       // remains reachable as an EXPLICIT route=Bucketed.
+      // derive the occupancy-targeted width HERE (one bounded count —
+      // multiTable then skips its own), because the measured operating
+      // point needs its full table budget: a derived width with
+      // gcd(p,32) > 2 (p = 8/12/16/24…) has fewer than
+      // HammingAutoTables distinct rotation offsets, so the L=16 the
+      // caller was promised would silently clamp to 8/4/2 tables and
+      // recall would collapse far below RECALL_r15.json's numbers.
+      // Widening by one bit restores it: an odd width has gcd 1 and
+      // the full 32-table headroom, and occupancy only TIGHTENS
+      // (≈ target/2 — more buckets, fewer collisions each).
+      val n = df.count()
+      var p = autoPrefixBits(n, AutoOccupancy)
+      while (32 / BigInt(p).gcd(BigInt(32)).toInt < HammingAutoTables && p < 32)
+        p += 1
       log.warn(s"binaryHammingTopK: query side exceeds broadcast cap $cap — " +
         s"routing to occupancy-targeted auto-width multi-table LSH " +
-        s"(targetOccupancy=$AutoOccupancy, L=$HammingAutoTables, " +
+        s"(corpus n=$n -> p=$p, L=$HammingAutoTables, " +
         s"probe=$HammingAutoProbe)")
       return binaryHammingTopKMultiTable(df, id, vec, k, isQuery,
-        nTables = HammingAutoTables, targetOccupancy = AutoOccupancy,
+        prefixBits = p, nTables = HammingAutoTables,
         probe = HammingAutoProbe)
     }
     val cand =
@@ -728,12 +742,13 @@ object Similarity {
   def binaryHammingTopKMultiTable(df: DataFrame, id: Column, vec: Column, k: Int,
                                   isQuery: Column => Column,
                                   prefixBits: Int = 6,
-                                  // default kept at the original 4 (the
-                                  // v14b driver config): every in-repo
-                                  // caller passes L explicitly, and an
-                                  // external caller on the default must
-                                  // not silently double its candidate
-                                  // cost across versions
+                                  // default RESTORED to the pre-round-14
+                                  // value 4 (the v14b driver config);
+                                  // round 14 briefly shipped 8. Every
+                                  // in-repo caller passes L explicitly —
+                                  // an external caller on the default
+                                  // should see the long-lived value, not
+                                  // a silent 2x candidate-cost change
                                   nTables: Int = 4,
                                   targetOccupancy: Int = 0,
                                   probe: Int = 0): DataFrame = {
@@ -764,6 +779,11 @@ object Similarity {
           s"prefixBits=$p (offsets (l*$p) mod 32 repeat with period " +
           s"$distinctTables): tables beyond that are duplicates — zero recall gain")
     val nT = math.min(nTables, distinctTables)
+    if (nT < nTables)
+      log.warn(s"binaryHammingTopKMultiTable: auto width p=$p has only " +
+        s"$distinctTables distinct rotation offsets — clamping nTables " +
+        s"$nTables -> $nT (widen targetOccupancy, or pass an odd explicit " +
+        "prefixBits for the full 32-table headroom)")
     val base = df.select(id.cast("long").as("vid"),
       VectorFunctions.signCode(vec).as("code"))
       .select(col("vid"), col("code.hi").as("hi"), col("code.lo").as("lo"))

@@ -186,9 +186,19 @@ class VectorSpec extends SparkSpec {
     // cap=1 forces the over-cap Auto route
     val auto = Similarity.binaryHammingTopK(df, col("vec_id"), col("embedding"),
       k = 3, isQuery = isQ, maxBroadcastRows = 1L, route = Similarity.HammingRoute.Auto)
+    // the fallback derives the occupancy width, then widens it to the
+    // next width with full rotation headroom when gcd(p,32) would clamp
+    // L below HammingAutoTables: n=40 -> p=4 (8 offsets < 16) -> p=5
+    val derived = {
+      var p = Similarity.autoPrefixBits(n.toLong, Similarity.AutoOccupancy)
+      while (32 / BigInt(p).gcd(BigInt(32)).toInt < Similarity.HammingAutoTables && p < 32)
+        p += 1
+      p
+    }
+    derived shouldBe 5
     val explicit = Similarity.binaryHammingTopKMultiTable(df, col("vec_id"), col("embedding"),
-      k = 3, isQuery = isQ, nTables = Similarity.HammingAutoTables,
-      targetOccupancy = Similarity.AutoOccupancy,
+      k = 3, isQuery = isQ, prefixBits = derived,
+      nTables = Similarity.HammingAutoTables,
       probe = Similarity.HammingAutoProbe)
     val a = auto.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     val b = explicit.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
