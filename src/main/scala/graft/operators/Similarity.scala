@@ -62,6 +62,22 @@ object Similarity {
     math.min(32, math.max(4, cl2))
   }
 
+  /** The Auto over-cap fallback's width: [[autoPrefixBits]], then
+    * widened to the next width whose 32/gcd(p,32) distinct rotation
+    * offsets cover `nTables` — an even derived width (p = 8/16/24)
+    * would silently clamp the measured L=16 operating point to 2–8
+    * tables and collapse recall; the next odd width has gcd 1 (full
+    * 32-table headroom) and only TIGHTENS occupancy (≈ target/2).
+    * p=32 cannot widen and stays clamped (a >68G-row corpus in one
+    * LSH pass — repartition first).
+    */
+  private[graft] def fallbackPrefixBits(n: Long, targetOccupancy: Int,
+                                        nTables: Int): Int = {
+    var p = autoPrefixBits(n, targetOccupancy)
+    while (32 / BigInt(p).gcd(BigInt(32)).toInt < nTables && p < 32) p += 1
+    p
+  }
+
   /** Routing contract for [[binaryHammingTopK]]. `Auto` picks the
     * scale-safe plan (brute broadcast under the cap; past it, the
     * occupancy-targeted auto-width multi-table LSH — the v14d route —
@@ -588,9 +604,7 @@ object Similarity {
       // the full 32-table headroom, and occupancy only TIGHTENS
       // (≈ target/2 — more buckets, fewer collisions each).
       val n = df.count()
-      var p = autoPrefixBits(n, AutoOccupancy)
-      while (32 / BigInt(p).gcd(BigInt(32)).toInt < HammingAutoTables && p < 32)
-        p += 1
+      val p = fallbackPrefixBits(n, AutoOccupancy, HammingAutoTables)
       log.warn(s"binaryHammingTopK: query side exceeds broadcast cap $cap — " +
         s"routing to occupancy-targeted auto-width multi-table LSH " +
         s"(corpus n=$n -> p=$p, L=$HammingAutoTables, " +

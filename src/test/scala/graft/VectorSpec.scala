@@ -149,6 +149,22 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("fallbackPrefixBits: widens even derived widths to the full-headroom odd width") {
+    val occ = 32; val l16 = 16
+    // odd/gcd<=2 widths pass through untouched (enough distinct offsets)
+    Similarity.fallbackPrefixBits(2000L, occ, l16) shouldBe 6   // 16 offsets = L
+    Similarity.fallbackPrefixBits(20000L, occ, l16) shouldBe 10 // 16 offsets
+    Similarity.fallbackPrefixBits(200000L, occ, l16) shouldBe 13 // odd
+    // the clamp cases: p=8 (4 offsets) -> 9, p=16 (2) -> 17, p=24 (4) -> 25
+    Similarity.fallbackPrefixBits(32L * 255, occ, l16) shouldBe 9
+    Similarity.fallbackPrefixBits(32L * 65535, occ, l16) shouldBe 17
+    Similarity.fallbackPrefixBits(32L * 16777215, occ, l16) shouldBe 25
+    // p=32 cannot widen: stays clamped (multiTable logs the clamp)
+    Similarity.fallbackPrefixBits(Long.MaxValue / 2, occ, l16) shouldBe 32
+    // a table budget the derived width already covers is untouched
+    Similarity.fallbackPrefixBits(32L * 255, occ, 4) shouldBe 8
+  }
+
   test("autoIvfCells: integer ceil-sqrt of ceil(n/50), clamped [4, 4096]") {
     Similarity.autoIvfCells(0L) shouldBe 4
     Similarity.autoIvfCells(200L) shouldBe 4     // sf0.01: ceil(200/50)=4 -> 2, clamped
@@ -189,12 +205,8 @@ class VectorSpec extends SparkSpec {
     // the fallback derives the occupancy width, then widens it to the
     // next width with full rotation headroom when gcd(p,32) would clamp
     // L below HammingAutoTables: n=40 -> p=4 (8 offsets < 16) -> p=5
-    val derived = {
-      var p = Similarity.autoPrefixBits(n.toLong, Similarity.AutoOccupancy)
-      while (32 / BigInt(p).gcd(BigInt(32)).toInt < Similarity.HammingAutoTables && p < 32)
-        p += 1
-      p
-    }
+    val derived = Similarity.fallbackPrefixBits(n.toLong,
+      Similarity.AutoOccupancy, Similarity.HammingAutoTables)
     derived shouldBe 5
     val explicit = Similarity.binaryHammingTopKMultiTable(df, col("vec_id"), col("embedding"),
       k = 3, isQuery = isQ, prefixBits = derived,
