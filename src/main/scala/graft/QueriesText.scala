@@ -741,7 +741,10 @@ object QueriesText {
     val docs = Tables.load(s, dir, "documents").select("doc_id", "n_chars")
     val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)
     val bands = Dedup.minHashBandsFromSets(sets, dedupK, dedupR)
-    val pairs = Dedup.nearDupPairsFromSets(sets, bands, 1, 2).select("doc_a", "doc_b")
+    // same bucket-occupancy cap as d7: the edge build is the measured
+    // 75-s-class sf10 wall, and the cap is a no-op at the gate sfs
+    val pairs = Dedup.nearDupPairsFromSets(sets, bands, 1, 2, maxBucket = d7MaxBucket)
+      .select("doc_a", "doc_b")
     val labels = Dedup.connectedComponents(pairs, col("doc_a"), col("doc_b"))
     Dedup.keepBestPerComponent(docs, "doc_id", "n_chars", labels)
       .orderBy("component")
@@ -749,8 +752,11 @@ object QueriesText {
 
   val d8KeepBestSql: String =
     s"""WITH RECURSIVE $sqlBandCtes,
+       |bsz AS (SELECT band, band_hash, count(*) AS n FROM bands GROUP BY 1, 2),
+       |kept AS (SELECT bands.* FROM bands JOIN bsz USING (band, band_hash)
+       |  WHERE bsz.n <= $d7MaxBucket),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
        |ndp AS (SELECT doc_a, doc_b FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
        |  WHERE len(list_intersect(x.hs, y.hs)) * 2 >= (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 1),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ndp UNION SELECT doc_b, doc_a FROM ndp),
@@ -1078,7 +1084,10 @@ object QueriesText {
     // oracle hash-pins it.
     val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)
     val bands = Dedup.minHashBandsFromSets(sets, dedupK, dedupR)
-    val events = Dedup.nearDupPairsFromSets(sets, bands, 1, 2)
+    // same bucket-occupancy cap as the pinned oracle (d7CcDedupSql):
+    // without it the engine feed and the capped oracle only agree at
+    // sfs where the cap is a no-op — a latent contract divergence
+    val events = Dedup.nearDupPairsFromSets(sets, bands, 1, 2, maxBucket = d7MaxBucket)
       .select(lit(0L).as("key"),
         (col("doc_a") * 1000003L + col("doc_b")).as("seq"),
         col("doc_a").as("a"), col("doc_b").as("b"))

@@ -418,6 +418,42 @@ object QueriesVector {
        |SELECT qid AS query_id, cid AS neighbor_id, rank, sim
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- v11c
+  // Multi-cell probing — the IVF family's recall lever (v11b's sf10
+  // recall@3 was 0.384, RECALL_r15.json): each query ranks the final
+  // post-Lloyd centroids by (intSqDist, cell) — the identical
+  // tie-break the min_by assignment uses, so probe rank 1 IS its own
+  // cell — and searches its nProbe nearest cells; the corpus side
+  // stays single-cell (the inverted file). Candidates grow ~linearly
+  // in nProbe, recall climbs toward exact — the standard IVF frontier
+  // knob (classic inverted-file search, e.g. the IVFADC probe
+  // parameter). Deterministic integers throughout, so the oracle
+  // replays the probe set as the build's own a2 argmin ladder at
+  // rk <= nProbe (the rk = 1 filter IS the m2 assignment).
+  private val IvfProbe = 2
+
+  val v11cIvfProbed: Q = (s, dir) =>
+    Similarity.intIvfRerankTopK(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), nCells = 0, k = 3,
+      isQuery = v => v % 50 === 0, nProbe = IvfProbe)
+      .orderBy("query_id", "rank")
+
+  val v11cIvfProbedSql: String =
+    s"""WITH $sqlIntIvfPrefixAuto,
+       |probe AS (SELECT vec_id, cell FROM a2 WHERE rk <= $IvfProbe AND vec_id % 50 = 0),
+       |e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |cand AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |         ${sqlDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS sim
+       |  FROM probe a JOIN m2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM cand)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank, sim
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   // --------------------------------------------------------------- v13
   // Binary (sign-bit) quantization ANN — the 1-bit tier of the
   // quantization ladder (v8 int8, v10 PQ): 64 dims → two 32-bit sign
@@ -916,6 +952,7 @@ object QueriesVector {
     "v11_ivf_rerank" -> v11IvfRerank,
     "v9b_int_ivf_auto" -> v9bIntIvfAuto,
     "v11b_ivf_rerank_auto" -> v11bIvfRerankAuto,
+    "v11c_ivf_probed" -> v11cIvfProbed,
     "v12_prototypicality" -> v12Prototypicality,
     "v13_binary_hamming" -> v13BinaryHamming,
     "v14_hamming_bucketed" -> v14HammingBucketed,
@@ -933,6 +970,7 @@ object QueriesVector {
     "v11_ivf_rerank" -> v11IvfRerankSql,
     "v9b_int_ivf_auto" -> v9bIntIvfAutoSql,
     "v11b_ivf_rerank_auto" -> v11bIvfRerankAutoSql,
+    "v11c_ivf_probed" -> v11cIvfProbedSql,
     "v12_prototypicality" -> v12PrototypicalitySql,
     "v13_binary_hamming" -> v13BinaryHammingSql,
     "v14_hamming_bucketed" -> v14HammingBucketedSql,

@@ -210,9 +210,12 @@ object RecallLadder {
       // exact brute cosine truth, shared by the cosine AND ivf
       // families (lazy — only computed when one of them runs)
       lazy val bruteCos = {
+        // exactOnly: past the broadcast cap cosineTopK would silently
+        // route to LSH — truth must fail loudly instead (the Hamming
+        // truth pins the same hazard with route=Exact)
         val b = topSets(operators.Similarity.cosineTopK(
           emb, emb.where(isQ(col("vec_id"))), col("vec_id"), col("embedding"),
-          k = 3))
+          k = 3, exactOnly = true))
         require(b.nonEmpty, s"no queries at qmod=$qmod for $base (cosine truth)")
         b
       }
@@ -264,11 +267,14 @@ object RecallLadder {
       // occupancy grows linearly with the corpus (193× wall at 100×).
       if (families("ivf")) {
         val n = emb.count()
-        val cfgs = (if (n <= 50000L) Seq(16) else Seq.empty) :+ 0
-        cfgs.foreach { c =>
+        val cfgs = for {
+          c <- (if (n <= 50000L) Seq(16) else Seq.empty) :+ 0
+          pr <- Seq(1, 2, 4)
+        } yield (c, pr)
+        cfgs.foreach { case (c, pr) =>
           val plan = () => operators.Similarity.intIvfRerankTopK(
             emb, col("vec_id"), col("embedding"), nCells = c, k = 3,
-            isQuery = isQ)
+            isQuery = isQ, nProbe = pr)
           System.gc(); Thread.sleep(50)
           val wall = (0 until iters).map { _ =>
             val t0 = System.nanoTime()
@@ -280,19 +286,19 @@ object RecallLadder {
             (ns & bruteCos.getOrElse(q, Set.empty)).size
           }.sum
           val recall = hits.toDouble / denomCos
-          // candidate pairs from the SAME assignment builder the timed
-          // plan uses: queries joined to corpus rows sharing a cell
-          val fin = operators.Similarity.intIvfAssign(
+          // candidate pairs from the SAME build + probe the timed plan
+          // uses: probed query cells joined to corpus rows sharing one
+          val (fin, cents) = operators.Similarity.intIvfBuild(
             emb, col("vec_id"), col("embedding"), c)
-          val qc = fin.where(isQ(col("vid")))
+          val qc = operators.Similarity.intIvfProbe(fin, cents, isQ, pr)
             .select(col("vid").as("qid"), col("cell"))
           val cc = fin.select(col("vid").as("cid"), col("cell"))
           val cands = qc.join(cc, Seq("cell"))
             .where(col("qid") =!= col("cid"))
             .select("qid", "cid").distinct().count()
           val cells = if (c > 0) c else operators.Similarity.autoIvfCells(n)
-          val lbl = s"ivf cells=$cells" + (if (c <= 0) " (auto)" else "")
-          println(s"""{"recall":{"sf":"$base","family":"ivf","cells":$cells,""" +
+          val lbl = s"ivf cells=$cells probe=$pr" + (if (c <= 0) " (auto)" else "")
+          println(s"""{"recall":{"sf":"$base","family":"ivf","cells":$cells,"probe":$pr,""" +
             s""""auto":${c <= 0},"recall3":${fmt(recall)},"wall":${fmt(wall)},""" +
             s""""cands":$cands,"queries":${bruteCos.size}}}""")
           out.update(s"$base$qtag $lbl",

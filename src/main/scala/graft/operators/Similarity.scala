@@ -119,11 +119,20 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column, k: Int,
                  maxBroadcastRows: Long = 100000L, dim: Int = 64,
                  seed: Long = 42L, nTables: Int = AutoTables,
-                 targetOccupancy: Int = AutoOccupancy): DataFrame = {
+                 targetOccupancy: Int = AutoOccupancy,
+                 exactOnly: Boolean = false): DataFrame = {
     // bounded existence check: CollectLimit stops after cap+1 rows
     // (cap clamped so the +1 can't overflow Int)
     val cap = math.min(maxBroadcastRows, Int.MaxValue - 1L).toInt
     val over = queries.limit(cap + 1).count() > cap
+    // exactOnly callers (recall-truth computation) must never receive
+    // LSH output masquerading as ground truth — fail loudly, the same
+    // contract HammingRoute.Exact pins on the binary side
+    if (over && exactOnly)
+      throw new IllegalStateException(
+        s"cosineTopK(exactOnly): query side exceeds broadcast cap $cap — " +
+          "refusing to silently downgrade the exact contract to LSH recall; " +
+          "raise maxBroadcastRows or thin the query side")
     // surface the exact→approximate routing decision: past the cap the
     // caller gets LSH-recall neighbors, not exact ones
     if (over) {
@@ -419,7 +428,18 @@ object Similarity {
     * default; an explicit positive nCells pins the bounded-corpus tier
     * its oracles replay (v9/v11/v12/d9's fixed 16).
     */
-  def intIvfAssign(df: DataFrame, id: Column, vec: Column, nCells0: Int): DataFrame = {
+  def intIvfAssign(df: DataFrame, id: Column, vec: Column, nCells0: Int): DataFrame =
+    intIvfBuild(df, id, vec, nCells0)._1
+
+  /** [[intIvfAssign]] plus the final centroid table it assigned
+    * against — (assignment(vid, q, cell), centroids(cell, cent)). The
+    * centroids are what multi-cell probing ranks queries against: the
+    * probe ladder must use the SAME post-Lloyd centroids the rank-1
+    * assignment used, or probe rank 1 ≠ the inverted-file cell and the
+    * SQL replay (CTE `a2` at rk ≤ nProbe) diverges.
+    */
+  private[graft] def intIvfBuild(df: DataFrame, id: Column, vec: Column,
+                                 nCells0: Int): (DataFrame, DataFrame) = {
     val base0 = df.select(id.cast("long").as("vid"), vec.as("v"))
     val nCells =
       if (nCells0 > 0) nCells0
@@ -462,13 +482,38 @@ object Similarity {
         .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ps"))
         .select(col("cell"), expr("transform(ps, p -> p.c)").as("cent"))
 
-    assign(update(assign(c0))).persist()
+    val c1 = update(assign(c0)).persist()
+    (assign(c1).persist(), c1)
   }
 
+  /** The probed query-side cell set: each query ranks ALL final
+    * centroids by (intSqDist, cell) — the identical tie-break the
+    * min_by assignment uses, so probe rank 1 IS the query's own cell —
+    * and searches its `nProbe` nearest. SQL replay: the build oracle's
+    * `a2` ladder at `rk <= nProbe` (the rk=1 filter IS the m2
+    * assignment). Scale: the centroid table is ≤ 4096 rows
+    * (broadcast); the ranking window runs on query rows × C only —
+    * the query stride, not the corpus. nProbe <= 1 short-circuits to
+    * the plain single-cell filter (no window at all).
+    */
+  private[graft] def intIvfProbe(fin: DataFrame, cents: DataFrame,
+                                 isQuery: Column => Column, nProbe: Int): DataFrame =
+    if (nProbe <= 1)
+      fin.where(isQuery(col("vid"))).select(col("cell"), col("vid"), col("q"))
+    else {
+      val w = Window.partitionBy(col("vid")).orderBy(col("dist"), col("cell"))
+      fin.where(isQuery(col("vid"))).select(col("vid"), col("q"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dist", VectorFunctions.intSqDist(col("q"), col("cent")))
+        .withColumn("crk", row_number().over(w))
+        .where(col("crk") <= nProbe)
+        .select(col("cell"), col("vid"), col("q"))
+    }
+
   def intIvfTopK(df: DataFrame, id: Column, vec: Column, nCells: Int, k: Int,
-                 isQuery: Column => Column): DataFrame = {
-    val fin = intIvfAssign(df, id, vec, nCells)
-    val qs = fin.where(isQuery(col("vid")))
+                 isQuery: Column => Column, nProbe: Int = 1): DataFrame = {
+    val (fin, cents) = intIvfBuild(df, id, vec, nCells)
+    val qs = intIvfProbe(fin, cents, isQuery, nProbe)
       .select(col("cell"), col("vid").as("qid"), col("q").as("qq"))
     val cs = fin.select(col("cell"), col("vid").as("cid"), col("q").as("cq"))
     val idot = VectorFunctions.intDot(col("qq"), col("cq"))
@@ -490,15 +535,15 @@ object Similarity {
     * never n²), per-query top-k window over candidate rows only.
     */
   def intIvfRerankTopK(df: DataFrame, id: Column, vec: Column, nCells: Int,
-                       k: Int, isQuery: Column => Column): DataFrame = {
-    val fin = intIvfAssign(df, id, vec, nCells)
+                       k: Int, isQuery: Column => Column, nProbe: Int = 1): DataFrame = {
+    val (fin, cents) = intIvfBuild(df, id, vec, nCells)
     val v = df.select(id.cast("long").as("fid"), vec.as("fv"),
       VectorFunctions.l2Norm(vec).as("fn"))
-    val withV = fin.join(v, col("vid") === col("fid"))
-      .select(col("cell"), col("vid"), col("fv"), col("fn"))
-    val qs = withV.where(isQuery(col("vid")))
+    val qs = intIvfProbe(fin, cents, isQuery, nProbe)
+      .join(v, col("vid") === col("fid"))
       .select(col("cell"), col("vid").as("qid"), col("fv").as("qv"), col("fn").as("qn"))
-    val cs = withV.select(col("cell"), col("vid").as("cid"), col("fv").as("cv"), col("fn").as("cn"))
+    val cs = fin.join(v, col("vid") === col("fid"))
+      .select(col("cell"), col("vid").as("cid"), col("fv").as("cv"), col("fn").as("cn"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     qs.join(cs, Seq("cell")).where(col("qid") =!= col("cid"))
       .withColumn("sim", cosOf(col("qv"), col("cv"), col("qn"), col("cn")))
@@ -605,12 +650,20 @@ object Similarity {
       // (≈ target/2 — more buckets, fewer collisions each).
       val n = df.count()
       val p = fallbackPrefixBits(n, AutoOccupancy, HammingAutoTables)
+      // at the p=32 ceiling (corpora past ~68G rows) fewer than
+      // HammingAutoTables distinct rotation offsets exist — clamp the
+      // table count rather than trip multiTable's explicit-knob
+      // require: the documented contract here is degrade-with-warning
+      val nT = math.min(HammingAutoTables, 32 / BigInt(p).gcd(BigInt(32)).toInt)
+      if (nT < HammingAutoTables)
+        log.warn(s"binaryHammingTopK: width ceiling p=$p admits only $nT distinct " +
+          s"rotation offsets — clamping L=$HammingAutoTables to $nT (recall degrades)")
       log.warn(s"binaryHammingTopK: query side exceeds broadcast cap $cap — " +
         s"routing to occupancy-targeted auto-width multi-table LSH " +
-        s"(corpus n=$n -> p=$p, L=$HammingAutoTables, " +
+        s"(corpus n=$n -> p=$p, L=$nT, " +
         s"probe=$HammingAutoProbe)")
       return binaryHammingTopKMultiTable(df, id, vec, k, isQuery,
-        prefixBits = p, nTables = HammingAutoTables,
+        prefixBits = p, nTables = nT,
         probe = HammingAutoProbe)
     }
     val cand =

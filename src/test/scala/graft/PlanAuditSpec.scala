@@ -42,7 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     "h11_grinch_prune_cut" -> "threshold cut walks the single memory-bounded tree",
     "k4_token_quantiles" -> "cumulative window over the bounded value histogram (<= max doc len rows); grouped twin k5 has none",
     "p7_dict_encode" -> "window over the aggregated dictionary (bounded distinct terms); distributed twin is p7b",
-    "s4_zeshel" -> "global order index over one bounded source file")
+    "s4_zeshel" -> "global order index over one bounded source file",
+    "v11c_ivf_probed" -> "Spark-injected runtime bloom filter on the selective probe->float join: a one-row bloom_filter_agg (bounded 8 MB buffer), not a data-path serialization")
 
   /** Batch queries whose plan legitimately broadcast-nested-loop joins
     * (always a bounded broadcast side: literals, one-row aggregates,
@@ -67,6 +68,7 @@ class PlanAuditSpec extends SparkSpec {
     "v9_int_ivf" -> "broadcast centroids (nCells rows)",
     "v9b_int_ivf_auto" -> "broadcast centroids (auto nCells, clamped <= 4096 rows)",
     "v11b_ivf_rerank_auto" -> "broadcast centroids (auto nCells, clamped <= 4096 rows), cell-bounded candidates",
+    "v11c_ivf_probed" -> "broadcast centroids (auto nCells, clamped <= 4096 rows) in both the build and the query-side probe ranking; probed candidates stay cell-bounded (nProbe x occupancy)",
     "v10_pq_topk" -> "broadcast sub-codebooks (M x k rows) + literal distance table",
     "v11_ivf_rerank" -> "broadcast centroids, cell-bounded candidates",
     "v12_prototypicality" -> "broadcast cell centroids (nCells rows)",

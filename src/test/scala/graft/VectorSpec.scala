@@ -192,6 +192,40 @@ class VectorSpec extends SparkSpec {
     auto should not be empty
   }
 
+  test("intIvf nProbe: probed candidates are a superset, probe rank 1 is the own cell") {
+    val rnd = new scala.util.Random(44)
+    val df = (0L until 300L).map(id => (id, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 10 === 0
+    val (fin, cents) = Similarity.intIvfBuild(df, col("vec_id"), col("embedding"), 6)
+    // probe rank 1 IS the min_by assignment (same (dist, cell) tie-break)
+    val own = fin.where(col("vid") % 10 === 0)
+      .select("vid", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p1 = Similarity.intIvfProbe(fin, cents, isQ, 1)
+      .select("vid", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nProbe=2 keeps the own cell and adds exactly one more per query
+    val p2 = Similarity.intIvfProbe(fin, cents, isQ, 2)
+      .select("vid", "cell").collect().groupBy(_.getLong(0))
+      .map { case (v, rs) => v -> rs.map(_.getLong(1)).toSet }
+    p1 shouldBe own
+    p2.keySet shouldBe own.keySet
+    own.foreach { case (v, c) =>
+      p2(v) should contain(c)
+      p2(v).size shouldBe 2
+    }
+    // the probed top-k candidate pool is a superset, so every probed
+    // similarity at a given rank is >= the single-cell one
+    val one = Similarity.intIvfRerankTopK(df, col("vec_id"), col("embedding"),
+        nCells = 6, k = 3, isQuery = isQ)
+      .select("query_id", "rank", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val two = Similarity.intIvfRerankTopK(df, col("vec_id"), col("embedding"),
+        nCells = 6, k = 3, isQuery = isQ, nProbe = 2)
+      .select("query_id", "rank", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    one.foreach { case (qr, s1) => two(qr) should be >= s1 }
+  }
+
   test("binaryHammingTopK route=Auto past the cap matches the auto-width multi-table route") {
     val dim = 64
     val n = 40
