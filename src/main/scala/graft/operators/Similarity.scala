@@ -78,6 +78,15 @@ object Similarity {
     p
   }
 
+  /** Distinct rotation offsets available at prefix width `p` — the
+    * table-count ceiling the Auto over-cap fallback clamps to at the
+    * p=32 width ceiling (where only 1 distinct offset exists, so the
+    * promised L=16 must degrade-with-warning rather than trip
+    * [[binaryHammingTopKMultiTable]]'s explicit-knob require).
+    */
+  private[graft] def distinctRotationTables(p: Int): Int =
+    32 / BigInt(p).gcd(BigInt(32)).toInt
+
   /** Routing contract for [[binaryHammingTopK]]. `Auto` picks the
     * scale-safe plan (brute broadcast under the cap; past it, the
     * occupancy-targeted auto-width multi-table LSH — the v14d route —
@@ -654,7 +663,7 @@ object Similarity {
       // HammingAutoTables distinct rotation offsets exist — clamp the
       // table count rather than trip multiTable's explicit-knob
       // require: the documented contract here is degrade-with-warning
-      val nT = math.min(HammingAutoTables, 32 / BigInt(p).gcd(BigInt(32)).toInt)
+      val nT = math.min(HammingAutoTables, distinctRotationTables(p))
       if (nT < HammingAutoTables)
         log.warn(s"binaryHammingTopK: width ceiling p=$p admits only $nT distinct " +
           s"rotation offsets — clamping L=$HammingAutoTables to $nT (recall degrades)")

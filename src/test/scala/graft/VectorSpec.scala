@@ -165,6 +165,34 @@ class VectorSpec extends SparkSpec {
     Similarity.fallbackPrefixBits(32L * 255, occ, 4) shouldBe 8
   }
 
+  test("distinctRotationTables: the fallback's table-count ceiling per width") {
+    // the p=32 ceiling admits a single offset — the Auto fallback must
+    // clamp L=16 to 1 there (degrade-with-warning), never trip
+    // multiTable's explicit-knob require (ADVICE r15)
+    Similarity.distinctRotationTables(32) shouldBe 1
+    Similarity.distinctRotationTables(16) shouldBe 2
+    Similarity.distinctRotationTables(24) shouldBe 4
+    Similarity.distinctRotationTables(8) shouldBe 4
+    Similarity.distinctRotationTables(13) shouldBe 32 // odd: full headroom
+    Similarity.distinctRotationTables(6) shouldBe 16
+  }
+
+  test("cosineTopK exactOnly refuses to downgrade truth past the broadcast cap") {
+    val df = (0L until 20L).map(id => (id, Array.fill(4)(id.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    // cap of 5 < 20 queries: the default route would fall back to LSH;
+    // exactOnly (the recall-truth contract) must throw instead
+    val e = intercept[IllegalStateException] {
+      Similarity.cosineTopK(df, df, col("vec_id"), col("embedding"),
+        k = 3, maxBroadcastRows = 5L, dim = 4, exactOnly = true)
+    }
+    e.getMessage should include("exactOnly")
+    // within the cap the exact path runs regardless of the flag
+    Similarity.cosineTopK(df, df, col("vec_id"), col("embedding"),
+      k = 3, maxBroadcastRows = 100L, dim = 4, exactOnly = true)
+      .count() should be > 0L
+  }
+
   test("autoIvfCells: integer ceil-sqrt of ceil(n/50), clamped [4, 4096]") {
     Similarity.autoIvfCells(0L) shouldBe 4
     Similarity.autoIvfCells(200L) shouldBe 4     // sf0.01: ceil(200/50)=4 -> 2, clamped
