@@ -773,6 +773,51 @@ object QueriesText {
        |       cast(n_members as bigint) AS n_members, cast(n_members - 1 as bigint) AS n_dropped
        |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin
 
+  // --------------------------------------------------------------- d11
+  // Incremental (cross-snapshot) dedup — the ingest shape a GROWING
+  // corpus runs daily: the batch (doc_id % 5 = 0 here) is verified
+  // against the existing snapshot and against earlier-id batch
+  // members, and existing × existing is NEVER re-paired (that work
+  // happened when those docs were ingested). Per new doc: dup_of =
+  // the smallest matched doc id (itself when unique) and the is_dup
+  // verdict. Same shingle/band/threshold/cap contract as d7, so a doc
+  // flagged dup here is exactly one d7 would have grouped. Scale: the
+  // batch is the small side of the band-key join (broadcastable in
+  // production); ingest cost ∝ batch × bucket occupancy, INDEPENDENT
+  // of snapshot size — the whole point vs re-running d7.
+  private val d11NewMod = 5
+
+  val d11IncrementalDedup: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val sets = Dedup.shingleSets(docs, col("doc_id"), shingleSet)
+    val bands = Dedup.minHashBandsFromSets(sets, dedupK, dedupR)
+    val matches = Dedup.incrementalNearDupPairs(sets, bands,
+        _ % d11NewMod === 0, 1, 2, maxBucket = d7MaxBucket)
+      .groupBy(col("doc_n")).agg(min(col("doc_o")).as("m"))
+    docs.where(col("doc_id") % d11NewMod === 0).select("doc_id")
+      .join(matches, col("doc_id") === col("doc_n"), "left")
+      .select(col("doc_id"), coalesce(col("m"), col("doc_id")).as("dup_of"),
+        (coalesce(col("m"), col("doc_id")) =!= col("doc_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val d11IncrementalDedupSql: String =
+    s"""WITH $sqlBandCtes,
+       |bsz AS (SELECT band, band_hash, count(*) AS n FROM bands GROUP BY 1, 2),
+       |kept AS (SELECT bands.* FROM bands JOIN bsz USING (band, band_hash)
+       |  WHERE bsz.n <= $d7MaxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_n, b.doc_id AS doc_o
+       |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id % $d11NewMod = 0 AND b.doc_id <> a.doc_id
+       |    AND (b.doc_id % $d11NewMod <> 0 OR b.doc_id < a.doc_id)),
+       |ndp AS (SELECT doc_n, doc_o FROM cand JOIN sh x ON x.doc_id = doc_n JOIN sh y ON y.doc_id = doc_o
+       |  WHERE len(list_intersect(x.hs, y.hs)) * 2 >= (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 1),
+       |m AS (SELECT doc_n, min(doc_o) AS mo FROM ndp GROUP BY doc_n)
+       |SELECT d.doc_id, coalesce(m.mo, d.doc_id) AS dup_of,
+       |       coalesce(m.mo, d.doc_id) <> d.doc_id AS is_dup
+       |FROM documents d LEFT JOIN m ON m.doc_n = d.doc_id
+       |WHERE d.doc_id % $d11NewMod = 0 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t8
   // Corpus-level n-gram statistics: the global top-50 word bigrams by
   // frequency (count desc, bigram asc as the deterministic total
@@ -1526,6 +1571,7 @@ object QueriesText {
     "d7_cc_dedup" -> d7CcDedup,
     "d8_keep_best" -> d8KeepBest,
     "d10_shared_shingles" -> d10SharedShingles,
+    "d11_incremental_dedup" -> d11IncrementalDedup,
     "t8_top_ngrams" -> t8TopNgrams,
     "st8_streaming_cc" -> st8StreamingCc,
     "p10_stratified_sample" -> p10StratifiedSample,
@@ -1564,6 +1610,7 @@ object QueriesText {
     "d7_cc_dedup" -> d7CcDedupSql,
     "d8_keep_best" -> d8KeepBestSql,
     "d10_shared_shingles" -> d10SharedShinglesSql,
+    "d11_incremental_dedup" -> d11IncrementalDedupSql,
     "t8_top_ngrams" -> t8TopNgramsSql,
     "st8_streaming_cc" -> d7CcDedupSql,
     "p10_stratified_sample" -> p10StratifiedSampleSql,

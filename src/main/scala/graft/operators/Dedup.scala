@@ -89,22 +89,28 @@ object Dedup {
     * pre-aggregation shuffles on the same (band, band_hash) key as the
     * join itself — partial-agg-friendly, no new shuffle key.
     */
+  /** The bucket-occupancy guard shared by every capped pair build:
+    * drop band buckets with more than `maxBucket` members before any
+    * self-join (no-op at `maxBucket <= 0`).
+    */
+  private def bucketGuard(bands: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) bands
+    else {
+      // anti-join against the OVERSIZE buckets, not inner-join against
+      // the kept ones: the >maxBucket set is the small side (healthy
+      // data has few degenerate band hashes; heavy duplication
+      // CONCENTRATES into few buckets), so AQE plans the guard as a
+      // broadcast anti-join at runtime instead of re-shuffling the
+      // whole band relation against a kept-set nearly its own size
+      val big = bands.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("__bsz"))
+        .where(col("__bsz") > maxBucket)
+        .select("band", "band_hash")
+      bands.join(big, Seq("band", "band_hash"), "left_anti")
+    }
+
   def lshCandidatePairs(bands: DataFrame, maxBucket: Int = 0): DataFrame = {
-    val kept =
-      if (maxBucket <= 0) bands
-      else {
-        // anti-join against the OVERSIZE buckets, not inner-join against
-        // the kept ones: the >maxBucket set is the small side (healthy
-        // data has few degenerate band hashes; heavy duplication
-        // CONCENTRATES into few buckets), so AQE plans the guard as a
-        // broadcast anti-join at runtime instead of re-shuffling the
-        // whole band relation against a kept-set nearly its own size
-        val big = bands.groupBy("band", "band_hash")
-          .agg(count(lit(1)).as("__bsz"))
-          .where(col("__bsz") > maxBucket)
-          .select("band", "band_hash")
-        bands.join(big, Seq("band", "band_hash"), "left_anti")
-      }
+    val kept = bucketGuard(bands, maxBucket)
     val a = kept.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
     val b = kept.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
     a.join(b, Seq("band", "band_hash"))
@@ -221,6 +227,44 @@ object Dedup {
     * `num/den ≥ threshNum/threshDen` (integer cross-multiplied — exact).
     * Output carries the exact intersection/union counts plus the ratio.
     */
+  /** Incremental near-dup detection — the shape a GROWING corpus runs
+    * on ingest: verify each NEW document (`isNew` on the id) against
+    * the EXISTING snapshot and against earlier-id members of its own
+    * batch, and NEVER pair existing × existing (that work was done
+    * when those docs were ingested). Returns one row per verified
+    * (doc_n = new doc, doc_o = matched existing-or-earlier doc) with
+    * the exact integer Jaccard counts.
+    *
+    * 100 TB shape: the daily batch is the SMALL side of the band-key
+    * join (broadcastable in production), the snapshot side streams
+    * through the same bucket-occupancy guard as d7's full build — so
+    * ingest cost is ∝ batch × occupancy, independent of snapshot
+    * size, instead of the full corpus re-pair d7 would re-run.
+    */
+  def incrementalNearDupPairs(sets: DataFrame, bands: DataFrame,
+                              isNew: Column => Column,
+                              threshNum: Int, threshDen: Int,
+                              maxBucket: Int = 0): DataFrame = {
+    // the guard sees ALL bands: occupancy is a corpus property, and
+    // the capped bucket set must match the full build's (same pairs
+    // dropped whether a doc arrives in the snapshot or the batch)
+    val kept = bucketGuard(bands, maxBucket)
+    val a = kept.where(isNew(col("doc")))
+      .select(col("band"), col("band_hash"), col("doc").as("doc_n"))
+    val b = kept.select(col("band"), col("band_hash"), col("doc").as("doc_o"))
+    val cand = a.join(b, Seq("band", "band_hash"))
+      .where(col("doc_o") =!= col("doc_n") &&
+        (!isNew(col("doc_o")) || col("doc_o") < col("doc_n")))
+      .select("doc_n", "doc_o").distinct()
+    cand
+      .join(sets.select(col("doc").as("doc_n"), col("hs").as("hs_n")), "doc_n")
+      .join(sets.select(col("doc").as("doc_o"), col("hs").as("hs_o")), "doc_o")
+      .withColumn("j_num", size(array_intersect(col("hs_n"), col("hs_o"))).cast("long"))
+      .withColumn("j_den", (size(col("hs_n")) + size(col("hs_o"))).cast("long") - col("j_num"))
+      .where(col("j_num") * threshDen >= col("j_den") * threshNum)
+      .select(col("doc_n"), col("doc_o"), col("j_num"), col("j_den"))
+  }
+
   def nearDupPairsFromSets(sets: DataFrame, bands: DataFrame,
                            threshNum: Int, threshDen: Int,
                            maxBucket: Int = 0): DataFrame = {

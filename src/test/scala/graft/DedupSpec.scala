@@ -118,6 +118,37 @@ class DedupSpec extends SparkSpec {
     pairs shouldBe Array((0L, 1L))
   }
 
+  test("incrementalNearDupPairs: batch-vs-snapshot only, never existing x existing") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    // ids 0,5,10 are "new" (mod 5); near-dup structure: 0~1 (new vs
+    // existing), 5~10 (new vs earlier new), 2~3 (existing x existing
+    // — must NOT be reported even though it is a true near-dup pair)
+    val docs = Seq(
+      0L -> base,
+      1L -> base.replace("tonight", "today"),
+      2L -> "spark catalyst optimizer plans shuffles exchanges and broadcast joins considered",
+      3L -> "spark catalyst optimizer plans shuffles exchanges and broadcast joins reconsidered",
+      5L -> "parquet columnar storage with dictionary encoding and page level statistics rocks",
+      10L -> "parquet columnar storage with dictionary encoding and page level statistics rules"
+    ).toDF("doc_id", "text")
+    val shingleSet = TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3)
+    val sets = Dedup.shingleSets(docs, col("doc_id"), shingleSet)
+    val bands = Dedup.minHashBandsFromSets(sets)
+    val isNew: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 5 === 0
+    val inc = Dedup.incrementalNearDupPairs(sets, bands, isNew, 1, 2)
+      .select("doc_n", "doc_o").as[(Long, Long)].collect().toSet
+    inc shouldBe Set((0L, 1L), (10L, 5L))
+    // every incremental match is also a full-build verified pair (the
+    // same shingle/band/threshold contract as d7's build)
+    val full = Dedup.nearDupPairsFromSets(sets, bands, 1, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    inc.foreach { case (n, o) =>
+      full should contain(if (n < o) (n, o) else (o, n))
+    }
+    // the existing x existing near-dup IS in the full build
+    full should contain((2L, 3L))
+  }
+
   test("lshCandidatePairs maxBucket: no-op when all buckets fit; drops only degenerate-bucket pairs when it bites") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     val nearDup = base.replace("tonight", "today")
