@@ -1156,6 +1156,82 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- st27
+  // Streaming incremental dedup — d11's ingest contract as a LIVE
+  // STREAM-STATIC pipeline (the canonical Structured Streaming ingest
+  // shape, stateless end to end): the snapshot's capped band table and
+  // shingle sets are STATIC relations; the new-doc band rows arrive
+  // from files, pass the same bucket-occupancy guard (stream-static
+  // left_anti against the tiny oversize-bucket set), candidate-join
+  // the snapshot bands (stream-static inner), and are Jaccard-verified
+  // in-stream by two more stream-static joins. No state store at all —
+  // every micro-batch is a pure join pipeline, so batching cannot
+  // change the result by construction. Verified matches land in the
+  // sink; the batch side only folds min(doc_o) per new doc (min is
+  // commutative — duplicate candidate emissions via several bands are
+  // absorbed). Unlike st8/d11 the stream never sees other BATCH
+  // members, so the contract is new x snapshot only — the oracle
+  // drops d11's earlier-batch clause accordingly.
+  val st27StreamingIncremental: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val sets = Dedup.shingleSets(docs, col("doc_id"), shingleSet)
+    val bands = Dedup.minHashBandsFromSets(sets, dedupK, dedupR)
+    // the guard's oversize-bucket set is computed over ALL bands —
+    // occupancy is a corpus property (same kept set as d11/d7)
+    val big = bands.groupBy("band", "band_hash").agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") > d7MaxBucket).select("band", "band_hash")
+    val snapB = bands.where(col("doc") % d11NewMod =!= 0)
+      .join(big, Seq("band", "band_hash"), "left_anti")
+      .select(col("band"), col("band_hash"), col("doc").as("doc_o"))
+    val snapSets = sets.where(col("doc") % d11NewMod =!= 0)
+      .select(col("doc").as("doc_o"), col("hs").as("hs_o"))
+    val newSets = sets.where(col("doc") % d11NewMod === 0)
+      .select(col("doc").as("doc_n"), col("hs").as("hs_n"))
+    val feed = bands.where(col("doc") % d11NewMod === 0)
+      .select(col("doc").as("doc_n"), col("band"), col("band_hash"))
+    // key cuts (doc_n mod 3): min-fold output is arrival-order-
+    // independent, so any chunking yields the same final table
+    val chunks = (0 until 3).map(i => feed.where(pmod(col("doc_n"), lit(3)) === i))
+
+    QueriesStreaming.withShufflePartitions(s, 4) {
+      QueriesStreaming.fileIngest(s, chunks, cache = Seq(feed)) { stream =>
+        stream
+          .join(big, Seq("band", "band_hash"), "left_anti")
+          .join(snapB, Seq("band", "band_hash"))
+          .join(newSets, Seq("doc_n"))
+          .join(snapSets, Seq("doc_o"))
+          .withColumn("j_num", size(array_intersect(col("hs_n"), col("hs_o"))).cast("long"))
+          .withColumn("j_den", (size(col("hs_n")) + size(col("hs_o"))).cast("long") - col("j_num"))
+          .where(col("j_num") * 2 >= col("j_den") * 1)
+          .select(col("doc_n"), col("doc_o"))
+          .writeStream.format("memory").queryName("st27_sink").outputMode("append").start()
+      }
+    }
+
+    val m = s.table("st27_sink").groupBy(col("doc_n")).agg(min(col("doc_o")).as("m"))
+    docs.where(col("doc_id") % d11NewMod === 0).select("doc_id")
+      .join(m, col("doc_id") === col("doc_n"), "left")
+      .select(col("doc_id"), coalesce(col("m"), col("doc_id")).as("dup_of"),
+        (coalesce(col("m"), col("doc_id")) =!= col("doc_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val st27StreamingIncrementalSql: String =
+    s"""WITH $sqlBandCtes,
+       |bsz AS (SELECT band, band_hash, count(*) AS n FROM bands GROUP BY 1, 2),
+       |kept AS (SELECT bands.* FROM bands JOIN bsz USING (band, band_hash)
+       |  WHERE bsz.n <= $d7MaxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_n, b.doc_id AS doc_o
+       |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id % $d11NewMod = 0 AND b.doc_id % $d11NewMod <> 0),
+       |ndp AS (SELECT doc_n, doc_o FROM cand JOIN sh x ON x.doc_id = doc_n JOIN sh y ON y.doc_id = doc_o
+       |  WHERE len(list_intersect(x.hs, y.hs)) * 2 >= (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 1),
+       |m AS (SELECT doc_n, min(doc_o) AS mo FROM ndp GROUP BY doc_n)
+       |SELECT d.doc_id, coalesce(m.mo, d.doc_id) AS dup_of,
+       |       coalesce(m.mo, d.doc_id) <> d.doc_id AS is_dup
+       |FROM documents d LEFT JOIN m ON m.doc_n = d.doc_id
+       |WHERE d.doc_id % $d11NewMod = 0 ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- p13
   // Deterministic temperature-scaled source mixing (T=2) — the corpus
   // rebalancing LLM pipelines run before training: per-source keep
@@ -1574,6 +1650,7 @@ object QueriesText {
     "d11_incremental_dedup" -> d11IncrementalDedup,
     "t8_top_ngrams" -> t8TopNgrams,
     "st8_streaming_cc" -> st8StreamingCc,
+    "st27_streaming_incremental" -> st27StreamingIncremental,
     "p10_stratified_sample" -> p10StratifiedSample,
     "p11_quota_sample" -> p11QuotaSample,
     "p12_bottomk_sample" -> p12BottomkSample,
@@ -1613,6 +1690,7 @@ object QueriesText {
     "d11_incremental_dedup" -> d11IncrementalDedupSql,
     "t8_top_ngrams" -> t8TopNgramsSql,
     "st8_streaming_cc" -> d7CcDedupSql,
+    "st27_streaming_incremental" -> st27StreamingIncrementalSql,
     "p10_stratified_sample" -> p10StratifiedSampleSql,
     "p11_quota_sample" -> p11QuotaSampleSql,
     "p12_bottomk_sample" -> p12BottomkSampleSql,

@@ -814,4 +814,64 @@ class StreamingSpec extends SparkSpec {
     val c = run(Seq(evs), "dd_sink_c")
     c.filter(_._1 == "aa") shouldBe Set(("aa", 3L, 30L))
   }
+
+  test("streaming incremental dedup: stream-static matches equal the batch operator under any batching") {
+    import graft.functions.TextFunctions
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    // snapshot: 1 (dup of new 0), 2, 3; batch (mod 5): 0, 5, 10 —
+    // 5~10 is a batch-internal near-dup that the STREAM contract
+    // (new x snapshot only) must NOT report, unlike batch d11
+    val docs = Seq(
+      0L -> base,
+      1L -> base.replace("tonight", "today"),
+      2L -> "spark catalyst optimizer plans shuffles exchanges and broadcast joins considered",
+      3L -> "completely unrelated content about parquet page indexes and bloom filters here",
+      5L -> "dictionary encoded column chunks with page level statistics compress very well",
+      10L -> "dictionary encoded column chunks with page level statistics compress very nicely"
+    ).toDF("doc_id", "text")
+    val shingleSet = TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3)
+    val sets = Dedup.shingleSets(docs, col("doc_id"), shingleSet)
+    val bands = Dedup.minHashBandsFromSets(sets)
+    val big = bands.groupBy("band", "band_hash").agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") > 64).select("band", "band_hash")
+    val snapB = bands.where(col("doc") % 5 =!= 0)
+      .join(big, Seq("band", "band_hash"), "left_anti")
+      .select(col("band"), col("band_hash"), col("doc").as("doc_o"))
+    val snapSets = sets.where(col("doc") % 5 =!= 0)
+      .select(col("doc").as("doc_o"), col("hs").as("hs_o"))
+    val newSets = sets.where(col("doc") % 5 === 0)
+      .select(col("doc").as("doc_n"), col("hs").as("hs_n"))
+    val feedRows = bands.where(col("doc") % 5 === 0)
+      .select(col("doc").as("doc_n"), col("band"), col("band_hash"))
+      .as[(Long, Int, Long)].collect().toSeq
+    def run(chunks: Seq[Seq[(Long, Int, Long)]], sink: String): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, Int, Long)]
+      val query = input.toDF().toDF("doc_n", "band", "band_hash")
+        .join(big, Seq("band", "band_hash"), "left_anti")
+        .join(snapB, Seq("band", "band_hash"))
+        .join(newSets, Seq("doc_n"))
+        .join(snapSets, Seq("doc_o"))
+        .withColumn("j_num", org.apache.spark.sql.functions.size(array_intersect(col("hs_n"), col("hs_o"))).cast("long"))
+        .withColumn("j_den", (org.apache.spark.sql.functions.size(col("hs_n")) + org.apache.spark.sql.functions.size(col("hs_o"))).cast("long") - col("j_num"))
+        .where(col("j_num") * 2 >= col("j_den") * 1)
+        .select(col("doc_n"), col("doc_o"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      } finally query.stop()
+      spark.table(sink).as[(Long, Long)].collect().toSet // set: dup emissions collapse
+    }
+    // batch reference: the d11 operator restricted to the stream's
+    // new x snapshot contract
+    val ref = Dedup.incrementalNearDupPairs(sets, bands, _ % 5 === 0, 1, 2)
+      .where(col("doc_o") % 5 =!= 0)
+      .select("doc_n", "doc_o").as[(Long, Long)].collect().toSet
+    ref shouldBe Set((0L, 1L)) // 5~10 is batch-internal — excluded by the filter
+    val one = run(Seq(feedRows), "st27_spec_a")
+    val many = run(feedRows.grouped(math.max(1, feedRows.size / 3)).toSeq, "st27_spec_b")
+    one shouldBe ref
+    many shouldBe ref // stateless stream-static: any batching, same matches
+  }
 }
