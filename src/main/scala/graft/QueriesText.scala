@@ -1194,7 +1194,12 @@ object QueriesText {
     val chunks = (0 until 3).map(i => feed.where(pmod(col("doc_n"), lit(3)) === i))
 
     QueriesStreaming.withShufflePartitions(s, 4) {
-      QueriesStreaming.fileIngest(s, chunks, cache = Seq(feed)) { stream =>
+      // the static relations are joined by EVERY micro-batch — persist
+      // them (via fileIngest's cache hook) or each of the 3 batches
+      // recomputes the full snapshot band/set prep (measured ~3x the
+      // batch d11 wall at sf10 uncached)
+      QueriesStreaming.fileIngest(s, chunks,
+        cache = Seq(feed, big, snapB, snapSets, newSets)) { stream =>
         stream
           .join(big, Seq("band", "band_hash"), "left_anti")
           .join(snapB, Seq("band", "band_hash"))
