@@ -50,6 +50,10 @@ object ScaleSmoke {
         "v15_rhp_autowidth", "d5b_jaccard_capped",
         "v9b_int_ivf_auto", "v11b_ivf_rerank_auto",
         "e1_pipeline", "st26_streaming_pipeline",
+        // round 16: the probed IVF recall lever, the capped st8/d8
+        // pair, and the incremental-ingest pair (batch + stream-static)
+        "v11c_ivf_probed", "st8_streaming_cc",
+        "d11_incremental_dedup", "st27_streaming_incremental",
         // round 13: the GRINCH family's first executed scale rows —
         // h4 is the scale path (one independent tree per label key in
         // parallel partitions, input grows 10×); h9/h11 are fixed
