@@ -25,12 +25,15 @@ object ProfilePairs {
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { dir =>
       val docs = Tables.load(spark, dir, "documents")
+      // the SHIPPING d7 constants, not copies — if the pipeline is
+      // retuned this diagnostic keeps measuring the real configuration
       val ss = functions.TextFunctions.shingleHashes(
         functions.TextFunctions.tokens(col("text")), 3)
       val sets = operators.Dedup.shingleSets(docs, col("doc_id"), ss)
-      val bands = operators.Dedup.minHashBandsFromSets(sets, 16, 2)
-      val capped =
-        operators.Dedup.nearDupPairsFromSets(sets, bands, 1, 2, maxBucket = 64).count()
+      val bands = operators.Dedup.minHashBandsFromSets(
+        sets, QueriesText.dedupK, QueriesText.dedupR)
+      val capped = operators.Dedup.nearDupPairsFromSets(
+        sets, bands, 1, 2, maxBucket = QueriesText.d7MaxBucket).count()
       val uncapped =
         operators.Dedup.nearDupPairsFromSets(sets, bands, 1, 2).count()
       println(s"""{"cap_bite":{"sf":"$dir","capped":$capped,"uncapped":$uncapped}}""")

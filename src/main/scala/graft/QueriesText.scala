@@ -15,8 +15,8 @@ import graft.operators.Dedup
 object QueriesText {
   import QueriesRelational.Q
 
-  private val dedupK = 16
-  private val dedupR = 2
+  private[graft] val dedupK = 16
+  private[graft] val dedupR = 2
   private def nBands = dedupK / dedupR
   // declared BEFORE every SQL val that interpolates them: a forward
   // reference inside one object initializes as 0 and silently bakes
@@ -698,7 +698,7 @@ object QueriesText {
   // maxBucket=64 keeps 10,860/10,894 pairs (99.7%) and 20,422/20,485
   // grouped nodes at sf10 for edge_build 37.3 s + cc 4.0 s, and is a
   // no-op at the oracle gate sfs (identical rows at sf0.01/sf0.1).
-  private val d7MaxBucket = 64
+  private[graft] val d7MaxBucket = 64
 
   val d7CcDedup: Q = (s, dir) => {
     val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)

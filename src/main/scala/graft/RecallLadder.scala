@@ -257,14 +257,16 @@ object RecallLadder {
         }
       }
       }
-      // ---- the integer-IVF family (v11/v11b's route, round 15):
-      // recall@3 of the IVF-candidates + exact-float-rerank recipe vs
-      // the same brute cosine truth. Single-probe by design (a query
-      // only searches its own cell), so recall is bounded by how often
-      // true neighbors share the quantizer cell — the number v9b/v11b's
-      // scale rows need alongside their walls. The fixed-16 config (the
-      // v11 oracle tier) runs only at bounded corpora: its per-cell
-      // occupancy grows linearly with the corpus (193× wall at 100×).
+      // ---- the integer-IVF family (v11/v11b's route, round 15;
+      // probe sweep round 16): recall@3 of the IVF-candidates +
+      // exact-float-rerank recipe vs the same brute cosine truth,
+      // swept over nProbe in {1, 2, 4} — probe=1 is the own-cell
+      // bound (recall limited by how often true neighbors share the
+      // quantizer cell), higher probes trade ~linear candidate growth
+      // for recall (the v11c lever; RECALL_r16.json's frontier). The
+      // fixed-16 config (the v11 oracle tier) runs only at bounded
+      // corpora: its per-cell occupancy grows linearly with the
+      // corpus (193× wall at 100×).
       if (families("ivf")) {
         val n = emb.count()
         val cfgs = for {

@@ -73,22 +73,6 @@ object Dedup {
                    k: Int = 16, rowsPerBand: Int = 2): DataFrame =
     minHashBandsFromSets(shingleSets(df, id, shingleSet), k, rowsPerBand)
 
-  /** Distinct candidate pairs (a < b) from shared LSH band hashes. The
-    * join shuffles on (band, band_hash) — collision buckets, not docs.
-    *
-    * `maxBucket > 0` drops collision buckets with more than that many
-    * members BEFORE the self-join — the d-family's occupancy guard
-    * (SCALE_100X_r14.json: when content cardinality is bounded, band
-    * buckets saturate and in-bucket pairs grow quadratically; d3's 123×
-    * wall at 100× data). An oversize bucket is a DEGENERATE band hash —
-    * its members agree on one band of minhashes, which at that
-    * occupancy carries almost no similarity evidence (the standard
-    * MinHash-LSH practice of discarding overfull bands); true near-dup
-    * pairs keep ~all their other bands, so the recall cost is the
-    * probability a pair collides ONLY in degenerate buckets. The size
-    * pre-aggregation shuffles on the same (band, band_hash) key as the
-    * join itself — partial-agg-friendly, no new shuffle key.
-    */
   /** The bucket-occupancy guard shared by every capped pair build:
     * drop band buckets with more than `maxBucket` members before any
     * self-join (no-op at `maxBucket <= 0`).
@@ -109,6 +93,22 @@ object Dedup {
       bands.join(big, Seq("band", "band_hash"), "left_anti")
     }
 
+  /** Distinct candidate pairs (a < b) from shared LSH band hashes. The
+    * join shuffles on (band, band_hash) — collision buckets, not docs.
+    *
+    * `maxBucket > 0` drops collision buckets with more than that many
+    * members BEFORE the self-join — the d-family's occupancy guard
+    * (SCALE_100X_r14.json: when content cardinality is bounded, band
+    * buckets saturate and in-bucket pairs grow quadratically; d3's 123×
+    * wall at 100× data). An oversize bucket is a DEGENERATE band hash —
+    * its members agree on one band of minhashes, which at that
+    * occupancy carries almost no similarity evidence (the standard
+    * MinHash-LSH practice of discarding overfull bands); true near-dup
+    * pairs keep ~all their other bands, so the recall cost is the
+    * probability a pair collides ONLY in degenerate buckets. The size
+    * pre-aggregation shuffles on the same (band, band_hash) key as the
+    * join itself — partial-agg-friendly, no new shuffle key.
+    */
   def lshCandidatePairs(bands: DataFrame, maxBucket: Int = 0): DataFrame = {
     val kept = bucketGuard(bands, maxBucket)
     val a = kept.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
@@ -222,11 +222,6 @@ object Dedup {
         (col("n_members") - 1L).as("n_dropped"))
   }
 
-  /** Verified near-duplicate pairs: LSH candidates whose exact Jaccard
-    * over the materialized (doc, hs) sets meets
-    * `num/den ≥ threshNum/threshDen` (integer cross-multiplied — exact).
-    * Output carries the exact intersection/union counts plus the ratio.
-    */
   /** Incremental near-dup detection — the shape a GROWING corpus runs
     * on ingest: verify each NEW document (`isNew` on the id) against
     * the EXISTING snapshot and against earlier-id members of its own
@@ -265,6 +260,11 @@ object Dedup {
       .select(col("doc_n"), col("doc_o"), col("j_num"), col("j_den"))
   }
 
+  /** Verified near-duplicate pairs: LSH candidates whose exact Jaccard
+    * over the materialized (doc, hs) sets meets
+    * `num/den ≥ threshNum/threshDen` (integer cross-multiplied — exact).
+    * Output carries the exact intersection/union counts plus the ratio.
+    */
   def nearDupPairsFromSets(sets: DataFrame, bands: DataFrame,
                            threshNum: Int, threshDen: Int,
                            maxBucket: Int = 0): DataFrame = {

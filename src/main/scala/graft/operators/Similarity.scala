@@ -74,7 +74,7 @@ object Similarity {
   private[graft] def fallbackPrefixBits(n: Long, targetOccupancy: Int,
                                         nTables: Int): Int = {
     var p = autoPrefixBits(n, targetOccupancy)
-    while (32 / BigInt(p).gcd(BigInt(32)).toInt < nTables && p < 32) p += 1
+    while (distinctRotationTables(p) < nTables && p < 32) p += 1
     p
   }
 
@@ -491,7 +491,12 @@ object Similarity {
         .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ps"))
         .select(col("cell"), expr("transform(ps, p -> p.c)").as("cent"))
 
-    val c1 = update(assign(c0)).persist()
+    // c1 is deliberately NOT persisted: the assignment below is, so
+    // the centroid agg runs once inside its materialization (the r15
+    // footprint); a probed consumer re-derives c1 with one bounded agg
+    // over the persisted qv rather than pinning another cache entry
+    // per build across a full catalog run
+    val c1 = update(assign(c0))
     (assign(c1).persist(), c1)
   }
 
@@ -848,7 +853,7 @@ object Similarity {
     // an EXPLICIT width the duplicate is rejected rather than silently
     // dropped; in auto mode (the caller cannot know the derived width
     // up front) the table count is CLAMPED to the distinct-offset cap.
-    val distinctTables = 32 / BigInt(p).gcd(BigInt(32)).toInt
+    val distinctTables = distinctRotationTables(p)
     if (targetOccupancy <= 0)
       require(nTables <= distinctTables,
         s"nTables=$nTables exceeds the $distinctTables distinct rotation offsets at " +
