@@ -950,15 +950,25 @@ object QueriesStreaming {
       .orderBy("cohort_day", "day_offset")
   }
 
-  /** st25 — v14's sign-prefix bucketed Hamming ANN as a real streaming
-    * query and the catalog's stream-STATIC join shape: query vectors
-    * stream in over three micro-batches, sign-encode map-side with the
-    * same SignCode expression as the batch path, join the static
+  /** st25 — sign-prefix bucketed Hamming ANN as a real streaming query
+    * and the catalog's stream-STATIC join shape: query vectors stream
+    * in over three micro-batches, sign-encode map-side with the same
+    * SignCode expression as the batch path, join the static
     * pre-bucketed corpus on the prefix bucket, and rank top-3 by exact
     * Hamming the moment the (batch-complete) candidate set arrives —
-    * one boolean of state per query as a redelivery guard. Hash-matches
-    * v14's SQL oracle: streaming = batch = SQL for the ANN serving
-    * path too.
+    * one boolean of state per query as a redelivery guard. Since r17
+    * the bucket width is the OCCUPANCY-TARGETED auto width (the v14d
+    * derivation from one scalar corpus count, single-table): a fixed
+    * width keeps fixed 2^p bucket cardinality, so occupancy grows
+    * linearly with the corpus and the stream-static candidate join
+    * quadratically — the exact saturation v14 measured at 100× data.
+    * Auto width holds expected occupancy ≈ 32 at every sf (resolves to
+    * p=6 = the old fixed width at the sf0.1 gate), and the oracle
+    * replays the width derivation itself in SQL, so one static string
+    * hash-matches at every sf. The static corpus side is persisted via
+    * fileIngest's cache hook (the st27 lesson — without it every
+    * micro-batch would re-run the sign-encode + bucketing over the
+    * full corpus). Streaming = batch = SQL for the ANN serving path.
     */
   val st25StreamingAnn: Q = (s, dir) => {
     import s.implicits._
@@ -966,8 +976,12 @@ object QueriesStreaming {
     import graft.streaming.StreamingAnn
     import graft.streaming.StreamingAnn.QueryEvent
     val emb = Tables.load(s, dir, "embeddings")
+    // one bounded scalar probe (parquet metadata count) sizes the
+    // bucket table to the corpus — the v14d occupancy target
+    val pBits = operators.Similarity.autoPrefixBits(
+      emb.count(), QueriesVector.V14dOccupancy)
     val corpus = StreamingAnn.bucketCorpus(emb, col("vec_id"), col("embedding"),
-      QueriesVector.V14PrefixBits)
+      pBits)
     // file-source ingest; queries are independent (one stateless
     // top-k per arrival, a per-qid redelivery guard), so id-keyed chunks
     val events = emb.where(col("vec_id") % 10 === 0)
@@ -979,7 +993,7 @@ object QueriesStreaming {
       import s.implicits._
       fileIngest(s, chunks, cache = Seq(events, corpus)) { stream =>
         StreamingAnn.hammingTopK(stream.as[QueryEvent], corpus, k = 3,
-          prefixBits = QueriesVector.V14PrefixBits)
+          prefixBits = pBits)
           .writeStream.format("memory").queryName("st25_sink").outputMode("append").start()
       }
     }
@@ -988,6 +1002,42 @@ object QueriesStreaming {
       .select(col("queryId").as("query_id"), col("neighborId").as("neighbor_id"),
         col("rank"), col("hamming"))
       .orderBy("query_id", "rank")
+  }
+
+  /** st25's oracle — the single-table auto-width Hamming bucket route
+    * with the v14d width derivation replayed IN SQL (MIN i with
+    * 2^i ≥ ceil(n/occupancy) over a series), so the same static string
+    * hash-matches at every sf: sf0.01 → p=4, sf0.1 → p=6 (= the old
+    * fixed width, so the gate result is unchanged), sf10 → p=13.
+    */
+  val st25StreamingAnnSql: String = {
+    def half(lo: Int, hi: Int) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series($lo, $hi), " +
+        s"i -> CASE WHEN embedding[i]::DOUBLE > 0 THEN 1::BIGINT ELSE 0::BIGINT END)), " +
+        s"(acc, x) -> acc * 2 + x)"
+    val occ = QueriesVector.V14dOccupancy
+    s"""WITH c AS (
+       |  SELECT vec_id, ${half(1, 32)} AS hi, ${half(33, 64)} AS lo
+       |  FROM embeddings),
+       |pp AS (
+       |  SELECT LEAST(32, GREATEST(4, (
+       |    SELECT MIN(i) FROM generate_series(0, 40) s(i)
+       |    WHERE CAST(power(2, i) AS BIGINT) >=
+       |          ((SELECT count(*) FROM c) + $occ - 1) // $occ))) AS p),
+       |b AS (SELECT vec_id, hi, lo,
+       |             hi // CAST(power(2, 32 - p) AS BIGINT) AS bucket
+       |      FROM c, pp),
+       |cand AS (
+       |  SELECT q.vec_id AS qid, t.vec_id AS cid,
+       |         (bit_count(xor(q.hi, t.hi)) + bit_count(xor(q.lo, t.lo)))::BIGINT AS hamming
+       |  FROM b q JOIN b t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id
+       |  WHERE q.vec_id % 10 = 0),
+       |ranked AS (
+       |  SELECT qid, cid, hamming,
+       |         row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rank
+       |  FROM cand)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank::BIGINT AS rank, hamming
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
@@ -1012,7 +1062,7 @@ object QueriesStreaming {
     "st5_streaming_dedup" -> st5StreamingDedup,
     "st7_streaming_diversity_cache" -> st7StreamingDiversityCache)
   val oracles: Map[String, String] = Map(
-    "st25_streaming_ann" -> QueriesVector.v14HammingBucketedSql,
+    "st25_streaming_ann" -> st25StreamingAnnSql,
     "st20_streaming_funnel" -> QueriesRelational.w4FunnelSql,
     "st22_streaming_retention" -> QueriesRelational.w5CohortRetentionSql,
     "st19_streaming_range_join" -> st19StreamingRangeJoinSql,

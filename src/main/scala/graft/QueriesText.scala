@@ -1070,9 +1070,14 @@ object QueriesText {
   // ---------------------------------------------------------------- st6
   // Streaming MinHash-LSH candidate generation: documents band-hashed
   // at ingest, bucket-keyed state emits pairs on arrival, streaming
-  // dropDuplicates collapses multi-band collisions. The emitted pair
-  // set hash-matches the batch d2-join oracle — streaming = batch = SQL
-  // for the dedup pack's candidate stage.
+  // dropDuplicates collapses multi-band collisions. The band feed
+  // carries the same bucket-occupancy cap as batch d3b (maxBucket=64;
+  // a no-op at gate sfs, first bites at sf10) — without it the ingest
+  // path would keep the exact quadratic bucket-saturation shape d3/d7
+  // measured at 123×/105 s before their caps, and ingest is the
+  // component most exposed to corpus growth. The emitted pair set
+  // hash-matches the capped batch-join oracle — streaming = batch =
+  // SQL for the dedup pack's candidate stage.
   val st6StreamingNeardup: Q = (s, dir) => {
     import s.implicits._
     import graft.streaming.StreamingNearDup
@@ -1086,8 +1091,10 @@ object QueriesText {
     // arrival-order-independent anyway, which is what the batch-d2
     // oracle hash-pins. MemoryStream twins stay in StreamingSpec for
     // the batching-independence properties.
-    val events = Dedup.minHashBands(
-      Tables.load(s, dir, "documents"), col("doc_id"), shingleSet, dedupK, dedupR)
+    val events = Dedup.bucketGuard(
+      Dedup.minHashBands(
+        Tables.load(s, dir, "documents"), col("doc_id"), shingleSet, dedupK, dedupR),
+      maxBucket = d3bMaxBucket)
       .select((col("band").cast("long") * 2000000011L + col("band_hash")).as("bucket"),
         col("doc").as("docId"), col("doc").as("order"))
     val chunks = (0 until 3).map(i => events.where(pmod(col("docId"), lit(3)) === i))
@@ -1105,9 +1112,12 @@ object QueriesText {
   }
 
   val st6StreamingNeardupSql: String =
-    s"""WITH $sqlBandCtes
+    s"""WITH $sqlBandCtes,
+       |bsz AS (SELECT band, band_hash, count(*) AS n FROM bands GROUP BY 1, 2),
+       |kept AS (SELECT bands.* FROM bands JOIN bsz USING (band, band_hash)
+       |  WHERE bsz.n <= $d3bMaxBucket)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
+       |FROM kept a JOIN kept b
        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 

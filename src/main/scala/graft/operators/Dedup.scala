@@ -75,9 +75,11 @@ object Dedup {
 
   /** The bucket-occupancy guard shared by every capped pair build:
     * drop band buckets with more than `maxBucket` members before any
-    * self-join (no-op at `maxBucket <= 0`).
+    * self-join (no-op at `maxBucket <= 0`). Exposed within the package
+    * so streaming ingest feeds (st6) can cap their candidate emission
+    * with the exact same kept set the batch oracles replay.
     */
-  private def bucketGuard(bands: DataFrame, maxBucket: Int): DataFrame =
+  private[graft] def bucketGuard(bands: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) bands
     else {
       // anti-join against the OVERSIZE buckets, not inner-join against
