@@ -36,7 +36,12 @@ object ProfilePairs {
         sets, bands, 1, 2, maxBucket = QueriesText.d7MaxBucket).count()
       val uncapped =
         operators.Dedup.nearDupPairsFromSets(sets, bands, 1, 2).count()
-      println(s"""{"cap_bite":{"sf":"$dir","capped":$capped,"uncapped":$uncapped}}""")
+      // candidate-level bite (st6's contract: the DISTINCT pair set
+      // BEFORE the Jaccard verify) at the same 64-occupancy cap
+      val candCapped = operators.Dedup.lshCandidatePairs(
+        bands, maxBucket = QueriesText.d7MaxBucket).count()
+      val candUncapped = operators.Dedup.lshCandidatePairs(bands).count()
+      println(s"""{"cap_bite":{"sf":"$dir","capped":$capped,"uncapped":$uncapped,"cand_capped":$candCapped,"cand_uncapped":$candUncapped}}""")
     }
     spark.stop()
   }

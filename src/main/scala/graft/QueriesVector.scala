@@ -256,9 +256,11 @@ object QueriesVector {
   private val IvfCells = 16
 
   val v9IntIvf: Q = (s, dir) =>
+    // nProbe=1 pinned: this oracle replays the single-cell tier (the
+    // API default is the measured probe=2 point — v11c's oracle)
     Similarity.intIvfTopK(Tables.load(s, dir, "embeddings"),
       col("vec_id"), col("embedding"), nCells = IvfCells, k = 3,
-      isQuery = v => v % 50 === 0)
+      isQuery = v => v % 50 === 0, nProbe = 1)
       .orderBy("query_id", "rank")
 
   // integer squared distance / dot product between two BIGINT lists
@@ -345,9 +347,10 @@ object QueriesVector {
   // left-fold decides the ORDER, so the hybrid keeps both the
   // hash-checked build and full float ranking precision.
   val v11IvfRerank: Q = (s, dir) =>
+    // nProbe=1 pinned: the single-cell tier this oracle replays
     Similarity.intIvfRerankTopK(Tables.load(s, dir, "embeddings"),
       col("vec_id"), col("embedding"), nCells = IvfCells, k = 3,
-      isQuery = v => v % 50 === 0)
+      isQuery = v => v % 50 === 0, nProbe = 1)
       .orderBy("query_id", "rank")
 
   val v11IvfRerankSql: String =
@@ -379,9 +382,11 @@ object QueriesVector {
   // static SQL string hash-matches at every sf: sf0.01 → C=4 (floor
   // clamp), sf0.1 → C=7, sf1 → C=20, sf10 → C=64.
   val v9bIntIvfAuto: Q = (s, dir) =>
+    // nProbe=1 pinned: the explicit fastest-and-lowest frontier point
+    // (the API default is Similarity.IvfAutoProbe=2 — v11c's config)
     Similarity.intIvfTopK(Tables.load(s, dir, "embeddings"),
       col("vec_id"), col("embedding"), nCells = 0, k = 3,
-      isQuery = v => v % 50 === 0)
+      isQuery = v => v % 50 === 0, nProbe = 1)
       .orderBy("query_id", "rank")
 
   val v9bIntIvfAutoSql: String =
@@ -397,9 +402,10 @@ object QueriesVector {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   val v11bIvfRerankAuto: Q = (s, dir) =>
+    // nProbe=1 pinned (the explicit probe-1 tier; v11c is the default)
     Similarity.intIvfRerankTopK(Tables.load(s, dir, "embeddings"),
       col("vec_id"), col("embedding"), nCells = 0, k = 3,
-      isQuery = v => v % 50 === 0)
+      isQuery = v => v % 50 === 0, nProbe = 1)
       .orderBy("query_id", "rank")
 
   val v11bIvfRerankAutoSql: String =
@@ -429,13 +435,17 @@ object QueriesVector {
   // knob (classic inverted-file search, e.g. the IVFADC probe
   // parameter). Deterministic integers throughout, so the oracle
   // replays the probe set as the build's own a2 argmin ladder at
-  // rk <= nProbe (the rk = 1 filter IS the m2 assignment).
-  private val IvfProbe = 2
+  // rk <= nProbe (the rk = 1 filter IS the m2 assignment). Since
+  // round 17 this config — auto cells, probe 2 — IS the API default
+  // (Similarity.IvfAutoProbe, picked from RECALL_r16's measured sf10
+  // frontier: recall@3 0.384 → 0.592 for ~1.6× wall), so v11c is the
+  // oracle pin of the shipped default operating point.
+  private val IvfProbe = Similarity.IvfAutoProbe
 
   val v11cIvfProbed: Q = (s, dir) =>
     Similarity.intIvfRerankTopK(Tables.load(s, dir, "embeddings"),
       col("vec_id"), col("embedding"), nCells = 0, k = 3,
-      isQuery = v => v % 50 === 0, nProbe = IvfProbe)
+      isQuery = v => v % 50 === 0)
       .orderBy("query_id", "rank")
 
   val v11cIvfProbedSql: String =

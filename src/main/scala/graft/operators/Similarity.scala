@@ -50,6 +50,21 @@ object Similarity {
   val HammingAutoTables: Int = 16
   val HammingAutoProbe: Int = 1
 
+  /** The integer-IVF family's default operating point (round 17,
+    * RECALL_r16.json): probe the 2 nearest cells. Like the Hamming
+    * point above it is MEASURED, not asserted — on the sf10 frontier
+    * (200k vectors, auto cells C=64) probe=2 lifts recall@3 from
+    * 0.384 to 0.592 for ~1.6× wall (probe=4 reaches 0.827 at ~2.6×;
+    * probe=1 is the fastest-and-lowest point). The probe expands only
+    * the query-side cell set (one window over queries × C against the
+    * broadcast centroid table) — the corpus side stays single-cell
+    * (the inverted file) — so candidate volume grows ~linearly in
+    * nProbe. Callers wanting a different point on the frontier pass
+    * `nProbe` explicitly (the catalog pins probe=1 as its own oracle
+    * tier, v9b/v11b; the shipped default config IS v11c's oracle).
+    */
+  val IvfAutoProbe: Int = 2
+
   /** Occupancy-targeted LSH width (the v14d derivation): the smallest
     * p with 2^p buckets ≥ ceil(n / targetOccupancy), clamped to
     * [4, 32] — pure integer ceil-log2 (no float log2: boundary powers
@@ -491,12 +506,13 @@ object Similarity {
         .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ps"))
         .select(col("cell"), expr("transform(ps, p -> p.c)").as("cent"))
 
-    // c1 is deliberately NOT persisted: the assignment below is, so
-    // the centroid agg runs once inside its materialization (the r15
-    // footprint); a probed consumer re-derives c1 with one bounded agg
-    // over the persisted qv rather than pinning another cache entry
-    // per build across a full catalog run
-    val c1 = update(assign(c0))
+    // c1 IS persisted (round 17): post-agg it is ≤ 4096 rows — a tiny
+    // cache entry — and every probed consumer broadcasts it (and
+    // RecallLadder's candidate count re-reads it), which without the
+    // persist would replay the FULL first-round n×C assign(c0) +
+    // update aggregation from the persisted qv on each
+    // materialization, not just a bounded agg
+    val c1 = update(assign(c0)).persist()
     (assign(c1).persist(), c1)
   }
 
@@ -525,7 +541,7 @@ object Similarity {
     }
 
   def intIvfTopK(df: DataFrame, id: Column, vec: Column, nCells: Int, k: Int,
-                 isQuery: Column => Column, nProbe: Int = 1): DataFrame = {
+                 isQuery: Column => Column, nProbe: Int = IvfAutoProbe): DataFrame = {
     val (fin, cents) = intIvfBuild(df, id, vec, nCells)
     val qs = intIvfProbe(fin, cents, isQuery, nProbe)
       .select(col("cell"), col("vid").as("qid"), col("q").as("qq"))
@@ -549,8 +565,22 @@ object Similarity {
     * never n²), per-query top-k window over candidate rows only.
     */
   def intIvfRerankTopK(df: DataFrame, id: Column, vec: Column, nCells: Int,
-                       k: Int, isQuery: Column => Column, nProbe: Int = 1): DataFrame = {
+                       k: Int, isQuery: Column => Column,
+                       nProbe: Int = IvfAutoProbe): DataFrame = {
     val (fin, cents) = intIvfBuild(df, id, vec, nCells)
+    intIvfRerankFromBuild(df, id, vec, fin, cents, k, isQuery, nProbe)
+  }
+
+  /** The rerank stage over a PREBUILT (fin, cents) pair from
+    * [[intIvfBuild]] — lets a caller that also needs the build for
+    * other passes (RecallLadder's candidate count) run ONE build per
+    * configuration instead of re-persisting a fresh qv/fin pair per
+    * pass.
+    */
+  private[graft] def intIvfRerankFromBuild(df: DataFrame, id: Column, vec: Column,
+                                           fin: DataFrame, cents: DataFrame,
+                                           k: Int, isQuery: Column => Column,
+                                           nProbe: Int): DataFrame = {
     val v = df.select(id.cast("long").as("fid"), vec.as("fv"),
       VectorFunctions.l2Norm(vec).as("fn"))
     val qs = intIvfProbe(fin, cents, isQuery, nProbe)

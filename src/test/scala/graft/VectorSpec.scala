@@ -220,6 +220,29 @@ class VectorSpec extends SparkSpec {
     auto should not be empty
   }
 
+  test("intIvf default nProbe is the measured IvfAutoProbe operating point") {
+    // the shipped default = probe 2, picked from RECALL_r16's sf10
+    // frontier (recall@3 0.384 -> 0.592 for ~1.6x wall) and
+    // oracle-pinned by v11c; a default-arg call must equal the
+    // explicit IvfAutoProbe config, and the rerank/int rankers must
+    // agree on it
+    Similarity.IvfAutoProbe shouldBe 2
+    val rnd = new scala.util.Random(45)
+    val df = (0L until 300L).map(id => (id, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 10 === 0
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    rows(Similarity.intIvfRerankTopK(df, col("vec_id"), col("embedding"),
+      nCells = 6, k = 3, isQuery = isQ)) shouldBe
+      rows(Similarity.intIvfRerankTopK(df, col("vec_id"), col("embedding"),
+        nCells = 6, k = 3, isQuery = isQ, nProbe = Similarity.IvfAutoProbe))
+    rows(Similarity.intIvfTopK(df, col("vec_id"), col("embedding"),
+      nCells = 6, k = 3, isQuery = isQ)) shouldBe
+      rows(Similarity.intIvfTopK(df, col("vec_id"), col("embedding"),
+        nCells = 6, k = 3, isQuery = isQ, nProbe = Similarity.IvfAutoProbe))
+  }
+
   test("intIvf nProbe: probed candidates are a superset, probe rank 1 is the own cell") {
     val rnd = new scala.util.Random(44)
     val df = (0L until 300L).map(id => (id, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
@@ -244,7 +267,7 @@ class VectorSpec extends SparkSpec {
     // the probed top-k candidate pool is a superset, so every probed
     // similarity at a given rank is >= the single-cell one
     val one = Similarity.intIvfRerankTopK(df, col("vec_id"), col("embedding"),
-        nCells = 6, k = 3, isQuery = isQ)
+        nCells = 6, k = 3, isQuery = isQ, nProbe = 1)
       .select("query_id", "rank", "sim").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val two = Similarity.intIvfRerankTopK(df, col("vec_id"), col("embedding"),
