@@ -60,6 +60,27 @@ from meercat.dendrogram_purity import Node, accumulate_purity  # noqa: E402
 FIXTURE = '/root/testdata/sf0.01/embeddings.parquet'
 OUT = 'src/test/resources/grinch_driver_goldens.tsv'
 
+# Provenance (round 17): the reference is not a git checkout, so the
+# executed sources are pinned by content hash. GrinchGoldenSpec
+# recomputes these hashes at test time — if the reference files drift,
+# the goldens are flagged stale instead of silently standing in for a
+# different implementation.
+REF_FILES = [
+    '/root/reference/meercat/grinch_alg.py',
+    '/root/reference/meercat/dendrogram_purity.py',
+]
+CONFIG = ('rotate_cap=100,graft_cap=100,sim=dot,norm=l2,theta=0.25,'
+          'h1_limit=200,h4_limit=200,st2_limit=None,st2_n=50')
+
+
+def _sha256(path):
+    import hashlib
+    h = hashlib.sha256()
+    with open(path, 'rb') as f:
+        for chunk in iter(lambda: f.read(1 << 20), b''):
+            h.update(chunk)
+    return h.hexdigest()
+
 
 def canon(assign):
     seen = {}
@@ -122,10 +143,15 @@ def main():
     st2 = canon(g50.flat_clustering(0.25).tolist())
     lines.append(('st2_flat', ','.join(map(str, st2))))
 
+    headers = [(f'#ref_sha256:{p.split("/root/reference/")[1]}', _sha256(p))
+               for p in REF_FILES]
+    headers.append(('#fixture_sha256', _sha256(FIXTURE)))
+    headers.append(('#config', CONFIG))
+
     with open(OUT, 'w') as f:
-        for k, v in lines:
+        for k, v in headers + lines:
             f.write(f'{k}\t{v}\n')
-    print(f'wrote {len(lines)} goldens to {OUT}')
+    print(f'wrote {len(lines)} goldens (+{len(headers)} provenance headers) to {OUT}')
 
 
 if __name__ == '__main__':

@@ -534,6 +534,34 @@ object QueriesRelational {
       |  ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
       |GROUP BY w.win_id ORDER BY win_id""".stripMargin
 
+  // --------------------------------------------------------------- j6b
+  // j6's aggregate by PREFIX SUMS — the 100×-safe route for the
+  // range-attribution family (SCALE_100X_r17: j6's pair-materializing
+  // plan measured 63× wall at 100× data, because at k× event density
+  // every 10-minute window contains k× more events, so the
+  // event×window containment pairs — the join's intermediate — grow
+  // ~quadratically even though the aggregated output is one row per
+  // window). rangeCountSumPrefix never builds the pairs: G(t) =
+  // (count, sum) over events with ts < t via one bucket shuffle +
+  // a timeline-sized bucket-prefix broadcast, answer = G(end) −
+  // G(start). Identical output to j6 — it shares j6's oracle text
+  // modulo aliases — so the pushdown is hash-checked, not argued.
+  val j6bRangeAggPrefix: Q = (s, dir) => {
+    val winUs = 600L * 1000000L
+    val ev = t(s, dir, "events")
+      .select(expr("ts div 1000").as("ts_us"), cents(col("value")).as("cents"))
+    val win = t(s, dir, "events").where(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), expr("ts div 1000").as("w_start"),
+        (expr("ts div 1000") + lit(winUs)).as("w_end"))
+    Relational.rangeCountSumPrefix(ev, win, "ts_us", "cents", "win_id",
+        "w_start", "w_end", winUs)
+      .select(col("win_id"), col("cnt").as("n_events"),
+        (col("sum").cast("double") / 100.0).as("sum_value"))
+      .orderBy("win_id")
+  }
+
+  val j6bRangeAggPrefixSql: String = j6RangeJoinSql
+
   // ---------------------------------------------------------------- j7
   // Bucketized interval-overlap join: which 60-second error windows
   // overlap which 60-second purchase windows — intervals on BOTH
@@ -1089,6 +1117,7 @@ object QueriesRelational {
     "j4_asof_join" -> j4AsofJoin,
     "j5_rollup" -> j5Rollup,
     "j6_range_join" -> j6RangeJoin,
+    "j6b_range_agg_prefix" -> j6bRangeAggPrefix,
     "j7_interval_overlap" -> j7IntervalOverlap,
     "j8_salted_join" -> j8SaltedJoin,
     "w2_sessionize" -> w2Sessionize,
@@ -1124,6 +1153,7 @@ object QueriesRelational {
     "j4_asof_join" -> j4AsofJoinSql,
     "j5_rollup" -> j5RollupSql,
     "j6_range_join" -> j6RangeJoinSql,
+    "j6b_range_agg_prefix" -> j6bRangeAggPrefixSql,
     "j7_interval_overlap" -> j7IntervalOverlapSql,
     "j8_salted_join" -> j8SaltedJoinSql,
     "w2_sessionize" -> w2SessionizeSql,

@@ -54,6 +54,11 @@ object ScaleSmoke {
         // pair, and the incremental-ingest pair (batch + stream-static)
         "v11c_ivf_probed", "st8_streaming_cc",
         "d11_incremental_dedup", "st27_streaming_incremental",
+        // round 17: the capped streaming candidate feed, the
+        // auto-width streaming ANN, the range family's sf10 rows, and
+        // the prefix-sum range aggregate (j6's 100×-safe twin)
+        "st6_streaming_neardup", "st25_streaming_ann",
+        "st19_streaming_range_join", "j6b_range_agg_prefix",
         // round 13: the GRINCH family's first executed scale rows —
         // h4 is the scale path (one independent tree per label key in
         // parallel partitions, input grows 10×); h9/h11 are fixed

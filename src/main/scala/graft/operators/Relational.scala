@@ -181,6 +181,81 @@ object Relational {
       .drop("_pbkt", "_ibkt")
   }
 
+  /** Aggregation-pushdown range attribution: per-interval COUNT and
+    * SUM of probe rows in `[start, end)` WITHOUT materializing the
+    * probe×interval containment pairs. The pairs are the scale wall
+    * [[rangeJoinBucketed]] pays when the consumer only wants an
+    * aggregate: at k× probe density every interval contains k× more
+    * probes, so pair volume — and wall — grows ~quadratically with
+    * data (j6 measured 63× at 100×, SCALE_100X_r17) while the
+    * aggregated output stays one row per interval. Deriving a
+    * narrower bucket width cannot help there: containment pairs are
+    * true rows of the unaggregated relation, so only pushing the
+    * aggregation through the range predicate removes them. Classic
+    * prefix sums do exactly that: with G(t) = (count, sum) over
+    * probes with ts < t, each interval's answer is G(end) − G(start).
+    *
+    * Distributed shape (no pass is corpus-sized on a single
+    * partition):
+    *  1. probes and the two boundary rows per interval (sign −1 at
+    *     start, +1 at end) bucket by `ts div bucketWidth` — one hash
+    *     shuffle total;
+    *  2. per-bucket probe totals aggregate with map-side partials;
+    *     the EXCLUSIVE prefix over bucket totals runs on one row per
+    *     active bucket (timeline-sized, not corpus-sized — the
+    *     dictEncode argument) and broadcasts back;
+    *  3. a within-bucket running (count, sum) window — boundaries
+    *     sort BEFORE probes at equal ts, making `< t` strict, which
+    *     yields exactly the half-open `[start, end)` semantics —
+    *     hands each boundary G(t) = bucket prefix + in-bucket run;
+    *  4. boundaries fold per interval id with their sign; intervals
+    *     containing zero probes drop out (inner-join parity with
+    *     [[rangeJoinBucketed]] + groupBy).
+    * Output: (`idCol`, `cnt` BIGINT, `sum` BIGINT).
+    *
+    * Preconditions as [[rangeJoinBucketed]] (non-negative long keys,
+    * half-open intervals, end ≤ start rows dropped); `valCol` must be
+    * non-null on probe rows.
+    */
+  def rangeCountSumPrefix(probe: DataFrame, intervals: DataFrame,
+      tsCol: String, valCol: String, idCol: String,
+      startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val ev = probe.select(
+      expr(s"$tsCol div ${bucketWidth}L").as("_bkt"),
+      col(tsCol).cast("long").as("_ts"),
+      lit(1).as("_typ"), lit(1L).as("_c"), col(valCol).cast("long").as("_v"),
+      lit(null).cast("long").as("_id"), lit(0L).as("_sign"))
+    val bounds = intervals.where(col(endCol) > col(startCol))
+      .select(col(idCol).as("_id"), explode(array(
+        struct(col(startCol).cast("long").as("t"), lit(-1L).as("s")),
+        struct(col(endCol).cast("long").as("t"), lit(1L).as("s")))).as("_b"))
+      .select(expr(s"_b.t div ${bucketWidth}L").as("_bkt"),
+        col("_b.t").as("_ts"),
+        lit(0).as("_typ"), lit(0L).as("_c"), lit(0L).as("_v"),
+        col("_id"), col("_b.s").as("_sign"))
+    val u = ev.unionByName(bounds)
+    // exclusive prefix per bucket: one row per ACTIVE bucket (probe or
+    // boundary), so the unpartitioned window is timeline-sized
+    val wpre = Window.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = u.groupBy("_bkt")
+      .agg(sum(col("_c")).as("_bc"), sum(col("_v")).as("_bv"))
+      .select(col("_bkt"),
+        coalesce(sum(col("_bc")).over(wpre), lit(0L)).as("_pc"),
+        coalesce(sum(col("_bv")).over(wpre), lit(0L)).as("_pv"))
+    val wrun = Window.partitionBy(col("_bkt")).orderBy(col("_ts"), col("_typ"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.join(broadcast(pre), Seq("_bkt"))
+      .withColumn("_rc", sum(col("_c")).over(wrun))
+      .withColumn("_rv", sum(col("_v")).over(wrun))
+      .where(col("_typ") === 0)
+      .groupBy(col("_id").as(idCol))
+      .agg(sum(col("_sign") * (col("_pc") + col("_rc"))).as("cnt"),
+        sum(col("_sign") * (col("_pv") + col("_rv"))).as("sum"))
+      .where(col("cnt") > 0)
+  }
+
   /** Bucketized interval-overlap join: pairs (a, b) whose half-open
     * intervals `[aStart, aEnd) × [bStart, bEnd)` overlap — the
     * two-sided sibling of [[rangeJoinBucketed]], again with NO

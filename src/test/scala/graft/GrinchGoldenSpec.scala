@@ -74,6 +74,30 @@ class GrinchGoldenSpec extends SparkSpec {
   private def goldenAssign(key: String): Seq[Int] =
     driverGoldens(key).split(',').toSeq.map(_.toInt)
 
+  test("driver goldens pin the provenance of the executed reference (drift check)") {
+    // the goldens stand in for the five no-oracle float-GRINCH rows,
+    // so the EXACT reference sources that produced them are pinned by
+    // content hash (the reference is not a git checkout — there is no
+    // commit to cite): if a file under /root/reference drifts, this
+    // fails rather than letting stale goldens certify a different
+    // implementation. Config string pins the executed parameters.
+    def sha256(path: String): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+        .map("%02x".format(_)).mkString
+    }
+    val refKeys = Seq("meercat/grinch_alg.py", "meercat/dendrogram_purity.py")
+    refKeys.foreach { rel =>
+      withClue(s"$rel: ") {
+        driverGoldens.get(s"#ref_sha256:$rel") shouldBe
+          Some(sha256(s"/root/reference/$rel"))
+      }
+    }
+    driverGoldens.get("#fixture_sha256") shouldBe
+      Some(sha256("/root/testdata/sf0.01/embeddings.parquet"))
+    driverGoldens("#config") should include("theta=0.25")
+  }
+
   private lazy val fixture: (Array[Array[Float]], Array[String]) = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -89,6 +89,43 @@ class JoinSpec extends SparkSpec {
     }
   }
 
+  test("rangeCountSumPrefix equals rangeJoinBucketed + groupBy (incl. boundary ties)") {
+    val p = probe.withColumn("pv", col("pid") * 10L)
+    def viaPairs(w: Long) = Relational
+      .rangeJoinBucketed(p, ivals, "pts", "istart", "iend", w)
+      .groupBy("iid").agg(count(lit(1)).as("cnt"), sum(col("pv")).as("sum"))
+      .select("iid", "cnt", "sum").as[(Long, Long, Long)].collect().toSet
+    for (w <- Seq(1L, 7L, 100L, 1000L)) {
+      val out = Relational.rangeCountSumPrefix(p, ivals, "pts", "pv", "iid",
+          "istart", "iend", w)
+        .select("iid", "cnt", "sum").as[(Long, Long, Long)].collect().toSet
+      withClue(s"bucketWidth=$w: ") { out shouldBe viaPairs(w) }
+    }
+    // semantics pinned: empty/inverted (40/50) and zero-probe
+    // intervals emit nothing (inner-join parity); pts == istart is
+    // counted, pts == iend is not (half-open)
+    val out = Relational.rangeCountSumPrefix(p, ivals, "pts", "pv", "iid",
+        "istart", "iend", 100L)
+      .select("iid", "cnt", "sum").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out.keySet shouldBe Set(10L, 20L, 30L)
+    out(10L) shouldBe ((3L, 120L)) // pids 3,4,5 (3 at ==istart; 6 at ==iend excluded)
+    out(20L) shouldBe ((2L, 30L))  // pids 1,2
+    out(30L) shouldBe ((2L, 150L)) // pids 7,8
+  }
+
+  test("rangeCountSumPrefix never builds the probe×interval pairs (no pair join)") {
+    val p = probe.withColumn("pv", col("pid") * 10L)
+    val plan = Relational
+      .rangeCountSumPrefix(p, ivals, "pts", "pv", "iid", "istart", "iend", 100L)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    // the only join is the bucket-prefix broadcast back onto the
+    // union relation — u grows linearly in probes + 2·intervals
+    plan should include("BroadcastHashJoin")
+  }
+
   test("rangeJoinBucketed plans an equi-join on the bucket — never a nested loop") {
     val plan = Relational
       .rangeJoinBucketed(probe, ivals, "pts", "istart", "iend", 100L)
