@@ -40,6 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     "h9_grinch_graft_tree" -> "GRINCH tree automaton (graft-enabled)",
     "h10_grinch_tree_cut" -> "threshold cut walks the single replayed tree",
     "h11_grinch_prune_cut" -> "threshold cut walks the single memory-bounded tree",
+    "j6b_range_agg_prefix" -> "EXCLUSIVE prefix window over per-bucket TOTALS — one row per active 10-min epoch bucket (timeline-sized, not corpus-sized; the dictEncode argument), broadcast back onto the bucket-partitioned union",
     "k4_token_quantiles" -> "cumulative window over the bounded value histogram (<= max doc len rows); grouped twin k5 has none",
     "p7_dict_encode" -> "window over the aggregated dictionary (bounded distinct terms); distributed twin is p7b",
     "s4_zeshel" -> "global order index over one bounded source file",
