@@ -949,6 +949,83 @@ object QueriesVector {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- v16
+  // IVFADC — the production large-scale ANN composition (Jégou/Douze/
+  // Schmid, TPAMI 2011), assembled entirely from the catalog's
+  // deterministic integer builds: the corpus-scaled integer IVF is the
+  // coarse quantizer (v9b's auto cells), each vector stores only the
+  // M-byte PQ code of its RESIDUAL q − cent(cell) (exact integer
+  // subtraction, so unlike float IVFADC the whole index replays in
+  // SQL), and queries rank candidates in their nProbe probed cells
+  // (the shipped IvfAutoProbe=2 default) by the ASYMMETRIC distance —
+  // exact query residual vs the candidate's code centroid. One static
+  // oracle string replays coarse build + residual PQ training +
+  // probe ladder + ADC at every sf. Corpus memory per vector at the
+  // serving layer: 8 code bytes + a cell id (the 100 TB layout).
+  val v16IvfAdc: Q = (s, dir) =>
+    Similarity.ivfAdcTopK(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), nCells = 0, m = PqM, subDim = PqSub,
+      kCodes = PqK, topK = 3, isQuery = v => v % 50 === 0)
+      .orderBy("query_id", "rank")
+
+  val v16IvfAdcSql: String = {
+    def isq(a: String, b: String): String =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $PqSub), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+    s"""WITH $sqlIntIvfPrefixAuto,
+       |rs AS (
+       |  SELECT m2.vec_id, list_transform(generate_series(1, $Dim),
+       |    i -> m2.q[i] - c1.cent[i]) AS r
+       |  FROM m2 JOIN c1 USING (cell)),
+       |rsv AS (
+       |  SELECT vec_id, m, list_slice(r, m*$PqSub+1, m*$PqSub+$PqSub) AS sub
+       |  FROM rs, generate_series(0, ${PqM - 1}) AS tm(m)),
+       |rinit AS (
+       |  SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+       |  FROM (SELECT vec_id FROM rs ORDER BY vec_id LIMIT $PqK)),
+       |rc0 AS (SELECT s0.m, rinit.cell, s0.sub AS cent
+       |        FROM rsv s0 JOIN rinit ON s0.vec_id = rinit.cvid),
+       |ra1 AS (
+       |  SELECT s1.vec_id, s1.m, s1.sub, rc0.cell,
+       |         row_number() OVER (PARTITION BY s1.vec_id, s1.m
+       |                            ORDER BY ${isq("s1.sub", "rc0.cent")}, rc0.cell) AS rk
+       |  FROM rsv s1 JOIN rc0 ON s1.m = rc0.m),
+       |rm1 AS (SELECT vec_id, m, sub, cell FROM ra1 WHERE rk = 1),
+       |rupd AS (
+       |  SELECT m, cell, i, sum(sub[i]) AS s, count(*) AS n
+       |  FROM rm1, generate_series(1, $PqSub) AS t(i) GROUP BY m, cell, i),
+       |rc1 AS (SELECT m, cell, list((s // n)::BIGINT ORDER BY i) AS cent FROM rupd GROUP BY m, cell),
+       |ra2 AS (
+       |  SELECT s2.vec_id, s2.m, rc1.cell,
+       |         row_number() OVER (PARTITION BY s2.vec_id, s2.m
+       |                            ORDER BY ${isq("s2.sub", "rc1.cent")}, rc1.cell) AS rk
+       |  FROM rsv s2 JOIN rc1 ON s2.m = rc1.m),
+       |rcode AS (SELECT vec_id, m, cell AS code FROM ra2 WHERE rk = 1),
+       |probe AS (SELECT vec_id, cell FROM a2
+       |          WHERE rk <= ${Similarity.IvfAutoProbe} AND vec_id % 50 = 0),
+       |qres AS (
+       |  SELECT p.vec_id, p.cell,
+       |         list_transform(generate_series(1, $Dim), i -> qv.q[i] - c1.cent[i]) AS r
+       |  FROM probe p JOIN qv ON qv.vec_id = p.vec_id JOIN c1 ON c1.cell = p.cell),
+       |qrsv AS (
+       |  SELECT vec_id, cell, m, list_slice(r, m*$PqSub+1, m*$PqSub+$PqSub) AS sub
+       |  FROM qres, generate_series(0, ${PqM - 1}) AS tm(m)),
+       |dsub AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid, ${isq("q.sub", "rc1.cent")} AS d
+       |  FROM qrsv q
+       |  JOIN m2 c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+       |  JOIN rcode ON rcode.vec_id = c.vec_id AND rcode.m = q.m
+       |  JOIN rc1 ON rc1.m = q.m AND rc1.cell = rcode.code),
+       |dist AS (SELECT qid, cid, cast(sum(d) AS BIGINT) AS adc_dist
+       |         FROM dsub GROUP BY qid, cid),
+       |ranked AS (
+       |  SELECT qid, cid, adc_dist,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adc_dist, cid) AS rank
+       |  FROM dist)
+       |SELECT qid AS query_id, cid AS neighbor_id, rank, adc_dist
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_rhp_ann" -> v2RhpAnn,
@@ -972,6 +1049,7 @@ object QueriesVector {
     "v14e_hamming_multiprobe" -> v14eHammingMultiProbe,
     "v15_rhp_autowidth" -> v15RhpAutoWidth,
     "v10_pq_topk" -> v10PqTopk,
+    "v16_ivfadc" -> v16IvfAdc,
     "d6_embedding_neardup" -> d6EmbeddingNeardup)
 
   val oracles: Map[String, String] = Map(
@@ -990,6 +1068,7 @@ object QueriesVector {
     "v14e_hamming_multiprobe" -> v14eHammingMultiProbeSql,
     "v15_rhp_autowidth" -> v15RhpAutoWidthSql,
     "v10_pq_topk" -> v10PqTopkSql,
+    "v16_ivfadc" -> v16IvfAdcSql,
     "v1_cosine_topk" -> v1CosineTopkSql,
     "v2_rhp_ann" -> v2RhpAnnSql,
     "v3_gram_pairs" -> v3GramPairsSql,

@@ -59,6 +59,7 @@ object ScaleSmoke {
         // the prefix-sum range aggregate (j6's 100×-safe twin)
         "st6_streaming_neardup", "st25_streaming_ann",
         "st19_streaming_range_join", "j6b_range_agg_prefix",
+        "v16_ivfadc",
         // round 13: the GRINCH family's first executed scale rows —
         // h4 is the scale path (one independent tree per label key in
         // parallel partitions, input grows 10×); h9/h11 are fixed

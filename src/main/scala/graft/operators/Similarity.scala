@@ -980,6 +980,34 @@ object Similarity {
     *
     * `isQuery` bounds the query side exactly as in intIvfTopK.
     */
+  /** One integer-Lloyd assignment step over subspace rows
+    * (vid, m, sub) against per-subspace centroids (m, cell, cent) —
+    * the same min_by-over-window rewrite as intIvfTopK.assign: the
+    * map-side partial agg collapses n·M·k candidate rows to n·M
+    * before the keyed shuffle, and (dist, cell) struct ordering keeps
+    * the exact smallest-dist-then-smallest-cell tie-break. Shared by
+    * [[pqTopK]] and [[ivfAdcTopK]].
+    */
+  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame = {
+    val dist = VectorFunctions.intSqDist(col("sub"), col("cent"))
+    sv.join(broadcast(cents), Seq("m"))
+      .withColumn("dist", dist)
+      .groupBy(col("vid"), col("m"), col("sub"))
+      .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
+      .select(col("vid"), col("m"), col("sub"), col("cell"))
+  }
+
+  /** Per-subspace truncating element-wise integer centroid mean —
+    * pqTopK/ivfAdcTopK's shared Lloyd update ((s - s%n)/n is an exact
+    * multiple, so the division replays bit-for-bit in SQL).
+    */
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("m"), col("cell"), posexplode(col("sub")).as(Seq("i", "x")))
+      .groupBy("m", "cell", "i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", ((col("s") - col("s") % col("n")) / col("n")).cast("long"))
+      .groupBy("m", "cell").agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ps"))
+      .select(col("m"), col("cell"), expr("transform(ps, p -> p.c)").as("cent"))
+
   def pqTopK(df: DataFrame, id: Column, vec: Column, m: Int, subDim: Int, k: Int,
              topK: Int, isQuery: Column => Column): DataFrame = {
     val base = df.select(id.cast("long").as("vid"), vec.as("v"))
@@ -1000,26 +1028,8 @@ object Similarity {
         col("vid") === col("cvid"))
       .select(col("m"), col("cell"), col("sub").as("cent"))
 
-    // Same min_by-over-window rewrite as intIvfTopK.assign: map-side
-    // partial agg collapses n·M·k candidate rows to n·M before the
-    // keyed shuffle; (dist, cell) ordering keeps the tie-break.
-    def assign(cents: DataFrame): DataFrame = {
-      val dist = VectorFunctions.intSqDist(col("sub"), col("cent"))
-      qv.join(broadcast(cents), Seq("m"))
-        .withColumn("dist", dist)
-        .groupBy(col("vid"), col("m"), col("sub"))
-        .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
-        .select(col("vid"), col("m"), col("sub"), col("cell"))
-    }
-    def update(assigned: DataFrame): DataFrame =
-      assigned.select(col("m"), col("cell"), posexplode(col("sub")).as(Seq("i", "x")))
-        .groupBy("m", "cell", "i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .withColumn("c", ((col("s") - col("s") % col("n")) / col("n")).cast("long"))
-        .groupBy("m", "cell").agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ps"))
-        .select(col("m"), col("cell"), expr("transform(ps, p -> p.c)").as("cent"))
-
-    val cb = update(assign(c0)).persist() // trained codebooks (m, cell, cent)
-    val enc = assign(cb).select(col("vid"), col("m"), col("cell"))
+    val cb = pqUpdate(pqAssign(qv, c0)).persist() // trained codebooks (m, cell, cent)
+    val enc = pqAssign(qv, cb).select(col("vid"), col("m"), col("cell"))
 
     // wide form: one M-element code array per vector (struct sort keys
     // by m first, so codes land in subspace order)
@@ -1059,6 +1069,95 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("pq_dist"))
+  }
+
+  /** IVFADC — the production large-scale ANN composition (inverted
+    * file + asymmetric distance computation on PQ-coded RESIDUALS,
+    * Jégou/Douze/Schmid, "Product quantization for nearest neighbor
+    * search", TPAMI 2011): the coarse integer-IVF quantizer
+    * ([[intIvfBuild]], corpus-scaled cells) decides WHO gets compared,
+    * each vector stores only the M-byte PQ code of its residual
+    * q − cent(cell) (the residual is an exact integer vector here, so
+    * the whole build stays deterministic and SQL-replayable), and a
+    * query ranks candidates by the ASYMMETRIC distance — its own exact
+    * residual w.r.t. each probed cell's centroid against the
+    * candidate's reconstructed residual code.
+    *
+    * Scale shape: the search join is cell-keyed (candidates ∝ cell
+    * occupancy ≈ √n·balance at auto cells, never n²); the probe
+    * expands only the bounded query side ([[intIvfProbe]], default =
+    * the measured [[IvfAutoProbe]] operating point); the trained
+    * codebooks collapse to one M·k·subDim literal (fitted metadata,
+    * like pqTopK's distance table), so scoring needs no extra join —
+    * per candidate the ADC distance is M·subDim array reads inside
+    * whole-stage codegen. Corpus memory per vector: M bytes + a cell
+    * id, the 100 TB serving layout.
+    */
+  def ivfAdcTopK(df: DataFrame, id: Column, vec: Column, nCells: Int,
+                 m: Int, subDim: Int, kCodes: Int, topK: Int,
+                 isQuery: Column => Column,
+                 nProbe: Int = IvfAutoProbe): DataFrame = {
+    require(m > 0 && subDim > 0 && kCodes > 1 && topK > 0,
+      s"bad PQ config: m=$m subDim=$subDim kCodes=$kCodes topK=$topK")
+    val (fin, cents) = intIvfBuild(df, id, vec, nCells)
+    // corpus residuals vs the OWN cell's centroid — exact integers
+    val res = fin.join(broadcast(cents), Seq("cell"))
+      .select(col("vid"), col("cell"),
+        zip_with(col("q"), col("cent"), (a, b) => a - b).as("r"))
+    val rsv = res
+      .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("m"), col("r"))
+      .select(col("vid"), col("m"),
+        slice(col("r"), col("m") * subDim + 1, lit(subDim)).as("sub"))
+      .persist()
+    // residual-PQ training: init = the kCodes smallest-id residuals'
+    // subvectors, one integer Lloyd round (pqTopK's exact recipe)
+    val c0 = rsv.join(
+        rsv.select(col("vid")).distinct().orderBy("vid").limit(kCodes)
+          .select((row_number().over(Window.orderBy("vid")) - 1).cast("long").as("cell"),
+            col("vid").as("cvid")),
+        col("vid") === col("cvid"))
+      .select(col("m"), col("cell"), col("sub").as("cent"))
+    val cb = pqUpdate(pqAssign(rsv, c0)).persist()
+    val codes = pqAssign(rsv, cb)
+      .groupBy("vid")
+      .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("mc"))
+      .select(col("vid"), expr("transform(mc, x -> x.cell)").as("codes"))
+    // codebook -> one flat literal of M*k*subDim longs (bounded fitted
+    // metadata): ADC needs the centroid VALUES per (m, code), unlike
+    // pqTopK's symmetric code-pair table
+    val cbRows = cb.collect()
+    val cvals = Array.fill(m * kCodes * subDim)(0L)
+    cbRows.foreach { r =>
+      val mi = r.getAs[Number](0).intValue
+      val ci = r.getAs[Number](1).intValue
+      val cent = r.getSeq[Long](2)
+      var i = 0
+      while (i < subDim) { cvals((mi * kCodes + ci) * subDim + i) = cent(i); i += 1 }
+    }
+    val cblit = typedLit(cvals.toSeq)
+    // query side: exact residual w.r.t. EACH probed cell's centroid
+    // (probe rank 1 is the own cell, so its residual equals the stored
+    // one — the classic IVFADC query transform)
+    val qs = intIvfProbe(fin, cents, isQuery, nProbe)
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("cell"), col("vid").as("qid"),
+        zip_with(col("q"), col("cent"), (a, b) => a - b).as("qr"))
+    val cs = codes.join(fin.select(col("vid"), col("cell")), Seq("vid"))
+      .select(col("cell"), col("vid").as("cid"), col("codes").as("cc"))
+    // ADC: sum over subspaces of isq(query residual sub, candidate's
+    // code centroid) — all reads from the broadcast literal
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, mi) =>
+      acc + aggregate(sequence(lit(0), lit(subDim - 1)), lit(0L), (a2, ii) => {
+        val d = get(col("qr"), mi * subDim + ii) -
+          get(cblit, ((mi * kCodes + get(col("cc"), mi)) * subDim + ii).cast("int"))
+        a2 + d * d
+      }))
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("cid"))
+    qs.join(cs, Seq("cell")).where(col("qid") =!= col("cid"))
+      .withColumn("adc_dist", adc)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adc_dist"))
   }
 
   /** C1 — all-pairs Gram similarities (i < j) over a bounded subset:

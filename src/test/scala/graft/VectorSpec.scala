@@ -277,6 +277,33 @@ class VectorSpec extends SparkSpec {
     one.foreach { case (qr, s1) => two(qr) should be >= s1 }
   }
 
+  test("ivfAdcTopK: deterministic, dense ranks, probed distances monotone") {
+    val rnd = new scala.util.Random(46)
+    val df = (0L until 300L).map(id => (id, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 10 === 0
+    def run(pr: Int) = Similarity.ivfAdcTopK(df, col("vec_id"), col("embedding"),
+      nCells = 6, m = 4, subDim = 2, kCodes = 4, topK = 3, isQuery = isQ, nProbe = pr)
+    // integer build end to end => bit-identical across runs
+    run(2).collect().map(_.toSeq).toSet shouldBe run(2).collect().map(_.toSeq).toSet
+    // ranks dense from 1, ADC distances ascend per query
+    val rows = run(2).select("query_id", "rank", "adc_dist")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    rows should not be empty
+    rows.values.foreach { rs =>
+      rs.map(_._2).sorted.toSeq shouldBe (1L to rs.length).toSeq
+      val ds = rs.sortBy(_._2).map(_._3)
+      ds.zip(ds.tail).foreach { case (a, b) => a should be <= b }
+    }
+    // probing widens the candidate pool, so each rank's ADC distance
+    // can only improve (same monotonicity as the rerank probe test)
+    val one = run(1).select("query_id", "rank", "adc_dist")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val two = run(2).select("query_id", "rank", "adc_dist")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    one.foreach { case (qr, d1) => two(qr) should be <= d1 }
+  }
+
   test("binaryHammingTopK route=Auto past the cap matches the auto-width multi-table route") {
     val dim = 64
     val n = 40
