@@ -957,10 +957,13 @@ object QueriesVector {
   // M-byte PQ code of its RESIDUAL q − cent(cell) (exact integer
   // subtraction, so unlike float IVFADC the whole index replays in
   // SQL), and queries rank candidates in their nProbe probed cells
-  // (the shipped IvfAutoProbe=2 default) by the ASYMMETRIC distance —
-  // exact query residual vs the candidate's code centroid. One static
-  // oracle string replays coarse build + residual PQ training +
-  // probe ladder + ADC at every sf. Corpus memory per vector at the
+  // (the shipped IvfAutoProbe=2 default) by the ASYMMETRIC
+  // INNER-PRODUCT score dot(q, cent) + dot(q, recon residual) — the
+  // MIPS metric, matching the catalog's cosine/dot truth (an L2-ADC
+  // on unnormalized vectors ranks a different objective: measured
+  // recall@3 ~0.07 vs the IP form tracking the ivf family). One
+  // static oracle string replays coarse build + residual PQ training
+  // + probe ladder + ADC at every sf. Corpus memory per vector at the
   // serving layer: 8 code bytes + a cell id (the 100 TB layout).
   val v16IvfAdc: Q = (s, dir) =>
     Similarity.ivfAdcTopK(Tables.load(s, dir, "embeddings"),
@@ -972,6 +975,9 @@ object QueriesVector {
     def isq(a: String, b: String): String =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $PqSub), " +
         s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+    def idot(a: String, b: String): String =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $PqSub), " +
+        s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
     s"""WITH $sqlIntIvfPrefixAuto,
        |rs AS (
        |  SELECT m2.vec_id, list_transform(generate_series(1, $Dim),
@@ -1003,26 +1009,28 @@ object QueriesVector {
        |rcode AS (SELECT vec_id, m, cell AS code FROM ra2 WHERE rk = 1),
        |probe AS (SELECT vec_id, cell FROM a2
        |          WHERE rk <= ${Similarity.IvfAutoProbe} AND vec_id % 50 = 0),
-       |qres AS (
-       |  SELECT p.vec_id, p.cell,
-       |         list_transform(generate_series(1, $Dim), i -> qv.q[i] - c1.cent[i]) AS r
+       |qcd AS (
+       |  SELECT p.vec_id, p.cell, ${sqlIdot("qv.q", "c1.cent")} AS qc
        |  FROM probe p JOIN qv ON qv.vec_id = p.vec_id JOIN c1 ON c1.cell = p.cell),
-       |qrsv AS (
-       |  SELECT vec_id, cell, m, list_slice(r, m*$PqSub+1, m*$PqSub+$PqSub) AS sub
-       |  FROM qres, generate_series(0, ${PqM - 1}) AS tm(m)),
+       |qsv AS (
+       |  SELECT p.vec_id, p.cell, tm.m,
+       |         list_slice(qv.q, tm.m*$PqSub+1, tm.m*$PqSub+$PqSub) AS sub
+       |  FROM probe p JOIN qv ON qv.vec_id = p.vec_id,
+       |       generate_series(0, ${PqM - 1}) AS tm(m)),
        |dsub AS (
-       |  SELECT q.vec_id AS qid, c.vec_id AS cid, ${isq("q.sub", "rc1.cent")} AS d
-       |  FROM qrsv q
+       |  SELECT q.vec_id AS qid, q.cell, c.vec_id AS cid, ${idot("q.sub", "rc1.cent")} AS d
+       |  FROM qsv q
        |  JOIN m2 c ON c.cell = q.cell AND c.vec_id <> q.vec_id
        |  JOIN rcode ON rcode.vec_id = c.vec_id AND rcode.m = q.m
        |  JOIN rc1 ON rc1.m = q.m AND rc1.cell = rcode.code),
-       |dist AS (SELECT qid, cid, cast(sum(d) AS BIGINT) AS adc_dist
-       |         FROM dsub GROUP BY qid, cid),
+       |dist AS (SELECT d.qid, d.cid, cast(qcd.qc + sum(d.d) AS BIGINT) AS adc_score
+       |         FROM dsub d JOIN qcd ON qcd.vec_id = d.qid AND qcd.cell = d.cell
+       |         GROUP BY d.qid, d.cid, qcd.qc),
        |ranked AS (
-       |  SELECT qid, cid, adc_dist,
-       |         row_number() OVER (PARTITION BY qid ORDER BY adc_dist, cid) AS rank
+       |  SELECT qid, cid, adc_score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adc_score DESC, cid) AS rank
        |  FROM dist)
-       |SELECT qid AS query_id, cid AS neighbor_id, rank, adc_dist
+       |SELECT qid AS query_id, cid AS neighbor_id, rank, adc_score
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 

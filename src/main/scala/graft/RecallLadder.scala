@@ -59,17 +59,18 @@ object RecallLadder {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: RecallLadder <sfDir> [<sfDir> ...]")
-    // SPARK_GRAFT_RECALL_FAMILIES: comma subset of hamming,cosine,auto
-    // (default all three). The fixed-width grids are QUADRATIC in corpus
-    // size (the 100× lesson) — at sf10 run families=auto only.
+    // SPARK_GRAFT_RECALL_FAMILIES: comma subset of
+    // hamming,cosine,auto,ivf,adc (default all). The fixed-width grids
+    // are QUADRATIC in corpus size (the 100× lesson) — at sf10 run
+    // families=auto,ivf,adc only.
     val families = sys.env.getOrElse("SPARK_GRAFT_RECALL_FAMILIES",
-        "hamming,cosine,auto,ivf")
+        "hamming,cosine,auto,ivf,adc")
       .split(",").map(_.trim).toSet
     // a typo'd family name would silently skip that family and write a
     // partial artifact with no error — fail loudly instead
-    require(families.subsetOf(Set("hamming", "cosine", "auto", "ivf")),
+    require(families.subsetOf(Set("hamming", "cosine", "auto", "ivf", "adc")),
       s"SPARK_GRAFT_RECALL_FAMILIES must be a comma subset of " +
-        s"hamming,cosine,auto,ivf; got ${families.mkString(",")}")
+        s"hamming,cosine,auto,ivf,adc; got ${families.mkString(",")}")
     // SPARK_GRAFT_RECALL_QMOD: query-side modulus (default 10 = the v14
     // family config). At sf10 the exact brute truth over a %10 query
     // side costs ~4G popcount pairs — %100 keeps the truth set tractable
@@ -320,6 +321,42 @@ object RecallLadder {
           // intIvfAssign persists its quantized assignment internally
           // and each plan()/counter call makes a fresh one — drop them
           // between configs or later walls run under eviction pressure
+          spark.catalog.clearCache()
+        }
+      }
+      // ---- IVFADC (v16's route, round 17): recall@3 of the full
+      // coarse-cells + residual-PQ + asymmetric-distance recipe vs the
+      // same brute cosine truth, over the probe knob — this quantifies
+      // what the M-byte residual code costs ON TOP of the candidate
+      // generation (compare each probe row to the ivf family's: same
+      // candidate pool, exact-rerank vs ADC ranking). v10's PQ config
+      // (M=8, subDim=8, k=16), auto cells.
+      if (families("adc")) {
+        Seq(1, 2, 4).foreach { pr =>
+          val plan = () => operators.Similarity.ivfAdcTopK(
+            emb, col("vec_id"), col("embedding"), nCells = 0,
+            m = 8, subDim = 8, kCodes = 16, topK = 3,
+            isQuery = isQ, nProbe = pr)
+          val wall = (0 until iters).map { _ =>
+            spark.catalog.clearCache() // cache-cold, the ivf protocol
+            System.gc(); Thread.sleep(50)
+            val t0 = System.nanoTime()
+            plan().queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          spark.catalog.clearCache()
+          val got = topSets(plan())
+          val hits = got.iterator.map { case (q, ns) =>
+            (ns & bruteCos.getOrElse(q, Set.empty)).size
+          }.sum
+          val recall = hits.toDouble / denomCos
+          val cells = operators.Similarity.autoIvfCells(emb.count())
+          val lbl = s"ivfadc cells=$cells probe=$pr (auto)"
+          println(s"""{"recall":{"sf":"$base","family":"ivfadc","cells":$cells,"probe":$pr,""" +
+            s""""recall3":${fmt(recall)},"wall":${fmt(wall)},"queries":${bruteCos.size}}}""")
+          out.update(s"$base$qtag $lbl",
+            s"""{"recall3": ${fmt(recall)}, "wall": ${fmt(wall)}, """ +
+              s""""queries": ${bruteCos.size}}""")
           spark.catalog.clearCache()
         }
       }

@@ -1074,14 +1074,20 @@ object Similarity {
   /** IVFADC — the production large-scale ANN composition (inverted
     * file + asymmetric distance computation on PQ-coded RESIDUALS,
     * Jégou/Douze/Schmid, "Product quantization for nearest neighbor
-    * search", TPAMI 2011): the coarse integer-IVF quantizer
-    * ([[intIvfBuild]], corpus-scaled cells) decides WHO gets compared,
-    * each vector stores only the M-byte PQ code of its residual
-    * q − cent(cell) (the residual is an exact integer vector here, so
-    * the whole build stays deterministic and SQL-replayable), and a
-    * query ranks candidates by the ASYMMETRIC distance — its own exact
-    * residual w.r.t. each probed cell's centroid against the
-    * candidate's reconstructed residual code.
+    * search", TPAMI 2011) in its INNER-PRODUCT form (the MIPS metric
+    * of e.g. faiss IndexIVFPQ/METRIC_INNER_PRODUCT): the coarse
+    * integer-IVF quantizer ([[intIvfBuild]], corpus-scaled cells)
+    * decides WHO gets compared, each vector stores only the M-byte PQ
+    * code of its residual q − cent(cell) (the residual is an exact
+    * integer vector here, so the whole build stays deterministic and
+    * SQL-replayable), and a query scores candidates asymmetrically —
+    * its EXACT code vector against the candidate's reconstruction:
+    * score = dot(q, cent(cell)) + dot(q, recon(residual code)).
+    * Inner product, not L2: the catalog's ANN truth is cosine/dot
+    * (v1's exact ranking, the v9/v11 integer-dot family) — an L2-ADC
+    * on unnormalized vectors ranks a DIFFERENT objective (the norm
+    * term dominates) and measured recall@3 ≈ 0.07 where the IP form
+    * tracks the ivf family's candidate recall.
     *
     * Scale shape: the search join is cell-keyed (candidates ∝ cell
     * occupancy ≈ √n·balance at auto cells, never n²); the probe
@@ -1089,7 +1095,7 @@ object Similarity {
     * the measured [[IvfAutoProbe]] operating point); the trained
     * codebooks collapse to one M·k·subDim literal (fitted metadata,
     * like pqTopK's distance table), so scoring needs no extra join —
-    * per candidate the ADC distance is M·subDim array reads inside
+    * per candidate the ADC score is M·subDim array reads inside
     * whole-stage codegen. Corpus memory per vector: M bytes + a cell
     * id, the 100 TB serving layout.
     */
@@ -1135,29 +1141,27 @@ object Similarity {
       while (i < subDim) { cvals((mi * kCodes + ci) * subDim + i) = cent(i); i += 1 }
     }
     val cblit = typedLit(cvals.toSeq)
-    // query side: exact residual w.r.t. EACH probed cell's centroid
-    // (probe rank 1 is the own cell, so its residual equals the stored
-    // one — the classic IVFADC query transform)
+    // query side: the EXACT code vector plus its dot with each probed
+    // cell's centroid (score = dot(q, cent) + dot(q, recon residual);
+    // probe rank 1 is the own cell)
     val qs = intIvfProbe(fin, cents, isQuery, nProbe)
       .join(broadcast(cents), Seq("cell"))
-      .select(col("cell"), col("vid").as("qid"),
-        zip_with(col("q"), col("cent"), (a, b) => a - b).as("qr"))
+      .select(col("cell"), col("vid").as("qid"), col("q").as("qq"),
+        VectorFunctions.intDot(col("q"), col("cent")).as("qcd"))
     val cs = codes.join(fin.select(col("vid"), col("cell")), Seq("vid"))
       .select(col("cell"), col("vid").as("cid"), col("codes").as("cc"))
-    // ADC: sum over subspaces of isq(query residual sub, candidate's
-    // code centroid) — all reads from the broadcast literal
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, mi) =>
-      acc + aggregate(sequence(lit(0), lit(subDim - 1)), lit(0L), (a2, ii) => {
-        val d = get(col("qr"), mi * subDim + ii) -
-          get(cblit, ((mi * kCodes + get(col("cc"), mi)) * subDim + ii).cast("int"))
-        a2 + d * d
-      }))
-    val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("cid"))
+    // ADC: dot(q, cent(cell)) + sum over subspaces of dot(query sub,
+    // candidate's code centroid) — all reads from the broadcast literal
+    val adc = col("qcd") + aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, mi) =>
+      acc + aggregate(sequence(lit(0), lit(subDim - 1)), lit(0L), (a2, ii) =>
+        a2 + get(col("qq"), mi * subDim + ii) *
+          get(cblit, ((mi * kCodes + get(col("cc"), mi)) * subDim + ii).cast("int"))))
+    val w = Window.partitionBy("qid").orderBy(col("adc_score").desc, col("cid"))
     qs.join(cs, Seq("cell")).where(col("qid") =!= col("cid"))
-      .withColumn("adc_dist", adc)
+      .withColumn("adc_score", adc)
       .withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
-        col("rank").cast("long").as("rank"), col("adc_dist"))
+        col("rank").cast("long").as("rank"), col("adc_score"))
   }
 
   /** C1 — all-pairs Gram similarities (i < j) over a bounded subset:

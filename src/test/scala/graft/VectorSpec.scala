@@ -286,22 +286,22 @@ class VectorSpec extends SparkSpec {
       nCells = 6, m = 4, subDim = 2, kCodes = 4, topK = 3, isQuery = isQ, nProbe = pr)
     // integer build end to end => bit-identical across runs
     run(2).collect().map(_.toSeq).toSet shouldBe run(2).collect().map(_.toSeq).toSet
-    // ranks dense from 1, ADC distances ascend per query
-    val rows = run(2).select("query_id", "rank", "adc_dist")
+    // ranks dense from 1, ADC inner-product scores descend per query
+    val rows = run(2).select("query_id", "rank", "adc_score")
       .as[(Long, Long, Long)].collect().groupBy(_._1)
     rows should not be empty
     rows.values.foreach { rs =>
       rs.map(_._2).sorted.toSeq shouldBe (1L to rs.length).toSeq
       val ds = rs.sortBy(_._2).map(_._3)
-      ds.zip(ds.tail).foreach { case (a, b) => a should be <= b }
+      ds.zip(ds.tail).foreach { case (a, b) => a should be >= b }
     }
-    // probing widens the candidate pool, so each rank's ADC distance
-    // can only improve (same monotonicity as the rerank probe test)
-    val one = run(1).select("query_id", "rank", "adc_dist")
+    // probing widens the candidate pool, so each rank's ADC score can
+    // only improve (same monotonicity as the rerank probe test)
+    val one = run(1).select("query_id", "rank", "adc_score")
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
-    val two = run(2).select("query_id", "rank", "adc_dist")
+    val two = run(2).select("query_id", "rank", "adc_score")
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
-    one.foreach { case (qr, d1) => two(qr) should be <= d1 }
+    one.foreach { case (qr, d1) => two(qr) should be >= d1 }
   }
 
   test("binaryHammingTopK route=Auto past the cap matches the auto-width multi-table route") {
