@@ -960,8 +960,9 @@ object QueriesVector {
   // (the shipped IvfAutoProbe=2 default) by the ASYMMETRIC
   // INNER-PRODUCT score dot(q, cent) + dot(q, recon residual) — the
   // MIPS metric, matching the catalog's cosine/dot truth (an L2-ADC
-  // on unnormalized vectors ranks a different objective: measured
-  // recall@3 ~0.07 vs the IP form tracking the ivf family). One
+  // on unnormalized vectors ranks a different objective). Measured
+  // coding loss on the synthetic corpus is severe (RECALL_r17) —
+  // this is the MEMORY tier; v11c is the ranking-fidelity tier. One
   // static oracle string replays coarse build + residual PQ training
   // + probe ladder + ADC at every sf. Corpus memory per vector at the
   // serving layer: 8 code bytes + a cell id (the 100 TB layout).

@@ -1085,9 +1085,16 @@ object Similarity {
     * score = dot(q, cent(cell)) + dot(q, recon(residual code)).
     * Inner product, not L2: the catalog's ANN truth is cosine/dot
     * (v1's exact ranking, the v9/v11 integer-dot family) — an L2-ADC
-    * on unnormalized vectors ranks a DIFFERENT objective (the norm
-    * term dominates) and measured recall@3 ≈ 0.07 where the IP form
-    * tracks the ivf family's candidate recall.
+    * on unnormalized vectors ranks a DIFFERENT objective and measured
+    * recall@3 0.06–0.10. The IP form is the correct metric and is
+    * also ~1.5× faster (no query residual transform), but measured
+    * coding loss remains severe on the synthetic corpus (RECALL_r17:
+    * 0.06–0.12 vs the exact rerank's 0.30–0.94 on the SAME candidate
+    * pools) — its residuals are near-isotropic noise by construction,
+    * the PQ worst case. This is the MEMORY tier (M bytes/vector);
+    * [[intIvfRerankTopK]] (v11c) is the ranking-fidelity tier.
+    * Re-measure the loss on real structured embeddings before
+    * serving.
     *
     * Scale shape: the search join is cell-keyed (candidates ∝ cell
     * occupancy ≈ √n·balance at auto cells, never n²); the probe
