@@ -74,6 +74,12 @@ object ScaleSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // the streaming harness queries land in MEMORY sinks (the test
+      // sink — production would write files/Kafka), so at the 1000×
+      // smoke their linear OUTPUT exceeds the 1g default result cap
+      // (st6's capped candidate set hit it at sf100); the cap guards
+      // accidental driver collects, which PlanAuditSpec already pins
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
