@@ -275,26 +275,29 @@ object RecallLadder {
           pr <- Seq(1, 2, 4)
         } yield (c, pr)
         cfgs.foreach { case (c, pr) =>
-          val plan = () => operators.Similarity.intIvfRerankTopK(
-            emb, col("vec_id"), col("embedding"), nCells = c, k = 3,
-            isQuery = isQ, nProbe = pr)
           val wall = (0 until iters).map { _ =>
-            // each timed run starts cache-cold (ADVICE r16): a plan()
-            // call persists a fresh qv/fin/c1 trio, so without the
-            // per-iteration clear, later walls in the same config run
-            // under the earlier iterations' accumulated cache entries
-            spark.catalog.clearCache()
+            // each timed run starts cache-cold (ADVICE r16) by
+            // building a FRESH index inside the timed region and
+            // RELEASING it after (VERDICT r17 #6: explicit handles,
+            // not clearCache — the ladder now leaks nothing)
             System.gc(); Thread.sleep(50)
             val t0 = System.nanoTime()
-            plan().queryExecution.toRdd.count()
-            (System.nanoTime() - t0) / 1e9
+            val ixT = operators.Similarity.intIvfIndex(
+              emb, col("vec_id"), col("embedding"), c)
+            operators.Similarity.intIvfRerankFromBuild(
+              emb, col("vec_id"), col("embedding"), ixT.fin, ixT.cents,
+              k = 3, isQuery = isQ, nProbe = pr)
+              .queryExecution.toRdd.count()
+            val w = (System.nanoTime() - t0) / 1e9
+            ixT.release()
+            w
           }.min
-          spark.catalog.clearCache()
           // ONE untimed build serves BOTH the recall collect and the
           // candidate count (ADVICE r16: previously each pass re-ran
           // and re-persisted its own build)
-          val (fin, cents) = operators.Similarity.intIvfBuild(
+          val ix = operators.Similarity.intIvfIndex(
             emb, col("vec_id"), col("embedding"), c)
+          val (fin, cents) = (ix.fin, ix.cents)
           val got = topSets(operators.Similarity.intIvfRerankFromBuild(
             emb, col("vec_id"), col("embedding"), fin, cents, k = 3,
             isQuery = isQ, nProbe = pr))
@@ -318,46 +321,68 @@ object RecallLadder {
           out.update(s"$base$qtag $lbl",
             s"""{"recall3": ${fmt(recall)}, "wall": ${fmt(wall)}, """ +
               s""""cands": $cands, "queries": ${bruteCos.size}}""")
-          // intIvfAssign persists its quantized assignment internally
-          // and each plan()/counter call makes a fresh one — drop them
-          // between configs or later walls run under eviction pressure
-          spark.catalog.clearCache()
+          ix.release()
         }
       }
-      // ---- IVFADC (v16's route, round 17): recall@3 of the full
-      // coarse-cells + residual-PQ + asymmetric-distance recipe vs the
+      // ---- IVFADC (v16's route; 8-bit codebooks + the v16b serving
+      // composition since round 18): recall@3 of the coarse-cells +
+      // stride-trained residual-PQ + asymmetric-distance recipe vs the
       // same brute cosine truth, over the probe knob — this quantifies
       // what the M-byte residual code costs ON TOP of the candidate
       // generation (compare each probe row to the ivf family's: same
-      // candidate pool, exact-rerank vs ADC ranking). v10's PQ config
-      // (M=8, subDim=8, k=16), auto cells.
+      // candidate pool, exact-rerank vs ADC ranking). Two rows per
+      // probe: the pure ADC ranking (v16, k*=256) and the ADC top-32
+      // shortlist finished by the exact float rerank (v16b) — the
+      // serving pattern whose recall ceiling is P(true top-3 ∈ ADC
+      // top-32).
       if (families("adc")) {
-        Seq(1, 2, 4).foreach { pr =>
-          val plan = () => operators.Similarity.ivfAdcTopK(
-            emb, col("vec_id"), col("embedding"), nCells = 0,
-            m = 8, subDim = 8, kCodes = 16, topK = 3,
-            isQuery = isQ, nProbe = pr)
+        val adcCfgs: Seq[(String, Int, operators.Similarity.IvfIndex => DataFrame)] =
+          Seq(1, 2, 4).flatMap { pr =>
+            Seq(
+              (s"ivfadc k=256 probe=$pr", pr,
+                (ix: operators.Similarity.IvfIndex) =>
+                  operators.Similarity.ivfAdcFromIndex(ix,
+                    m = 8, subDim = 8, kCodes = 256, topK = 3,
+                    isQuery = isQ, nProbe = pr,
+                    trainTarget = operators.Similarity.AdcTrainTarget)),
+              (s"ivfadc+rerank k=256 R=32 probe=$pr", pr,
+                (ix: operators.Similarity.IvfIndex) =>
+                  operators.Similarity.ivfAdcRerankFromIndex(ix, emb,
+                    col("vec_id"), col("embedding"),
+                    m = 8, subDim = 8, kCodes = 256, shortlist = 32, topK = 3,
+                    isQuery = isQ, nProbe = pr,
+                    trainTarget = operators.Similarity.AdcTrainTarget)))
+          }
+        adcCfgs.foreach { case (lbl0, pr, mk) =>
           val wall = (0 until iters).map { _ =>
-            spark.catalog.clearCache() // cache-cold, the ivf protocol
+            // cache-cold per iteration via build-and-release (the ivf
+            // family's protocol — no clearCache anywhere in the ladder)
             System.gc(); Thread.sleep(50)
             val t0 = System.nanoTime()
-            plan().queryExecution.toRdd.count()
-            (System.nanoTime() - t0) / 1e9
+            val ixT = operators.Similarity.intIvfIndex(
+              emb, col("vec_id"), col("embedding"), 0)
+            mk(ixT).queryExecution.toRdd.count()
+            val w = (System.nanoTime() - t0) / 1e9
+            ixT.release()
+            w
           }.min
-          spark.catalog.clearCache()
-          val got = topSets(plan())
+          val ix = operators.Similarity.intIvfIndex(
+            emb, col("vec_id"), col("embedding"), 0)
+          val got = topSets(mk(ix))
+          ix.release()
           val hits = got.iterator.map { case (q, ns) =>
             (ns & bruteCos.getOrElse(q, Set.empty)).size
           }.sum
           val recall = hits.toDouble / denomCos
           val cells = operators.Similarity.autoIvfCells(emb.count())
-          val lbl = s"ivfadc cells=$cells probe=$pr (auto)"
-          println(s"""{"recall":{"sf":"$base","family":"ivfadc","cells":$cells,"probe":$pr,""" +
+          val lbl = s"$lbl0 cells=$cells (auto)"
+          val rr = lbl0.contains("rerank")
+          println(s"""{"recall":{"sf":"$base","family":"ivfadc","kCodes":256,""" +
+            s""""rerank":$rr,"cells":$cells,"probe":$pr,""" +
             s""""recall3":${fmt(recall)},"wall":${fmt(wall)},"queries":${bruteCos.size}}}""")
           out.update(s"$base$qtag $lbl",
             s"""{"recall3": ${fmt(recall)}, "wall": ${fmt(wall)}, """ +
               s""""queries": ${bruteCos.size}}""")
-          spark.catalog.clearCache()
         }
       }
     }

@@ -65,6 +65,38 @@ object Similarity {
     */
   val IvfAutoProbe: Int = 2
 
+  /** PQ codebook training-sample target (round 18): residual-PQ
+    * codebooks are fitted METADATA (M·k·subDim integers), so training
+    * them on the full corpus is a full-data×M shuffle a 100 TB build
+    * cannot pay — the same argument that scales the IVF cell count
+    * from a bounded scalar (v9b). [[ivfAdcTopK]] trains on the
+    * deterministic stride sample `vid % max(1, n/target) = 0` —
+    * SQL-replayable (the v16 oracle recomputes the stride from
+    * count(*)), corpus-order-free, and ~`target` rows at every scale.
+    * 4096 ≈ 16 training points per 8-bit code cell — thin but
+    * measured adequate on the recall ladder; raise per-call for
+    * higher-fidelity codebooks.
+    */
+  val AdcTrainTarget: Int = 4096
+
+  /** A built integer-IVF index together with the cache entries backing
+    * it — the release handle for [[intIvfIndex]]'s three load-bearing
+    * persists (the quantized corpus `qv`, the post-Lloyd centroids
+    * `c1`, the final assignment `fin`). One-shot catalog queries use
+    * the [[intIvfTopK]]-family wrappers and leave the entries to the
+    * session (the driver clears caches between queries); LONG-LIVED
+    * sessions (RecallLadder, library embedders) build via
+    * [[intIvfIndex]] and call [[release]] once every plan derived from
+    * `fin`/`cents` has been materialized — after release, still-lazy
+    * consumer plans recompute rather than break.
+    */
+  final case class IvfIndex private[operators] (
+      fin: DataFrame, cents: DataFrame,
+      private val caches: Seq[DataFrame]) {
+    def release(blocking: Boolean = false): Unit =
+      caches.foreach(_.unpersist(blocking))
+  }
+
   /** Occupancy-targeted LSH width (the v14d derivation): the smallest
     * p with 2^p buckets ≥ ceil(n / targetOccupancy), clamped to
     * [4, 32] — pure integer ceil-log2 (no float log2: boundary powers
@@ -464,6 +496,19 @@ object Similarity {
     */
   private[graft] def intIvfBuild(df: DataFrame, id: Column, vec: Column,
                                  nCells0: Int): (DataFrame, DataFrame) = {
+    val ix = intIvfIndex(df, id, vec, nCells0)
+    (ix.fin, ix.cents)
+  }
+
+  /** [[intIvfBuild]] with the persist OWNERSHIP made explicit: returns
+    * the [[IvfIndex]] handle so a long-lived caller can release the
+    * build's three cache entries (qv, c1, fin) instead of leaking them
+    * until session clearCache (VERDICT r17 #6). The tuple-returning
+    * [[intIvfBuild]] remains for one-shot query plans whose cache
+    * lifetime is the driver run.
+    */
+  private[graft] def intIvfIndex(df: DataFrame, id: Column, vec: Column,
+                                 nCells0: Int): IvfIndex = {
     val base0 = df.select(id.cast("long").as("vid"), vec.as("v"))
     val nCells =
       if (nCells0 > 0) nCells0
@@ -513,7 +558,8 @@ object Similarity {
     // update aggregation from the persisted qv on each
     // materialization, not just a bounded agg
     val c1 = update(assign(c0)).persist()
-    (assign(c1).persist(), c1)
+    val fin = assign(c1).persist()
+    IvfIndex(fin, c1, Seq(qv, c1, fin))
   }
 
   /** The probed query-side cell set: each query ranks ALL final
@@ -1028,11 +1074,25 @@ object Similarity {
         col("vid") === col("cvid"))
       .select(col("m"), col("cell"), col("sub").as("cent"))
 
-    val cb = pqUpdate(pqAssign(qv, c0)).persist() // trained codebooks (m, cell, cent)
-    val enc = pqAssign(qv, cb).select(col("vid"), col("m"), col("cell"))
+    // trained codebooks (m, cell, cent) — collected IMMEDIATELY: both
+    // downstream consumers (the distance literal and the encode) read
+    // the collected rows, so no training cache outlives this call
+    // (VERDICT r17 #6); qv is released once training materialized it
+    // (the lazy encode below recomputes it in one map-side pass)
+    val cbRows = pqUpdate(pqAssign(qv, c0)).collect()
+    qv.unpersist(blocking = false)
+    val cbLocal = qv.sparkSession.createDataFrame(
+        cbRows.toSeq.map(r => (r.getAs[Number](0).intValue,
+          r.getAs[Number](1).longValue, r.getSeq[Long](2))))
+      .toDF("m", "cell", "cent")
+    val enc = pqAssign(qv, cbLocal).select(col("vid"), col("m"), col("cell"))
 
     // wide form: one M-element code array per vector (struct sort keys
-    // by m first, so codes land in subspace order)
+    // by m first, so codes land in subspace order). Persist ownership:
+    // `codes` backs BOTH sides of the search join below, so it stays
+    // cached for the returned plan's lifetime — session-scoped (the
+    // driver clears caches between queries), the one deliberate
+    // persist this operator leaves live.
     val codes = enc.groupBy("vid")
       .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("mc"))
       .select(col("vid"), expr("transform(mc, x -> x.cell)").as("codes"))
@@ -1045,7 +1105,6 @@ object Similarity {
     // narrow (vid, m, code) relations on m instead would key the whole
     // scan on m's handful of distinct values — a skewed shuffle of
     // rows × M.
-    val cbRows = cb.collect()
     def mOf(r: org.apache.spark.sql.Row) = r.getAs[Number](0).intValue
     def cellOf(r: org.apache.spark.sql.Row) = r.getAs[Number](1).intValue
     val dvals = Array.fill(m * k * k)(0L)
@@ -1087,14 +1146,16 @@ object Similarity {
     * (v1's exact ranking, the v9/v11 integer-dot family) — an L2-ADC
     * on unnormalized vectors ranks a DIFFERENT objective and measured
     * recall@3 0.06–0.10. The IP form is the correct metric and is
-    * also ~1.5× faster (no query residual transform), but measured
-    * coding loss remains severe on the synthetic corpus (RECALL_r17:
-    * 0.06–0.12 vs the exact rerank's 0.30–0.94 on the SAME candidate
-    * pools) — its residuals are near-isotropic noise by construction,
-    * the PQ worst case. This is the MEMORY tier (M bytes/vector);
-    * [[intIvfRerankTopK]] (v11c) is the ranking-fidelity tier.
-    * Re-measure the loss on real structured embeddings before
-    * serving.
+    * also ~1.5× faster (no query residual transform). Codebooks are
+    * 8-bit (k* = 256, the TPAMI 2011 composition — round 17 shipped
+    * 4-bit codes whose measured recall sat at the random-pick floor)
+    * and train on the deterministic [[AdcTrainTarget]] stride sample,
+    * never the full corpus. This is the MEMORY tier (M bytes/vector);
+    * [[ivfAdcRerankTopK]] is the serving composition (ADC shortlist →
+    * exact float rerank) and [[intIvfRerankTopK]] (v11c) the
+    * full-fidelity tier. Measure coding loss per corpus before
+    * serving — RECALL_r18 carries both the near-isotropic worst case
+    * and a decaying-spectrum fixture.
     *
     * Scale shape: the search join is cell-keyed (candidates ∝ cell
     * occupancy ≈ √n·balance at auto cells, never n²); the probe
@@ -1104,41 +1165,81 @@ object Similarity {
     * like pqTopK's distance table), so scoring needs no extra join —
     * per candidate the ADC score is M·subDim array reads inside
     * whole-stage codegen. Corpus memory per vector: M bytes + a cell
-    * id, the 100 TB serving layout.
+    * id, the 100 TB serving layout. Cache ownership: the coarse
+    * build's entries belong to the [[IvfIndex]] (session-scoped via
+    * this wrapper, caller-released via [[ivfAdcFromIndex]]); the
+    * training caches are released HERE once the codebook literal is
+    * collected — nothing PQ-specific outlives the call.
     */
   def ivfAdcTopK(df: DataFrame, id: Column, vec: Column, nCells: Int,
                  m: Int, subDim: Int, kCodes: Int, topK: Int,
                  isQuery: Column => Column,
-                 nProbe: Int = IvfAutoProbe): DataFrame = {
+                 nProbe: Int = IvfAutoProbe,
+                 trainTarget: Int = AdcTrainTarget): DataFrame =
+    ivfAdcFromIndex(intIvfIndex(df, id, vec, nCells),
+      m, subDim, kCodes, topK, isQuery, nProbe, trainTarget)
+
+  /** [[ivfAdcTopK]] over a prebuilt [[IvfIndex]] — the handle form for
+    * long-lived callers (RecallLadder) that must release the coarse
+    * build's caches themselves. PQ training runs EAGERLY here (the
+    * codebook literal is collected), so by return the only live cache
+    * entries are the index's own.
+    */
+  private[graft] def ivfAdcFromIndex(ix: IvfIndex,
+                 m: Int, subDim: Int, kCodes: Int, topK: Int,
+                 isQuery: Column => Column,
+                 nProbe: Int, trainTarget: Int): DataFrame = {
     require(m > 0 && subDim > 0 && kCodes > 1 && topK > 0,
       s"bad PQ config: m=$m subDim=$subDim kCodes=$kCodes topK=$topK")
-    val (fin, cents) = intIvfBuild(df, id, vec, nCells)
+    require(trainTarget > 0, s"trainTarget must be positive: $trainTarget")
+    val (fin, cents) = (ix.fin, ix.cents)
+    // ADVICE r17: an m·subDim that disagrees with the embedding width
+    // would silently drop the residual tail (too small) or read past
+    // the array into null scores (too large) — cross-check against
+    // the actual vector length, one bounded head row
+    val dim = fin.select(size(col("q"))).head.getInt(0)
+    require(m * subDim == dim,
+      s"m*subDim=${m * subDim} must equal the embedding dimension $dim")
     // corpus residuals vs the OWN cell's centroid — exact integers
     val res = fin.join(broadcast(cents), Seq("cell"))
       .select(col("vid"), col("cell"),
         zip_with(col("q"), col("cent"), (a, b) => a - b).as("r"))
+    // un-persisted: consumed exactly once, by the encode pass below
     val rsv = res
       .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("m"), col("r"))
       .select(col("vid"), col("m"),
         slice(col("r"), col("m") * subDim + 1, lit(subDim)).as("sub"))
-      .persist()
-    // residual-PQ training: init = the kCodes smallest-id residuals'
-    // subvectors, one integer Lloyd round (pqTopK's exact recipe)
-    val c0 = rsv.join(
-        rsv.select(col("vid")).distinct().orderBy("vid").limit(kCodes)
+    // residual-PQ training on the BOUNDED stride sample (VERDICT r17
+    // #2: full-corpus codebook training is a full-data×M shuffle no
+    // 100 TB build can pay; the stride replays in SQL): init = the
+    // kCodes smallest-id sampled residuals' subvectors, one integer
+    // Lloyd round (pqTopK's exact recipe)
+    val n = fin.count() // bounded scalar on the persisted assignment
+    val trainMod = math.max(1L, n / trainTarget)
+    val rsvT = rsv.where(col("vid") % trainMod === 0).persist()
+    val c0 = rsvT.join(
+        rsvT.select(col("vid")).distinct().orderBy("vid").limit(kCodes)
           .select((row_number().over(Window.orderBy("vid")) - 1).cast("long").as("cell"),
             col("vid").as("cvid")),
         col("vid") === col("cvid"))
       .select(col("m"), col("cell"), col("sub").as("cent"))
-    val cb = pqUpdate(pqAssign(rsv, c0)).persist()
-    val codes = pqAssign(rsv, cb)
+    // codebook -> one flat literal of M*k*subDim longs (bounded fitted
+    // metadata): ADC needs the centroid VALUES per (m, code), unlike
+    // pqTopK's symmetric code-pair table. Collected HERE so both
+    // training caches can be released before the encode plan is built.
+    val cbRows = pqUpdate(pqAssign(rsvT, c0)).collect()
+    rsvT.unpersist(blocking = false)
+    // the collected codebook re-enters the encode as a LOCAL relation
+    // (a LocalTableScan — no lineage back to the training job, so the
+    // released caches are never re-demanded)
+    val cbLocal = fin.sparkSession.createDataFrame(
+        cbRows.toSeq.map(r => (r.getAs[Number](0).intValue,
+          r.getAs[Number](1).longValue, r.getSeq[Long](2))))
+      .toDF("m", "cell", "cent")
+    val codes = pqAssign(rsv, cbLocal)
       .groupBy("vid")
       .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("mc"))
       .select(col("vid"), expr("transform(mc, x -> x.cell)").as("codes"))
-    // codebook -> one flat literal of M*k*subDim longs (bounded fitted
-    // metadata): ADC needs the centroid VALUES per (m, code), unlike
-    // pqTopK's symmetric code-pair table
-    val cbRows = cb.collect()
     val cvals = Array.fill(m * kCodes * subDim)(0L)
     cbRows.foreach { r =>
       val mi = r.getAs[Number](0).intValue
@@ -1169,6 +1270,62 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
       .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("adc_score"))
+  }
+
+  /** IVFADC serving composition (VERDICT r17 #1): the M-byte ADC scan
+    * ranks a per-query SHORTLIST of `shortlist` candidates, and the
+    * exact float cosine finishes — ADC as the cheap FILTER over the
+    * probed cells' full occupancy, the float math only on the
+    * shortlist (the standard PQ serving pattern: IVFADC shortlist +
+    * exact re-rank, the refinement step of Jégou/Douze/Schmid TPAMI
+    * 2011 §IV — there from stored full vectors; here from the float
+    * column). vs [[intIvfRerankTopK]] (v11c), which float-ranks EVERY
+    * candidate: at equal probe both see the same candidate pool, but
+    * this tier reads M bytes per candidate and 64 floats only per
+    * shortlist row — the wide-corpus memory/bandwidth trade. Recall
+    * ceiling is P(true top-k ∈ ADC top-shortlist); RECALL_r18
+    * measures it on both embedding shapes.
+    *
+    * Scale shape: [[ivfAdcTopK]]'s cell-keyed scan unchanged; the
+    * rerank joins the (queries × shortlist)-row output — bounded,
+    * broadcast — against the float column twice, so the only
+    * corpus-sized pass the float vectors pay is their scan.
+    */
+  def ivfAdcRerankTopK(df: DataFrame, id: Column, vec: Column, nCells: Int,
+                       m: Int, subDim: Int, kCodes: Int, shortlist: Int,
+                       topK: Int, isQuery: Column => Column,
+                       nProbe: Int = IvfAutoProbe,
+                       trainTarget: Int = AdcTrainTarget): DataFrame =
+    ivfAdcRerankFromIndex(intIvfIndex(df, id, vec, nCells), df, id, vec,
+      m, subDim, kCodes, shortlist, topK, isQuery, nProbe, trainTarget)
+
+  /** [[ivfAdcRerankTopK]] over a prebuilt [[IvfIndex]] — see
+    * [[ivfAdcFromIndex]] for the cache-ownership contract.
+    */
+  private[graft] def ivfAdcRerankFromIndex(ix: IvfIndex, df: DataFrame,
+                       id: Column, vec: Column,
+                       m: Int, subDim: Int, kCodes: Int, shortlist: Int,
+                       topK: Int, isQuery: Column => Column,
+                       nProbe: Int, trainTarget: Int): DataFrame = {
+    require(shortlist >= topK,
+      s"shortlist=$shortlist must be >= topK=$topK")
+    val short = ivfAdcFromIndex(ix, m, subDim, kCodes, shortlist, isQuery,
+        nProbe, trainTarget)
+      .select(col("query_id"), col("neighbor_id"))
+    val v = df.select(id.cast("long").as("fid"), vec.as("fv"),
+      VectorFunctions.l2Norm(vec).as("fn"))
+    // the shortlist is the bounded side (queries × shortlist rows) —
+    // broadcast it against the float column for both vector lookups
+    val q = v.join(broadcast(short), col("fid") === col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("fv").as("qv"), col("fn").as("qn"))
+    val c = v.join(broadcast(q), col("fid") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosOf(col("qv"), col("fv"), col("qn"), col("fn")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
   }
 
   /** C1 — all-pairs Gram similarities (i < j) over a bounded subset:

@@ -304,6 +304,77 @@ class VectorSpec extends SparkSpec {
     one.foreach { case (qr, d1) => two(qr) should be >= d1 }
   }
 
+  test("ivfAdcTopK: m*subDim must match the embedding dimension (ADVICE r17)") {
+    val rnd = new scala.util.Random(47)
+    val df = (0L until 60L).map(id => (id, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    // too small (silently dropped tail) and too large (reads past the
+    // array) must both fail loudly instead
+    Seq((2, 2), (4, 4)).foreach { case (m, sd) =>
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfAdcTopK(df, col("vec_id"), col("embedding"),
+          nCells = 4, m = m, subDim = sd, kCodes = 4, topK = 3,
+          isQuery = _ % 10 === 0)
+      }
+      e.getMessage should include("embedding dimension")
+    }
+  }
+
+  test("ivfAdcRerankTopK covering the candidate pool equals the exact IVF rerank") {
+    val rnd = new scala.util.Random(48)
+    val df = (0L until 300L).map(id => (id, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 10 === 0
+    // shortlist >= every query's probed-cell candidate count => the
+    // ADC filter passes the whole pool through, so the float rerank
+    // must return exactly intIvfRerankTopK's answer (same pool, same
+    // (sim desc, cid) tie-break) — the ADC tier only ever narrows
+    val full = Similarity.intIvfRerankTopK(df, col("vec_id"), col("embedding"),
+        nCells = 6, k = 3, isQuery = isQ, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val viaAdc = Similarity.ivfAdcRerankTopK(df, col("vec_id"), col("embedding"),
+        nCells = 6, m = 4, subDim = 2, kCodes = 4, shortlist = 300, topK = 3,
+        isQuery = isQ, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    viaAdc shouldBe full
+    full should not be empty
+  }
+
+  test("ivfAdcTopK sampled training: deterministic, dense ranks, bounded stride") {
+    val rnd = new scala.util.Random(49)
+    val df = (0L until 400L).map(id => (id, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 20 === 0
+    // trainTarget=100 over 400 rows => stride 4: codebooks fit on the
+    // 100-row sample, the encode still covers the full corpus
+    def run() = Similarity.ivfAdcTopK(df, col("vec_id"), col("embedding"),
+      nCells = 6, m = 4, subDim = 2, kCodes = 8, topK = 3,
+      isQuery = isQ, trainTarget = 100)
+    val a = run().collect().map(_.toSeq).toSeq
+    a shouldBe run().collect().map(_.toSeq).toSeq
+    val byQ = run().select("query_id", "rank").as[(Long, Long)].collect().groupBy(_._1)
+    byQ should not be empty
+    byQ.values.foreach(rs => rs.map(_._2).sorted.toSeq shouldBe (1L to rs.length).toSeq)
+  }
+
+  test("IvfIndex.release drops every cache entry the build and ADC passes created") {
+    val rnd = new scala.util.Random(50)
+    val df = (0L until 200L).map(id => (id, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    spark.catalog.clearCache()
+    val ix = Similarity.intIvfIndex(df, col("vec_id"), col("embedding"), 6)
+    // the ADC pass trains (and must RELEASE) its own caches eagerly
+    val plan = Similarity.ivfAdcFromIndex(ix, m = 4, subDim = 2, kCodes = 8,
+      topK = 3, isQuery = _ % 10 === 0, nProbe = 2,
+      trainTarget = Similarity.AdcTrainTarget)
+    plan.queryExecution.toRdd.count()
+    ix.release(blocking = true)
+    // no net-new leaked entries (VERDICT r17 #6): index released by the
+    // caller, training caches released inside ivfAdcFromIndex
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cache entries leaked past IvfIndex.release")
+  }
+
   test("binaryHammingTopK route=Auto past the cap matches the auto-width multi-table route") {
     val dim = 64
     val n = 40
