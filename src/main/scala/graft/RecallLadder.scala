@@ -352,7 +352,19 @@ object RecallLadder {
                     m = 8, subDim = 8, kCodes = 256, shortlist = 32, topK = 3,
                     isQuery = isQ, nProbe = pr,
                     trainTarget = operators.Similarity.AdcTrainTarget)))
-          }
+          } :+
+          // the shortlist knob at the default probe: R fixes the ADC
+          // filter's pass-through, so its recall ceiling is
+          // P(true top-3 ∈ ADC top-R) — one wider-R row locates the
+          // serving frontier beyond the catalog's R=32 pin
+          ((s"ivfadc+rerank k=256 R=128 probe=${operators.Similarity.IvfAutoProbe}",
+            operators.Similarity.IvfAutoProbe,
+            (ix: operators.Similarity.IvfIndex) =>
+              operators.Similarity.ivfAdcRerankFromIndex(ix, emb,
+                col("vec_id"), col("embedding"),
+                m = 8, subDim = 8, kCodes = 256, shortlist = 128, topK = 3,
+                isQuery = isQ, nProbe = operators.Similarity.IvfAutoProbe,
+                trainTarget = operators.Similarity.AdcTrainTarget)))
         adcCfgs.foreach { case (lbl0, pr, mk) =>
           val wall = (0 until iters).map { _ =>
             // cache-cold per iteration via build-and-release (the ivf

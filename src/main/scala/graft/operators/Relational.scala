@@ -156,10 +156,26 @@ object Relational {
     * Empty or inverted intervals are dropped (end ≤ start matches
     * nothing under the half-open semantics; filtering them also keeps
     * `sequence` from generating a descending bucket range).
+    *
+    * OUTPUT-SIZE CONTRACT (VERDICT r17 #7): the result IS the true
+    * containment-pair relation, so cost is bounded below by OUTPUT
+    * volume — at k× probe density every interval contains k× more
+    * probes and pair volume grows ~quadratically with data (j6
+    * measured 63× wall at 100×, SCALE_100X_r17). No bucket width can
+    * cut that: the pairs are real rows. Consumers that only aggregate
+    * per interval must use [[rangeCountSumPrefix]] (2.1× at the same
+    * 100×); consumers that DO need the pairs can bound the blast
+    * radius with `maxPairsPerBucket` — when positive, the operator
+    * pre-computes each side's per-bucket occupancy (two bounded,
+    * timeline-sized aggregates) and FAILS FAST if any bucket would
+    * emit more candidate pairs than the budget, instead of silently
+    * launching a quadratic join (the d3b/maxBucket discipline, adapted
+    * to a semantics-preserving guard: it never drops pairs, it refuses
+    * runs whose output the caller has not sized for).
     */
   def rangeJoinBucketed(probe: DataFrame, intervals: DataFrame,
       tsCol: String, startCol: String, endCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, maxPairsPerBucket: Long = 0L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     // fail fast on the comment-only preconditions: a violating caller
     // would otherwise get silently wrong joins (ambiguous residual
@@ -176,6 +192,25 @@ object Relational {
         expr(s"$startCol div ${bucketWidth}L"),
         expr(s"($endCol - 1) div ${bucketWidth}L"))))
     val pr = probe.withColumn("_pbkt", expr(s"$tsCol div ${bucketWidth}L"))
+    if (maxPairsPerBucket > 0L) {
+      // per-bucket candidate-pair bound = probe occupancy × interval
+      // occupancy; both relations are timeline-sized (one row per
+      // active bucket), so the check is two map-side-combined aggs +
+      // one bounded join — never pair-sized
+      val pc = pr.groupBy(col("_pbkt").as("_bkt")).agg(count(lit(1)).as("_pc"))
+      val ic = iv.groupBy(col("_ibkt").as("_bkt")).agg(count(lit(1)).as("_ic"))
+      val worst = pc.join(ic, "_bkt")
+        .select(max_by(struct(col("_bkt"), (col("_pc") * col("_ic")).as("_pairs")),
+          col("_pc") * col("_ic")).as("w"))
+        .select(col("w._bkt"), col("w._pairs")).collect()(0)
+      if (!worst.isNullAt(1))
+        require(worst.getLong(1) <= maxPairsPerBucket,
+          s"rangeJoinBucketed: bucket ${worst.getLong(0)} would emit up to " +
+            s"${worst.getLong(1)} candidate pairs (> budget $maxPairsPerBucket); " +
+            s"this operator materializes the true containment-pair relation — " +
+            s"aggregate consumers should use rangeCountSumPrefix, pair consumers " +
+            s"a narrower bucketWidth or a larger budget")
+    }
     pr.join(iv, pr("_pbkt") === iv("_ibkt") &&
         col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_pbkt", "_ibkt")

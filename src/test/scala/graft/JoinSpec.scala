@@ -126,6 +126,38 @@ class JoinSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("rangeJoinBucketed maxPairsPerBucket guard: fails fast on dense buckets, passes under budget") {
+    // dense fixture: 50 probes and 20 single-bucket intervals all in
+    // bucket 0 at width 1000 => worst bucket would emit 50*20 = 1000
+    // candidate pairs
+    val denseP = (0L until 50L).map(i => (i, i * 10L)).toDF("pid", "pts")
+    val denseI = (0L until 20L).map(i => (100L + i, i * 5L, 500L + i * 5L))
+      .toDF("iid", "istart", "iend")
+    val e = intercept[IllegalArgumentException] {
+      Relational.rangeJoinBucketed(denseP, denseI, "pts", "istart", "iend",
+        bucketWidth = 1000L, maxPairsPerBucket = 999L)
+    }
+    // the failure message carries the operator's output-size contract:
+    // aggregate consumers belong on rangeCountSumPrefix
+    e.getMessage should include("rangeCountSumPrefix")
+    // the same join under a sufficient budget matches its unguarded
+    // result — the guard never drops pairs, it only refuses runs
+    val guarded = Relational.rangeJoinBucketed(denseP, denseI, "pts",
+        "istart", "iend", 1000L, maxPairsPerBucket = 1000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val unguarded = Relational.rangeJoinBucketed(denseP, denseI, "pts",
+        "istart", "iend", 1000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    guarded shouldBe unguarded
+    guarded should not be empty
+    // and the aggregate consumer the contract points to handles the
+    // same dense data without any pair materialization
+    val agg = Relational.rangeCountSumPrefix(
+      denseP.withColumn("pv", lit(1L)), denseI,
+      "pts", "pv", "iid", "istart", "iend", 1000L)
+    agg.count() shouldBe denseI.count()
+  }
+
   test("rangeJoinBucketed plans an equi-join on the bucket — never a nested loop") {
     val plan = Relational
       .rangeJoinBucketed(probe, ivals, "pts", "istart", "iend", 100L)

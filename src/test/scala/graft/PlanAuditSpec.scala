@@ -72,6 +72,7 @@ class PlanAuditSpec extends SparkSpec {
     "v11c_ivf_probed" -> "broadcast centroids (auto nCells, clamped <= 4096 rows) in both the build and the query-side probe ranking; probed candidates stay cell-bounded (nProbe x occupancy)",
     "v10_pq_topk" -> "broadcast sub-codebooks (M x k rows) + literal distance table",
     "v16_ivfadc" -> "broadcast coarse centroids (auto nCells <= 4096 rows) in the build, the residual transform, and the query-side probe ranking; broadcast residual sub-codebooks (M x k rows); ADC scores read a literal codebook array — candidates stay cell-bounded (nProbe x occupancy)",
+    "v16b_ivfadc_rerank" -> "v16's bounded broadcasts (coarse centroids, stride-trained residual codebooks as a LOCAL relation, ADC literal) plus the broadcast ADC shortlist (queries x 32 rows) feeding the float rerank — never corpus x corpus",
     "v11_ivf_rerank" -> "broadcast centroids, cell-bounded candidates",
     "v12_prototypicality" -> "broadcast cell centroids (nCells rows)",
     "v13_binary_hamming" -> "bounded broadcast query side over the 8-byte code scan")
