@@ -91,6 +91,12 @@ object RecallLadder {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // local[n] is ONE JVM: a long full-GC pause during the sf10
+      // brute-truth sorts can exceed the default 120 s heartbeat and
+      // kill the context mid-ladder — at these single-box sizes the
+      // honest fix is a wider timeout, not a smaller truth set
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def fmt(v: Double): String =

@@ -60,6 +60,10 @@ object ScaleSmoke {
         "st6_streaming_neardup", "st25_streaming_ann",
         "st19_streaming_range_join", "j6b_range_agg_prefix",
         "v16_ivfadc",
+        // round 18: the IVFADC serving composition (ADC shortlist +
+        // exact rerank) — same cell-keyed scan as v16 plus a bounded
+        // broadcast rerank
+        "v16b_ivfadc_rerank",
         // round 13: the GRINCH family's first executed scale rows —
         // h4 is the scale path (one independent tree per label key in
         // parallel partitions, input grows 10×); h9/h11 are fixed

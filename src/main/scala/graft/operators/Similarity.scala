@@ -199,12 +199,22 @@ object Similarity {
         nTables, targetOccupancy)
     }
     log.info(s"cosineTopK: query side within broadcast cap $cap — exact broadcast path")
+    // repartition the SCAN side first: a corpus that arrives as one
+    // parquet split would otherwise put the whole corpus×queries
+    // candidate relation — and its top-k partial sort — in ONE task
+    // (BroadcastNestedLoopJoin preserves the probe side's
+    // partitioning). One corpus-sized hash shuffle is trivial next to
+    // the pair volume it parallelizes.
     val c = corpus.select(id.as("cid"), vec.as("cvec"))
       .withColumn("cnrm", VectorFunctions.l2Norm(col("cvec")))
+      .repartition(col("cid"))
     val q = queries.select(id.as("qid"), vec.as("qvec"))
       .withColumn("qnrm", VectorFunctions.l2Norm(col("qvec")))
+    // project to (qid, cid, sim) BEFORE the window so the top-k sort
+    // moves 3 narrow columns, never the two 64-float vectors
     val sims = c.join(broadcast(q), col("cid") =!= col("qid"))
-      .withColumn("sim", cosOf(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+      .select(col("qid"), col("cid"),
+        cosOf(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -774,7 +784,11 @@ object Similarity {
       } else {
         log.info(s"binaryHammingTopK: query side within broadcast cap $cap — " +
           "exact brute popcount scan")
+        // repartition the scan side first (cosineTopK's argument): a
+        // single-split corpus would serialize the whole popcount pair
+        // scan and its top-k partial sort into one task
         base.select(col("vid").as("cid"), col("hi"), col("lo"))
+          .repartition(col("cid"))
           .crossJoin(broadcast(qs)).where(col("qid") =!= col("cid"))
       }
     val ham = expr("bit_count(qhi ^ hi) + bit_count(qlo ^ lo)").cast("long")
