@@ -20,6 +20,66 @@ object Bench {
     }
   }
 
+  /** Max value recorded inside a bench line's named flat numeric map
+    * (`"ambient"` / `"loadavg"`), -1 when absent/empty. Round 19
+    * (VERDICT r18 #3): the canonical adoption gate reads the
+    * `"ambient"` ceiling — a canonical re-baselined under concurrent
+    * machine load (r18 carried 1.21× inflation on 154 unchanged
+    * queries) corrupts the >3×-outlier retry rule and every future
+    * round's regression compare, so a ceiling above
+    * [[CanonicalAmbientBound]] must refuse adoption
+    * (scripts/adopt_canonical.sh + BenchCanonicalSpec). The gate is
+    * NOT raw loadavg: a 32-thread local Spark bench inflates its own
+    * 1-minute loadavg past any honest bound — the committed r17
+    * canonical, measured genuinely quiet, still recorded a 7.11
+    * ceiling. `"ambient"` is the direct measurement instead: other
+    * processes' CPU cores over each family's exact window
+    * (Δ(/proc/stat busy) − Δ(/proc/self/stat)) / Δwall — self-load
+    * excluded, no 60 s lag.
+    */
+  private[graft] def parseMapCeiling(s: String, key: String): Double = {
+    (""""""" + key + """"\s*:\s*\{""").r.findFirstMatchIn(s) match {
+      case None => -1.0
+      case Some(m) =>
+        // the map's values are flat numbers/arrays — no nested braces —
+        // so the first '}' closes it
+        val close = s.indexOf("}", m.end)
+        val body = if (close < 0) "" else s.substring(m.end, close)
+        val vals = """:\s*\[?(-?[0-9]+(?:\.[0-9]+)?)|,\s*(-?[0-9]+(?:\.[0-9]+)?)""".r
+          .findAllMatchIn(body)
+          .map(g => Option(g.group(1)).getOrElse(g.group(2)).toDouble).toSeq
+        if (vals.isEmpty) -1.0 else vals.max
+    }
+  }
+
+  /** Adoption bound for the canonical bench's recorded `"ambient"`
+    * ceiling: average OTHER-process CPU cores during any family window
+    * must stay under this for the run to count as quiet. OS daemons on
+    * an idle box measure well under 0.5; a concurrent sbt/Spark run
+    * (the r18 contamination) measures in the tens.
+    */
+  private[graft] val CanonicalAmbientBound: Double = 1.0
+
+  /** (total busy jiffies across all CPUs from /proc/stat, this
+    * process's own jiffies from /proc/self/stat incl. reaped children)
+    * — the primitive the per-family ambient-cores measurement diffs.
+    * (-1, -1) when unreadable (non-Linux), which disables the gate
+    * with an explicit -1 in the emitted map rather than a fake 0.
+    */
+  private[graft] def cpuJiffies(): (Long, Long) =
+    try {
+      val stat = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+      val cpu = stat.linesIterator.next().split("\\s+")
+      // user nice system idle iowait irq softirq steal — busy = all but idle+iowait
+      val busy = Seq(1, 2, 3, 6, 7, 8).map(i => cpu(i).toLong).sum
+      val self0 = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+      // comm (field 2) may contain spaces — parse after the closing paren
+      val rest = self0.substring(self0.lastIndexOf(')') + 2).split(" ")
+      // rest(11..14) = utime stime cutime cstime (1-based fields 14-17)
+      val self = Seq(11, 12, 13, 14).map(i => rest(i).toLong).sum
+      (busy, self)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -141,10 +201,28 @@ object Bench {
     def family(name: String): String = name.takeWhile(!_.isDigit)
     var prevFamily = ""
     val famLoad = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // per-family AMBIENT cores — other processes' CPU over the family's
+    // exact window ((Δ/proc/stat busy − Δself) / Δwall), the adoption
+    // gate's testimony (VERDICT r18 #3). Raw loadavg stays recorded
+    // alongside but cannot gate: the bench's own 32-thread Spark work
+    // inflates it past any honest bound (the quiet r17 canonical
+    // recorded 7.11).
+    val famAmb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var ambT0 = System.nanoTime()
+    var ambJ0 = cpuJiffies()
+    def closeFamily(f: String): Unit = {
+      famLoad(f) = (famLoad(f)._1, loadavg())
+      val (b1, s1) = cpuJiffies()
+      val t1 = System.nanoTime()
+      val dt = (t1 - ambT0) / 1e9
+      famAmb(f) =
+        if (ambJ0._1 < 0 || b1 < 0 || dt <= 0) -1.0
+        else math.max(0.0, ((b1 - ambJ0._1) - (s1 - ambJ0._2)) / 100.0 / dt)
+      ambT0 = t1; ambJ0 = (b1, s1)
+    }
     var results = ordered.map { case (name, fn) =>
       if (family(name) != prevFamily) {
-        if (prevFamily.nonEmpty)
-          famLoad(prevFamily) = (famLoad(prevFamily)._1, loadavg())
+        if (prevFamily.nonEmpty) closeFamily(prevFamily)
         prevFamily = family(name)
         System.gc(); Thread.sleep(50)
         famLoad(prevFamily) = (loadavg(), -1.0)
@@ -156,8 +234,7 @@ object Bench {
         name -> (medianOf(times), times.min)
       }
     }
-    if (prevFamily.nonEmpty)
-      famLoad(prevFamily) = (famLoad(prevFamily)._1, loadavg())
+    if (prevFamily.nonEmpty) closeFamily(prevFamily)
     // Outlier defense pass: any query whose median exceeds its committed
     // canonical entry by >3x (and isn't trivially small) is re-run once
     // at the end of the catalog — after whatever transient inflated it
@@ -194,6 +271,9 @@ object Bench {
     val loads = famLoad.map { case (f, (b, a)) =>
       "\"" + f + "\":[" + fmt(b) + "," + fmt(a) + "]"
     }.mkString("{", ",", "}")
+    val ambients = famAmb.map { case (f, v) =>
+      "\"" + f + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     // batch/streaming sub-totals: the st family is ~half the catalog
     // wall at sf0.1 and carries ±0.3 s/query of ingest-IO noise — split
@@ -211,7 +291,7 @@ object Bench {
     // queries map, and a second queries-free summary line goes LAST so
     // the headline total always survives any truncation.
     val fullLine =
-      s"""{"metric":"total","sf":"$sfDir","queries":$qs,"mins":$mins,"loadavg":$loads,"value":${fmt(total)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(stTotal)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson}"""
+      s"""{"metric":"total","sf":"$sfDir","queries":$qs,"mins":$mins,"loadavg":$loads,"ambient":$ambients,"value":${fmt(total)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(stTotal)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson}"""
     // The per-query map ALSO goes to a file artifact: the captured
     // stdout line is head-truncated by the driver (round 6 kept only 70
     // of 99 medians) — <outDir>/bench_queries.json carries every median

@@ -882,7 +882,12 @@ object QueriesVector {
   // Lloyd round per subspace), encoding, and the symmetric-distance
   // search all in integer arithmetic, so the full build+search replays
   // bit-for-bit in the SQL below (the v9 exactness argument extended to
-  // the PQ family).
+  // the PQ family). Round 19 (VERDICT r18 #5): training runs on the
+  // deterministic bounded stride sample vec_id % max(1, n/4096) = 0 —
+  // the same sampled-codebook discipline v16 got in round 18 (full-
+  // corpus codebook training is a full-data×M shuffle a 100 TB build
+  // cannot pay); the oracle recomputes the stride from count(*), so
+  // one static string replays at every sf.
   private val PqM = 8
   private val PqSub = Dim / PqM
   private val PqK = 16
@@ -915,16 +920,19 @@ object QueriesVector {
        |sv AS (
        |  SELECT vec_id, m, list_slice(q, m*$PqSub+1, m*$PqSub+$PqSub) AS sub
        |  FROM qv, generate_series(0, ${PqM - 1}) AS tm(m)),
+       |tmod AS (SELECT greatest(1, (SELECT count(*) FROM embeddings) // ${Similarity.AdcTrainTarget}) AS tm),
+       |svt AS (SELECT * FROM sv WHERE vec_id % (SELECT tm FROM tmod) = 0),
        |init AS (
        |  SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cell
-       |  FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT $PqK)),
+       |  FROM (SELECT vec_id FROM qv WHERE vec_id % (SELECT tm FROM tmod) = 0
+       |        ORDER BY vec_id LIMIT $PqK)),
        |c0 AS (SELECT s0.m, init.cell, s0.sub AS cent
-       |       FROM sv s0 JOIN init ON s0.vec_id = init.cvid),
+       |       FROM svt s0 JOIN init ON s0.vec_id = init.cvid),
        |a1 AS (
        |  SELECT s1.vec_id, s1.m, s1.sub, c0.cell,
        |         row_number() OVER (PARTITION BY s1.vec_id, s1.m
        |                            ORDER BY ${isq("s1.sub", "c0.cent")}, c0.cell) AS rk
-       |  FROM sv s1 JOIN c0 ON s1.m = c0.m),
+       |  FROM svt s1 JOIN c0 ON s1.m = c0.m),
        |m1 AS (SELECT vec_id, m, sub, cell FROM a1 WHERE rk = 1),
        |upd AS (
        |  SELECT m, cell, i, sum(sub[i]) AS s, count(*) AS n
@@ -1057,14 +1065,20 @@ object QueriesVector {
 
   // -------------------------------------------------------------- v16b
   // The IVFADC SERVING composition (VERDICT r17 #1): the M-byte ADC
-  // scan ranks a 32-candidate shortlist per query, exact float cosine
-  // finishes — ADC as the cheap filter over the probed cells' full
-  // occupancy, float math on 32 rows only (the TPAMI 2011 §IV
+  // scan ranks a per-query shortlist, exact float cosine finishes —
+  // ADC as the cheap filter over the probed cells' full occupancy,
+  // float math on the shortlist rows only (the TPAMI 2011 §IV
   // refinement step). At equal probe this sees v11c's exact candidate
   // pool but reads 8 bytes per candidate instead of 64 floats; its
-  // recall ceiling is P(true top-3 ∈ ADC top-32), measured per
-  // embedding shape in RECALL_r18. The oracle extends v16's chain:
-  // same `ranked` CTE, shortlist cut, then v11c's cosine re-rank.
+  // recall ceiling is P(true top-3 ∈ ADC top-R). Round 19 (VERDICT
+  // r18 #1): R is DERIVED per query from its probed-pool occupancy —
+  // R_q = max(32, ceil(pool_q / 10)) — because the fixed R=32 pin
+  // measured recall@3 0.165 at 200k vectors (~1% pass-through) vs
+  // 0.667 at 2k (~11%), RECALL_r18 semb10; the pool fraction, not the
+  // constant, is the recall lever (the v9b/v14d auto-derivation
+  // pattern). The oracle extends v16's chain: same `ranked` CTE, a
+  // count window over the same qid partition derives the cut, then
+  // v11c's cosine re-rank.
   val v16bIvfAdcRerank: Q = (s, dir) =>
     Similarity.ivfAdcRerankTopK(Tables.load(s, dir, "embeddings"),
       col("vec_id"), col("embedding"), nCells = 0, m = PqM, subDim = PqSub,
@@ -1074,7 +1088,12 @@ object QueriesVector {
 
   val v16bIvfAdcRerankSql: String =
     s"""WITH $sqlAdcRanked,
-       |shortl AS (SELECT qid, cid FROM ranked WHERE rank <= $AdcShortlist),
+       |shortl AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, rank, count(*) OVER (PARTITION BY qid) AS pool
+       |    FROM ranked) rsl
+       |  WHERE rank <= greatest($AdcShortlist,
+       |    (pool + ${Similarity.AdcShortlistFrac - 1}) // ${Similarity.AdcShortlistFrac})),
        |e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
        |rer AS (
        |  SELECT s.qid, s.cid,

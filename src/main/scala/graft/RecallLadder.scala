@@ -357,12 +357,26 @@ object RecallLadder {
                     col("vec_id"), col("embedding"),
                     m = 8, subDim = 8, kCodes = 256, shortlist = 32, topK = 3,
                     isQuery = isQ, nProbe = pr,
-                    trainTarget = operators.Similarity.AdcTrainTarget)))
+                    trainTarget = operators.Similarity.AdcTrainTarget,
+                    shortlistFrac = 0)),
+              // the catalog's v16b composition since round 19: R
+              // derived per query as max(32, ceil(pool/frac)) — the
+              // row that must recover the semb10 collapse (RECALL_r18:
+              // fixed R=32 fell to 0.165 at 200k where probed IVF held
+              // 0.874; the fraction, not the constant, is the lever)
+              (s"ivfadc+rerank k=256 R=auto(frac=${operators.Similarity.AdcShortlistFrac}) probe=$pr", pr,
+                (ix: operators.Similarity.IvfIndex) =>
+                  operators.Similarity.ivfAdcRerankFromIndex(ix, emb,
+                    col("vec_id"), col("embedding"),
+                    m = 8, subDim = 8, kCodes = 256, shortlist = 32, topK = 3,
+                    isQuery = isQ, nProbe = pr,
+                    trainTarget = operators.Similarity.AdcTrainTarget,
+                    shortlistFrac = operators.Similarity.AdcShortlistFrac)))
           } :+
           // the shortlist knob at the default probe: R fixes the ADC
           // filter's pass-through, so its recall ceiling is
           // P(true top-3 ∈ ADC top-R) — one wider-R row locates the
-          // serving frontier beyond the catalog's R=32 pin
+          // serving frontier beyond the fixed R=32 tier
           ((s"ivfadc+rerank k=256 R=128 probe=${operators.Similarity.IvfAutoProbe}",
             operators.Similarity.IvfAutoProbe,
             (ix: operators.Similarity.IvfIndex) =>
@@ -370,7 +384,8 @@ object RecallLadder {
                 col("vec_id"), col("embedding"),
                 m = 8, subDim = 8, kCodes = 256, shortlist = 128, topK = 3,
                 isQuery = isQ, nProbe = operators.Similarity.IvfAutoProbe,
-                trainTarget = operators.Similarity.AdcTrainTarget)))
+                trainTarget = operators.Similarity.AdcTrainTarget,
+                shortlistFrac = 0)))
         adcCfgs.foreach { case (lbl0, pr, mk) =>
           val wall = (0 until iters).map { _ =>
             // cache-cold per iteration via build-and-release (the ivf

@@ -172,6 +172,16 @@ object Relational {
     * launching a quadratic join (the d3b/maxBucket discipline, adapted
     * to a semantics-preserving guard: it never drops pairs, it refuses
     * runs whose output the caller has not sized for).
+    *
+    * EAGER when guarded (ADVICE r18): with `maxPairsPerBucket > 0` the
+    * occupancy check runs AT CALL TIME — two bounded aggregations, a
+    * bounded join, and a collect execute before this method returns,
+    * and an over-budget timeline throws here rather than when the
+    * caller first materializes the result. This is a deliberate
+    * departure from the otherwise fully lazy operator API: the guard
+    * exists to stop a quadratic join from ever being scheduled, so it
+    * must run before the returned plan can be. `maxPairsPerBucket = 0`
+    * (the default) stays fully lazy.
     */
   def rangeJoinBucketed(probe: DataFrame, intervals: DataFrame,
       tsCol: String, startCol: String, endCol: String,

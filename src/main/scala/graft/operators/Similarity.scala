@@ -79,6 +79,20 @@ object Similarity {
     */
   val AdcTrainTarget: Int = 4096
 
+  /** v16b's shortlist pool fraction (round 19, VERDICT r18 #1): the
+    * ADC→exact-rerank tier passes the top ceil(pool/frac) of each
+    * query's probed candidate pool to the float rerank (floored at the
+    * caller's `shortlist`). 10 pins the measured ~1/10 pass-through
+    * the 2k semb10 fixture operated at when its recall held (0.667),
+    * and which the 200k fixture's fixed R=32 (~1% pass-through,
+    * recall 0.165) collapsed away from — RECALL_r18 both rows. A
+    * FRACTION survives corpus growth where a constant cannot: pool
+    * grows ~√n under auto cells, so the rerank cost stays
+    * ~queries·√n/frac while the ceiling P(true top-k ∈ ADC top-R)
+    * stays pinned to the fraction the fixture measured.
+    */
+  val AdcShortlistFrac: Int = 10
+
   /** A built integer-IVF index together with the cache entries backing
     * it — the release handle for [[intIvfIndex]]'s three load-bearing
     * persists (the quantized corpus `qv`, the post-Lloyd centroids
@@ -92,6 +106,7 @@ object Similarity {
     */
   final case class IvfIndex private[operators] (
       fin: DataFrame, cents: DataFrame,
+      n: Long, dim: Int,
       private val caches: Seq[DataFrame]) {
     def release(blocking: Boolean = false): Unit =
       caches.foreach(_.unpersist(blocking))
@@ -520,17 +535,29 @@ object Similarity {
   private[graft] def intIvfIndex(df: DataFrame, id: Column, vec: Column,
                                  nCells0: Int): IvfIndex = {
     val base0 = df.select(id.cast("long").as("vid"), vec.as("v"))
+    // ONE bounded stats pass (round 19, VERDICT r18 #6: the build paid
+    // three separate full scans — count for auto cells, max|x| for the
+    // scale, a head() for the dimension guard — each a scheduled job
+    // over the corpus; they are all aggregates of the same scan, so
+    // fold them): n (auto cells + the ADC stride), the global max|x|
+    // (max-selection is exact, no float accumulation), and the vector
+    // width downstream dimension guards cross-check against.
+    val stats = base0.agg(count(lit(1)),
+      max(aggregate(col("v"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x.cast("double"))))),
+      max(size(col("v")))).head
+    val n = stats.getLong(0)
+    require(n > 0, "intIvfIndex: empty corpus (no vectors to index)")
+    val maxAbs = stats.getDouble(1)
+    val dim = stats.getInt(2)
     val nCells =
       if (nCells0 > 0) nCells0
       else {
-        val n = base0.count() // bounded scalar, the allowlisted shape
         val c = autoIvfCells(n)
         log.info(s"intIvfAssign: corpus n=$n -> auto nCells=$c (balance=$AutoCellBalance)")
         c
       }
     val base = base0
-    val maxAbs = base.agg(max(aggregate(col("v"), lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
     val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
     val qv = base.select(col("vid"),
       transform(col("v"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"))
@@ -569,7 +596,7 @@ object Similarity {
     // materialization, not just a bounded agg
     val c1 = update(assign(c0)).persist()
     val fin = assign(c1).persist()
-    IvfIndex(fin, c1, Seq(qv, c1, fin))
+    IvfIndex(fin, c1, n, dim, Seq(qv, c1, fin))
   }
 
   /** The probed query-side cell set: each query ranks ALL final
@@ -1069,10 +1096,17 @@ object Similarity {
       .select(col("m"), col("cell"), expr("transform(ps, p -> p.c)").as("cent"))
 
   def pqTopK(df: DataFrame, id: Column, vec: Column, m: Int, subDim: Int, k: Int,
-             topK: Int, isQuery: Column => Column): DataFrame = {
+             topK: Int, isQuery: Column => Column,
+             trainTarget: Int = AdcTrainTarget): DataFrame = {
+    require(trainTarget > 0, s"trainTarget must be positive: $trainTarget")
     val base = df.select(id.cast("long").as("vid"), vec.as("v"))
-    val maxAbs = base.agg(max(aggregate(col("v"), lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double")))))).collect()(0).getDouble(0)
+    // one bounded stats pass: corpus count (drives the training stride)
+    // and the global int8 scale together
+    val stats = base.agg(count(lit(1)), max(aggregate(col("v"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))))).head
+    val n = stats.getLong(0)
+    require(n > 0, "pqTopK: empty corpus (no vectors to index)")
+    val maxAbs = stats.getDouble(1)
     val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
     // (vid, m, sub): the m-th subvector of the int8 code vector
     val qv = base.select(col("vid"),
@@ -1081,8 +1115,17 @@ object Similarity {
       .select(col("vid"), col("m"),
         slice(col("q"), col("m") * subDim + 1, lit(subDim)).as("sub"))
       .persist()
-    val c0 = qv.join(
-        qv.select(col("vid")).distinct().orderBy("vid").limit(k)
+    // codebook training on the deterministic bounded stride sample
+    // (round 19, VERDICT r18 #5 — full-corpus codebook training is the
+    // full-data×M shuffle [[AdcTrainTarget]]'s scaladoc calls unpayable
+    // at 100 TB; v16 already trained sampled, v10 now matches): init =
+    // the k smallest-id SAMPLED vectors' subvectors, one integer Lloyd
+    // round over the sample, full-corpus encode against the fitted
+    // codebook. The oracle recomputes the stride from count(*).
+    val trainMod = math.max(1L, n / trainTarget)
+    val qvT = qv.where(col("vid") % trainMod === 0)
+    val c0 = qvT.join(
+        qvT.select(col("vid")).distinct().orderBy("vid").limit(k)
           .select((row_number().over(Window.orderBy("vid")) - 1).cast("long").as("cell"),
             col("vid").as("cvid")),
         col("vid") === col("cvid"))
@@ -1091,10 +1134,10 @@ object Similarity {
     // trained codebooks (m, cell, cent) — collected IMMEDIATELY: both
     // downstream consumers (the distance literal and the encode) read
     // the collected rows, so no training cache outlives this call
-    // (VERDICT r17 #6); qv is released once training materialized it
-    // (the lazy encode below recomputes it in one map-side pass)
-    val cbRows = pqUpdate(pqAssign(qv, c0)).collect()
-    qv.unpersist(blocking = false)
+    // (VERDICT r17 #6)
+    val cbRows = pqUpdate(pqAssign(qvT, c0)).collect()
+    require(cbRows.nonEmpty, "pqTopK: PQ training produced no codebook " +
+      "rows (empty training sample)")
     val cbLocal = qv.sparkSession.createDataFrame(
         cbRows.toSeq.map(r => (r.getAs[Number](0).intValue,
           r.getAs[Number](1).longValue, r.getSeq[Long](2))))
@@ -1111,6 +1154,14 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("mc"))
       .select(col("vid"), expr("transform(mc, x -> x.cell)").as("codes"))
       .persist()
+    // materialize `codes` BEFORE releasing qv: the encode above is
+    // LAZY, and unpersisting qv first forces the whole subvector
+    // derivation (scan → scale → explode → slice) to recompute inside
+    // the encode — the round-18 release point was one action too early
+    // and cost a measured 2.7× on v10 (VERDICT r18 #2). One bounded
+    // count on the about-to-be-cached relation pins the ordering.
+    codes.count()
+    qv.unpersist(blocking = false)
 
     // The M·k² symmetric code-pair distance table collapses to a
     // LITERAL array (codebooks are broadcast-sized metadata, like a
@@ -1203,15 +1254,37 @@ object Similarity {
                  m: Int, subDim: Int, kCodes: Int, topK: Int,
                  isQuery: Column => Column,
                  nProbe: Int, trainTarget: Int): DataFrame = {
-    require(m > 0 && subDim > 0 && kCodes > 1 && topK > 0,
-      s"bad PQ config: m=$m subDim=$subDim kCodes=$kCodes topK=$topK")
+    val w = Window.partitionBy("qid").orderBy(col("adc_score").desc, col("cid"))
+    ivfAdcRankedFromIndex(ix, m, subDim, kCodes, isQuery, nProbe, trainTarget)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adc_score"))
+  }
+
+  /** The shared v16/v16b ADC candidate scoring, UNCUT: every probed
+    * candidate with its asymmetric inner-product score (qid, cid,
+    * adc_score) — [[ivfAdcFromIndex]] ranks and cuts it at topK,
+    * [[ivfAdcRerankFromIndex]] at the occupancy-derived per-query
+    * shortlist. Training runs EAGERLY here (the codebook literal is
+    * collected), so by return the only live cache entries are the
+    * index's own.
+    */
+  private def ivfAdcRankedFromIndex(ix: IvfIndex,
+                 m: Int, subDim: Int, kCodes: Int,
+                 isQuery: Column => Column,
+                 nProbe: Int, trainTarget: Int): DataFrame = {
+    require(m > 0 && subDim > 0 && kCodes > 1,
+      s"bad PQ config: m=$m subDim=$subDim kCodes=$kCodes")
     require(trainTarget > 0, s"trainTarget must be positive: $trainTarget")
     val (fin, cents) = (ix.fin, ix.cents)
     // ADVICE r17: an m·subDim that disagrees with the embedding width
     // would silently drop the residual tail (too small) or read past
     // the array into null scores (too large) — cross-check against
-    // the actual vector length, one bounded head row
-    val dim = fin.select(size(col("q"))).head.getInt(0)
+    // the actual vector length (measured by the index build's single
+    // stats pass, so no extra job here; ADVICE r18: the build requires
+    // a non-empty corpus, so the guard can no longer throw a bare
+    // NoSuchElementException on zero rows)
+    val dim = ix.dim
     require(m * subDim == dim,
       s"m*subDim=${m * subDim} must equal the embedding dimension $dim")
     // corpus residuals vs the OWN cell's centroid — exact integers
@@ -1228,7 +1301,9 @@ object Similarity {
     // 100 TB build can pay; the stride replays in SQL): init = the
     // kCodes smallest-id sampled residuals' subvectors, one integer
     // Lloyd round (pqTopK's exact recipe)
-    val n = fin.count() // bounded scalar on the persisted assignment
+    // corpus count measured by the index build's stats pass — reusing
+    // it drops the fin.count() job the round-18 version scheduled here
+    val n = ix.n
     val trainMod = math.max(1L, n / trainTarget)
     val rsvT = rsv.where(col("vid") % trainMod === 0).persist()
     val c0 = rsvT.join(
@@ -1242,6 +1317,8 @@ object Similarity {
     // pqTopK's symmetric code-pair table. Collected HERE so both
     // training caches can be released before the encode plan is built.
     val cbRows = pqUpdate(pqAssign(rsvT, c0)).collect()
+    require(cbRows.nonEmpty, "ivfAdc: PQ training produced no codebook " +
+      "rows (empty training sample)")
     rsvT.unpersist(blocking = false)
     // the collected codebook re-enters the encode as a LOCAL relation
     // (a LocalTableScan — no lineage back to the training job, so the
@@ -1278,12 +1355,9 @@ object Similarity {
       acc + aggregate(sequence(lit(0), lit(subDim - 1)), lit(0L), (a2, ii) =>
         a2 + get(col("qq"), mi * subDim + ii) *
           get(cblit, ((mi * kCodes + get(col("cc"), mi)) * subDim + ii).cast("int"))))
-    val w = Window.partitionBy("qid").orderBy(col("adc_score").desc, col("cid"))
     qs.join(cs, Seq("cell")).where(col("qid") =!= col("cid"))
       .withColumn("adc_score", adc)
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
-      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
-        col("rank").cast("long").as("rank"), col("adc_score"))
+      .select(col("qid"), col("cid"), col("adc_score"))
   }
 
   /** IVFADC serving composition (VERDICT r17 #1): the M-byte ADC scan
@@ -1300,6 +1374,21 @@ object Similarity {
     * ceiling is P(true top-k ∈ ADC top-shortlist); RECALL_r18
     * measures it on both embedding shapes.
     *
+    * Shortlist SIZING (round 19, VERDICT r18 #1): a fixed shortlist is
+    * a measured scale-killer — R=32 is ~11% of a 2k-corpus probe pool
+    * (recall@3 0.667 on the semb10 fixture) and ~1% of a 200k one
+    * (0.165, RECALL_r18) at the identical recipe. The pass-through
+    * fraction R/pool, not R itself, sets the recall ceiling, so the
+    * operator derives R PER QUERY from that query's own probed-pool
+    * occupancy: R_q = max(shortlist, ceil(pool_q / shortlistFrac)) —
+    * `shortlist` degrades to the floor, [[AdcShortlistFrac]] pins the
+    * measured ~1/10 operating fraction, and the derivation is one
+    * count window over the already-shuffled (qid) partition (no new
+    * exchange). Same auto-derivation pattern as v9b's cell count and
+    * v14d's LSH width; the SQL oracle replays the window + ceiling
+    * division bit-for-bit. `shortlistFrac = 0` pins the fixed-R tier
+    * (the recall ladder's R-knob rows).
+    *
     * Scale shape: [[ivfAdcTopK]]'s cell-keyed scan unchanged; the
     * rerank joins the (queries × shortlist)-row output — bounded,
     * broadcast — against the float column twice, so the only
@@ -1309,9 +1398,11 @@ object Similarity {
                        m: Int, subDim: Int, kCodes: Int, shortlist: Int,
                        topK: Int, isQuery: Column => Column,
                        nProbe: Int = IvfAutoProbe,
-                       trainTarget: Int = AdcTrainTarget): DataFrame =
+                       trainTarget: Int = AdcTrainTarget,
+                       shortlistFrac: Int = AdcShortlistFrac): DataFrame =
     ivfAdcRerankFromIndex(intIvfIndex(df, id, vec, nCells), df, id, vec,
-      m, subDim, kCodes, shortlist, topK, isQuery, nProbe, trainTarget)
+      m, subDim, kCodes, shortlist, topK, isQuery, nProbe, trainTarget,
+      shortlistFrac)
 
   /** [[ivfAdcRerankTopK]] over a prebuilt [[IvfIndex]] — see
     * [[ivfAdcFromIndex]] for the cache-ownership contract.
@@ -1320,12 +1411,28 @@ object Similarity {
                        id: Column, vec: Column,
                        m: Int, subDim: Int, kCodes: Int, shortlist: Int,
                        topK: Int, isQuery: Column => Column,
-                       nProbe: Int, trainTarget: Int): DataFrame = {
+                       nProbe: Int, trainTarget: Int,
+                       shortlistFrac: Int = AdcShortlistFrac): DataFrame = {
     require(shortlist >= topK,
       s"shortlist=$shortlist must be >= topK=$topK")
-    val short = ivfAdcFromIndex(ix, m, subDim, kCodes, shortlist, isQuery,
-        nProbe, trainTarget)
-      .select(col("query_id"), col("neighbor_id"))
+    require(shortlistFrac >= 0,
+      s"shortlistFrac=$shortlistFrac must be >= 0 (0 pins the fixed tier)")
+    val scored = ivfAdcRankedFromIndex(ix, m, subDim, kCodes, isQuery,
+      nProbe, trainTarget)
+    val wr = Window.partitionBy("qid").orderBy(col("adc_score").desc, col("cid"))
+    // per-query shortlist: rank and pool-count over the SAME (qid)
+    // partitioning — one exchange feeds both window functions
+    val rCut =
+      if (shortlistFrac <= 0) lit(shortlist.toLong)
+      else greatest(lit(shortlist.toLong),
+        // integral ceiling division (`div`, = DuckDB's `//` on the
+        // oracle side) — exact, no float quotient
+        expr(s"(pool + ${shortlistFrac - 1}) div $shortlistFrac"))
+    val short = scored
+      .withColumn("rank", row_number().over(wr))
+      .withColumn("pool", count(lit(1)).over(Window.partitionBy("qid")))
+      .where(col("rank") <= rCut)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"))
     val v = df.select(id.cast("long").as("fid"), vec.as("fv"),
       VectorFunctions.l2Norm(vec).as("fn"))
     // the shortlist is the bounded side (queries × shortlist rows) —

@@ -25,6 +25,48 @@ class BenchCanonicalSpec extends AnyFunSuite with Matchers {
     all(m.values) should be > 0.0
   }
 
+  test("committed canonical was measured quiet (ambient-cores ceiling under the bound)") {
+    // VERDICT r18 #3: a canonical re-baselined under concurrent machine
+    // load (r18 carried 1.21x inflation on 154 unchanged queries)
+    // corrupts the retry rule and every future regression compare. The
+    // gate is the per-family AMBIENT map — other processes' measured
+    // CPU cores over each family's window — NOT raw loadavg, which the
+    // bench's own 32-thread Spark work inflates past any honest bound
+    // (the genuinely-quiet r17 canonical recorded a 7.11 loadavg
+    // ceiling). scripts/adopt_canonical.sh enforces the same bound at
+    // adoption time; this spec keeps a hand-copied map from sneaking
+    // past it.
+    val s = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("bench_queries.json"))
+    val ceil = Bench.parseMapCeiling(s, "ambient")
+    withClue(s"recorded ambient-cores ceiling $ceil vs bound " +
+      s"${Bench.CanonicalAmbientBound} — re-measure on a quiet box and " +
+      "adopt via scripts/adopt_canonical.sh: ") {
+      ceil should be >= 0.0
+      ceil should be <= Bench.CanonicalAmbientBound
+    }
+  }
+
+  test("map-ceiling parser reads flat and array-valued sample maps") {
+    val line = """{"metric":"total","queries":{"a":1.0},""" +
+      """"loadavg":{"a":[0.52,1.10],"st":[2.90,0.75]},""" +
+      """"ambient":{"a":0.03,"st":0.41},"value":1.0}"""
+    Bench.parseMapCeiling(line, "loadavg") shouldBe 2.90
+    Bench.parseMapCeiling(line, "ambient") shouldBe 0.41
+    Bench.parseMapCeiling("""{"queries":{"a":1.0}}""", "ambient") shouldBe -1.0
+  }
+
+  test("cpuJiffies reads monotone non-negative counters on this platform") {
+    val (b0, s0) = Bench.cpuJiffies()
+    b0 should be > 0L
+    s0 should be >= 0L
+    val deadline = System.nanoTime() + 200000000L
+    while (System.nanoTime() < deadline) {} // burn a little self CPU
+    val (b1, s1) = Bench.cpuJiffies()
+    b1 should be >= b0
+    s1 should be >= s0
+  }
+
   test("parser tolerates both compact and pretty-printed layouts") {
     val compact = """{"metric":"total","queries":{"a_b":0.25,"c9_x":1.5},"mins":{"a_b":0.2}}"""
     val pretty =

@@ -68,6 +68,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: components split across many partitions still collapse") {
+    // force the partition-local union-find pre-merge (round 19) to see
+    // each component's edges scattered over partitions: a 60-node
+    // chain plus a star, repartitioned to 16 slices, must still
+    // collapse to the global component minima — the star rewrite is
+    // per-partition, the keyed loop restores cross-partition links
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val star = (100L to 120L).map(i => (200L, i))
+    val pairs = (chain ++ star).toDF("doc_a", "doc_b").repartition(16)
+    val got = Dedup.connectedComponents(pairs, col("doc_a"), col("doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 59L).foreach(n => got(n) shouldBe 0L)
+    (100L to 120L).foreach(n => got(n) shouldBe 100L)
+    got(200L) shouldBe 100L
+  }
+
   test("stringHash: pinned cross-engine constant and empty-string guard") {
     val df = Seq("hello world", "").toDF("s")
       .select(TextFunctions.stringHash(col("s")).as("h"))

@@ -340,6 +340,61 @@ class VectorSpec extends SparkSpec {
     full should not be empty
   }
 
+  test("ivfAdcRerankTopK derived shortlist: frac=1 passes the whole pool = exact IVF rerank") {
+    val rnd = new scala.util.Random(52)
+    val df = (0L until 300L).map(id => (id, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 10 === 0
+    // shortlistFrac=1 derives R_q = max(floor, pool_q) per query — the
+    // ADC filter passes every probed candidate through regardless of
+    // corpus size, so the float rerank must return exactly
+    // intIvfRerankTopK's answer. This pins the DERIVATION (a fixed
+    // floor of 3 alone would cut the pool hard); the fixed-R
+    // equivalent needed shortlist >= max pool, a corpus-dependent
+    // constant — exactly the scale bug the fraction removes.
+    val full = Similarity.intIvfRerankTopK(df, col("vec_id"), col("embedding"),
+        nCells = 6, k = 3, isQuery = isQ, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val viaAuto = Similarity.ivfAdcRerankTopK(df, col("vec_id"), col("embedding"),
+        nCells = 6, m = 4, subDim = 2, kCodes = 4, shortlist = 3, topK = 3,
+        isQuery = isQ, nProbe = 2, shortlistFrac = 1)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    viaAuto shouldBe full
+    full should not be empty
+  }
+
+  test("ivfAdcRerankTopK derived shortlist: floor dominates small pools (= fixed-R run)") {
+    val rnd = new scala.util.Random(53)
+    val df = (0L until 120L).map(id => (id, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 10 === 0
+    // every probed pool here is < floor*frac (120 vectors, 6 cells,
+    // probe 2 => pool <= ~40 < 64*10), so ceil(pool/frac) < floor and
+    // the derived cut degrades to exactly the fixed floor
+    def run(frac: Int) = Similarity.ivfAdcRerankTopK(df, col("vec_id"), col("embedding"),
+        nCells = 6, m = 4, subDim = 2, kCodes = 4, shortlist = 64, topK = 3,
+        isQuery = isQ, nProbe = 2, shortlistFrac = frac)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    run(10) shouldBe run(0)
+  }
+
+  test("pqTopK sampled training: deterministic, dense ranks, full-corpus encode") {
+    val rnd = new scala.util.Random(54)
+    val df = (0L until 400L).map(id => (id, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 20 === 0
+    // trainTarget=100 over 400 rows => stride 4: codebooks fit on the
+    // 100-row sample (VERDICT r18 #5 — v10 gets v16's sampled
+    // training), the encode + search still cover the full corpus
+    def run() = Similarity.pqTopK(df, col("vec_id"), col("embedding"),
+      m = 4, subDim = 2, k = 8, topK = 3, isQuery = isQ, trainTarget = 100)
+    val a = run().collect().map(_.toSeq).toSeq
+    a shouldBe run().collect().map(_.toSeq).toSeq
+    val byQ = run().select("query_id", "rank").as[(Long, Long)].collect().groupBy(_._1)
+    byQ.keySet.size shouldBe 20 // every query keeps neighbors: encode is corpus-wide
+    byQ.values.foreach(rs => rs.map(_._2).sorted.toSeq shouldBe (1L to rs.length).toSeq)
+  }
+
   test("ivfAdcTopK sampled training: deterministic, dense ranks, bounded stride") {
     val rnd = new scala.util.Random(49)
     val df = (0L until 400L).map(id => (id, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
