@@ -17,16 +17,41 @@ object ProfileAdc {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = Tables.load(spark, sfDir, "embeddings")
     emb.count() // warm parquet footers
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (e.taskMetrics != null) taskMs.addAndGet(e.taskMetrics.executorRunTime)
+      }
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        val si = sc.stageInfo
+        val ms = si.taskMetrics
+        if (ms != null && ms.executorRunTime > 500)
+          println(s"""{"slowStage":${si.stageId},"name":${'"'}${si.name.take(60)}${'"'},""" +
+            s""""tasks":${si.numTasks},"runMs":${ms.executorRunTime},""" +
+            s""""cpuMs":${ms.executorCpuTime / 1000000},"gcMs":${ms.jvmGCTime}}""")
+      }
+    })
     def t[A](name: String)(f: => A): A = {
+      val (j0, s0, k0, m0) = (jobs.get, stages.get, tasks.get, taskMs.get)
       val t0 = System.nanoTime()
       val r = f
-      println(f"""{"phase":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      Thread.sleep(150) // let the listener bus drain (dev-only profiler)
+      println(f"""{"phase":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.3f,""" +
+        s""""jobs":${jobs.get - j0},"stages":${stages.get - s0},""" +
+        s""""tasks":${tasks.get - k0},"taskSec":${(taskMs.get - m0) / 1e3}}""")
       r
     }
     (0 until 2).foreach { it =>

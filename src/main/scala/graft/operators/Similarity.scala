@@ -93,6 +93,23 @@ object Similarity {
     */
   val AdcShortlistFrac: Int = 10
 
+  /** Argmin packing stride (round 19, VERDICT r18 #6): the Lloyd
+    * assignments rank candidate cells by (dist, cell) — but an argmin
+    * aggregate whose BUFFER is a struct (`min_by`, `min(struct(...))`)
+    * is not hash-aggregable in Spark: the plan degrades to
+    * Sort+SortAggregate over the full n·C (coarse) / n·M·k* (PQ)
+    * candidate relation, measured as the dominant CPU of the whole
+    * quantized-ANN family (~2 µs/row of comparator sorting vs ~100
+    * ns/row hashed). Packing the pair into ONE long —
+    * `dist * 2^20 + cell`, exact lexicographic order while
+    * `cell < 2^20` — turns the argmin into `min(long)`, the codegen'd
+    * HashAggregate fast path. Overflow headroom: int8 inputs bound
+    * dist ≤ 64·508² < 2^25, so packed < 2^45. The unpack is
+    * `pk % 2^20`; selection order is bit-identical to the
+    * (dist, cell) struct ordering, so every oracle replays unchanged.
+    */
+  private val ArgminPackStride: Long = 1L << 20
+
   /** A built integer-IVF index together with the cache entries backing
     * it — the release handle for [[intIvfIndex]]'s three load-bearing
     * persists (the quantized corpus `qv`, the post-Lloyd centroids
@@ -559,25 +576,42 @@ object Similarity {
       }
     val base = base0
     val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    // repartition by vid BEFORE caching (round 19, VERDICT r18 #6):
+    // a single-split parquet corpus otherwise caches qv as ONE
+    // partition, serializing every heavy map-side pass derived from it
+    // (both n·C Lloyd assigns, the residual explode, the PQ encode)
+    // onto one task — the thread dump showed 1 busy executor and 31
+    // parked. One n-row exchange buys full-width parallelism for all
+    // of them; same scan-side discipline as cosineTopK's exact tier
+    // (round 18).
     val qv = base.select(col("vid"),
       transform(col("v"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"))
+      .repartition(col("vid"))
       .persist()
     val c0 = qv.orderBy("vid").limit(nCells)
       .select((row_number().over(Window.orderBy("vid")) - 1).cast("long").as("cell"),
         col("q").as("cent"))
 
-    // argmin as min_by partial aggregation, not a window: the n·C
-    // candidate relation collapses to n rows MAP-SIDE before the one
-    // (vid)-keyed shuffle (a row_number window would hash-shuffle all
-    // n·C rows first). (dist, cell) struct ordering keeps the exact
-    // smallest-dist-then-smallest-cell tie-break.
+    // argmin as a partial aggregation, not a window: the n·C candidate
+    // relation collapses to n rows MAP-SIDE before the one (vid)-keyed
+    // shuffle (a row_number window would hash-shuffle all n·C rows
+    // first). The aggregate is min over the PACKED (dist, cell) long
+    // ([[ArgminPackStride]]) — a struct-buffered argmin (min_by /
+    // min(struct)) is not hash-aggregable and degraded this exact
+    // stage to a Sort+SortAggregate over all n·C rows (VERDICT r18
+    // #6's measured CPU burn); the packed long keeps the identical
+    // smallest-dist-then-smallest-cell selection on the codegen'd
+    // HashAggregate fast path, so every oracle replays as before.
+    require(nCells <= ArgminPackStride,
+      s"nCells=$nCells exceeds the argmin packing stride $ArgminPackStride")
     def assign(cents: DataFrame): DataFrame = {
       val dist = VectorFunctions.intSqDist(col("q"), col("cent"))
       qv.crossJoin(broadcast(cents))
-        .withColumn("dist", dist)
+        .select(col("vid"), col("q"),
+          (dist * lit(ArgminPackStride) + col("cell")).as("pk"))
         .groupBy(col("vid"), col("q"))
-        .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
-        .select(col("vid"), col("q"), col("cell"))
+        .agg(min(col("pk")).as("pk"))
+        .select(col("vid"), col("q"), (col("pk") % lit(ArgminPackStride)).as("cell"))
     }
     // element-wise truncating integer mean per cell; (s - s%n)/n is an
     // exact multiple so the double division below is exact too
@@ -1069,19 +1103,39 @@ object Similarity {
     */
   /** One integer-Lloyd assignment step over subspace rows
     * (vid, m, sub) against per-subspace centroids (m, cell, cent) —
-    * the same min_by-over-window rewrite as intIvfTopK.assign: the
-    * map-side partial agg collapses n·M·k candidate rows to n·M
-    * before the keyed shuffle, and (dist, cell) struct ordering keeps
-    * the exact smallest-dist-then-smallest-cell tie-break. Shared by
-    * [[pqTopK]] and [[ivfAdcTopK]].
+    * the same packed-long partial-agg argmin as intIvfTopK.assign
+    * ([[ArgminPackStride]]; VERDICT r18 #6: a struct-buffered argmin
+    * degraded this n·M·k-row stage to Sort+SortAggregate, the
+    * measured CPU burn of the PQ family). The subvector rides in the
+    * group key; the exact smallest-dist-then-smallest-cell tie-break —
+    * and every oracle — is unchanged. Shared by [[pqTopK]] and
+    * [[ivfAdcTopK]] training.
     */
   private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame = {
     val dist = VectorFunctions.intSqDist(col("sub"), col("cent"))
     sv.join(broadcast(cents), Seq("m"))
-      .withColumn("dist", dist)
+      .select(col("vid"), col("m"), col("sub"),
+        (dist * lit(ArgminPackStride) + col("cell")).as("pk"))
       .groupBy(col("vid"), col("m"), col("sub"))
-      .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
-      .select(col("vid"), col("m"), col("sub"), col("cell"))
+      .agg(min(col("pk")).as("pk"))
+      .select(col("vid"), col("m"), col("sub"),
+        (col("pk") % lit(ArgminPackStride)).as("cell"))
+  }
+
+  /** [[pqAssign]] for the ENCODE pass: consumers of the full-corpus
+    * code assignment (pqTopK's `enc`, ivfAdc's `codes`) never read the
+    * subvector back, so this variant drops it from the group key too —
+    * the n·M·k* hot path is a pure (long, int) → min(long)
+    * HashAggregate.
+    */
+  private def pqAssignCode(sv: DataFrame, cents: DataFrame): DataFrame = {
+    val dist = VectorFunctions.intSqDist(col("sub"), col("cent"))
+    sv.join(broadcast(cents), Seq("m"))
+      .select(col("vid"), col("m"),
+        (dist * lit(ArgminPackStride) + col("cell")).as("pk"))
+      .groupBy(col("vid"), col("m"))
+      .agg(min(col("pk")).as("pk"))
+      .select(col("vid"), col("m"), (col("pk") % lit(ArgminPackStride)).as("cell"))
   }
 
   /** Per-subspace truncating element-wise integer centroid mean —
@@ -1099,6 +1153,8 @@ object Similarity {
              topK: Int, isQuery: Column => Column,
              trainTarget: Int = AdcTrainTarget): DataFrame = {
     require(trainTarget > 0, s"trainTarget must be positive: $trainTarget")
+    require(k <= ArgminPackStride,
+      s"k=$k exceeds the argmin packing stride $ArgminPackStride")
     val base = df.select(id.cast("long").as("vid"), vec.as("v"))
     // one bounded stats pass: corpus count (drives the training stride)
     // and the global int8 scale together
@@ -1108,9 +1164,13 @@ object Similarity {
     require(n > 0, "pqTopK: empty corpus (no vectors to index)")
     val maxAbs = stats.getDouble(1)
     val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
-    // (vid, m, sub): the m-th subvector of the int8 code vector
+    // (vid, m, sub): the m-th subvector of the int8 code vector. The
+    // n-row repartition before the explode keeps a single-split corpus
+    // from serializing the whole subvector derivation + PQ training +
+    // encode into one task (see intIvfIndex's qv note).
     val qv = base.select(col("vid"),
       transform(col("v"), x => round(x.cast("double") / lit(scale)).cast("long")).as("q"))
+      .repartition(col("vid"))
       .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("m"), col("q"))
       .select(col("vid"), col("m"),
         slice(col("q"), col("m") * subDim + 1, lit(subDim)).as("sub"))
@@ -1142,7 +1202,7 @@ object Similarity {
         cbRows.toSeq.map(r => (r.getAs[Number](0).intValue,
           r.getAs[Number](1).longValue, r.getSeq[Long](2))))
       .toDF("m", "cell", "cent")
-    val enc = pqAssign(qv, cbLocal).select(col("vid"), col("m"), col("cell"))
+    val enc = pqAssignCode(qv, cbLocal)
 
     // wide form: one M-element code array per vector (struct sort keys
     // by m first, so codes land in subspace order). Persist ownership:
@@ -1275,6 +1335,8 @@ object Similarity {
                  nProbe: Int, trainTarget: Int): DataFrame = {
     require(m > 0 && subDim > 0 && kCodes > 1,
       s"bad PQ config: m=$m subDim=$subDim kCodes=$kCodes")
+    require(kCodes <= ArgminPackStride,
+      s"kCodes=$kCodes exceeds the argmin packing stride $ArgminPackStride")
     require(trainTarget > 0, s"trainTarget must be positive: $trainTarget")
     val (fin, cents) = (ix.fin, ix.cents)
     // ADVICE r17: an m·subDim that disagrees with the embedding width
@@ -1327,7 +1389,7 @@ object Similarity {
         cbRows.toSeq.map(r => (r.getAs[Number](0).intValue,
           r.getAs[Number](1).longValue, r.getSeq[Long](2))))
       .toDF("m", "cell", "cent")
-    val codes = pqAssign(rsv, cbLocal)
+    val codes = pqAssignCode(rsv, cbLocal)
       .groupBy("vid")
       .agg(array_sort(collect_list(struct(col("m"), col("cell")))).as("mc"))
       .select(col("vid"), expr("transform(mc, x -> x.cell)").as("codes"))
