@@ -148,67 +148,28 @@ object Dedup {
     */
   @volatile var lastCcRounds: Int = 0
 
-  /** Partition-local union-find pre-merge (round 19, VERDICT r18 #7 —
-    * the dedup family's 5×/decade lever): each partition collapses its
-    * own edge set to (node → local component min) STAR edges with an
-    * in-memory path-compressed union-find before anything shuffles.
-    * Connectivity is preserved exactly — a star has the same
-    * transitive closure as the partition's edges, and the global graph
-    * is the union of the per-partition subgraphs — while the emitted
-    * relation shrinks from |edges| rows to |distinct nodes per
-    * partition| (bounded by 2·|edges|, typically far smaller when
-    * near-dup groups emit many pairs into one partition) and its
-    * label-tree depth drops to 1 locally, so the keyed iterative loop
-    * both shuffles fewer rows per round and converges in fewer rounds.
-    * Memory is per-partition node count — the same bound the loop's
-    * own shuffle partitions already assume. The final labels (component
-    * min) are invariant to this rewrite, so consumers' oracles replay
-    * unchanged.
-    */
-  private def localStarEdges(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    edges.select(col("src"), col("dst")).as[(Long, Long)]
-      .mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x0: Long): Long = {
-          var x = x0
-          var p = parent.getOrDefault(x, x)
-          while (p != x) {
-            val gp = parent.getOrDefault(p, p)
-            parent.put(x, gp) // path halving
-            x = p; p = gp
-          }
-          x
-        }
-        it.foreach { case (s, d) =>
-          if (!parent.containsKey(s)) parent.put(s, s)
-          if (!parent.containsKey(d)) parent.put(d, d)
-          val rs = find(s); val rd = find(d)
-          // min-root union keeps the local root = local component min
-          if (rs < rd) parent.put(rd, rs)
-          else if (rd < rs) parent.put(rs, rd)
-        }
-        import scala.jdk.CollectionConverters._
-        parent.keySet().iterator().asScala
-          .map(n => (n.longValue, find(n)))
-          .filter { case (n, r) => n != r }
-      }
-      .toDF("src", "dst")
-  }
-
+  // Round 19 note (VERDICT r18 #7, attempted and REVERTED): a
+  // partition-local union-find pre-merge (each partition collapsing
+  // its edges to node→local-min star edges via mapPartitions before
+  // the keyed delta loop) was implemented and measured at both scales.
+  // It preserved every oracle, but it LOST at the scale it was sized
+  // for: d7 at sf100 went 403 s (r17) → 1138 s (smoke_r19_1000x.log)
+  // — the pre-merge's own costs (boxed JVM hash-map per partition,
+  // the codegen/serialization boundary mapPartitions forces on the
+  // full edge relation, and an extra cached materialization) exceeded
+  // the shuffle savings, and the delta-loop round count it was meant
+  // to cut was ALREADY minimal (3 rounds at sf100, unchanged by the
+  // pre-merge — pointer hopping does that job). The declarative
+  // min-label + pointer-hop loop below stands as the scale shape.
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
                           maxRounds: Int = 50): DataFrame = {
-    // partition-local union-find pre-merge, persisted BEFORE the
-    // symmetrizing union: the pre-merge consumes the upstream pair
-    // pipeline (minhash + bucket guard + Jaccard verify) exactly once,
-    // and the union's two branches — which previously each recomputed
-    // that whole pipeline (measured 2× the pair-build cost on d7 at
-    // sf0.1, compounded to 4× by the guard's two band branches) — now
-    // read the (smaller) cached star relation
-    val edges = pairs.select(a.cast("long").as("src"), b.cast("long").as("dst"))
-    val stars = localStarEdges(edges).persist()
-    val sym = stars.union(stars.select(col("dst").as("src"), col("src").as("dst")))
+    // persist the directed edges BEFORE the symmetrizing union: its two
+    // branches otherwise each recompute the whole upstream pair
+    // pipeline (minhash + bucket guard + Jaccard verify — measured 2×
+    // the pair-build cost on d7 at sf0.1, and the guard's own two
+    // band branches compound it to 4×)
+    val edges = pairs.select(a.cast("long").as("src"), b.cast("long").as("dst")).persist()
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint()
@@ -239,7 +200,7 @@ object Dedup {
       rounds += 1
     }
     sym.unpersist()
-    stars.unpersist()
+    edges.unpersist()
     lastCcRounds = rounds
     require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
     labels
