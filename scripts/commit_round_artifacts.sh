@@ -10,9 +10,15 @@
 # leaving `git status` clean before any new work begins.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-git add -A -- BENCH_r*.json CORRECTNESS_r*.json RECALL_r*.json \
-  SCALE_*.json VERDICT.md ADVICE.md LEAKCHECK.json COPYCHECK.json \
-  2>/dev/null || true
+# Each pathspec is staged on its own: `git add -A -- <globs>` aborts
+# with a fatal status if ANY glob matches nothing, staging NOTHING —
+# and the old trailing `|| true` hid exactly that, so a repo state
+# missing e.g. SCALE_*.json silently skipped BENCH/VERDICT too and the
+# script reported "nothing to commit" on a dirty tree (ADVICE r19).
+for spec in 'BENCH_r*.json' 'CORRECTNESS_r*.json' 'RECALL_r*.json' \
+  'SCALE_*.json' 'VERDICT.md' 'ADVICE.md' 'LEAKCHECK.json' 'COPYCHECK.json'; do
+  git add -A -- "$spec" 2>/dev/null || true
+done
 if git diff --cached --quiet; then
   echo "round artifacts: nothing to commit (tree already clean)"
 else

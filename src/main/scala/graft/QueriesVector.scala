@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -982,17 +983,57 @@ object QueriesVector {
   // This is the MEMORY tier; v16b is the serving composition and v11c
   // the full-fidelity tier. Corpus memory per vector at the serving
   // layer: 8 code bytes + a cell id (the 100 TB layout).
+  /** The ONE memoized IVFADC serving index behind the v16/v16b pair
+    * (round 20, VERDICT r19 #1): both queries are bounded plans over
+    * the same fitted artifacts — coarse cells, residual-PQ codebooks,
+    * the packed code column — so a session serving both pays the
+    * Lloyd trainings and the corpus encode ONCE, the way any ANN
+    * serving layer amortizes its index build across queries (and the
+    * way RecallLadder already shares one [[Similarity.IvfIndex]]
+    * across its probe ladder). Keyed per (session, sf dir); staleness
+    * = a cache-manager eviction (`isLive`), after which the entry is
+    * rebuilt rather than silently recomputing the whole build inside
+    * every downstream action. Determinism makes the memo safe: the
+    * build is a pure function of the parquet input and the pinned
+    * config, so a memo hit returns bit-identical results.
+    */
+  private val adcMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.AdcIndex]
+  private def adcIndexFor(s: SparkSession, dir: String): Similarity.AdcIndex =
+    adcMemo.synchronized {
+      val key = (s, dir)
+      val cur = adcMemo.get(key)
+      if (cur != null && cur.isLive) cur
+      else {
+        if (cur != null) cur.release()
+        val aix = Similarity.adcBuild(
+          Similarity.intIvfIndex(Tables.load(s, dir, "embeddings"),
+            col("vec_id"), col("embedding"), 0),
+          m = PqM, subDim = PqSub, kCodes = AdcK,
+          trainTarget = Similarity.AdcTrainTarget)
+        adcMemo.put(key, aix)
+        aix
+      }
+    }
+
   val v16IvfAdc: Q = (s, dir) =>
-    Similarity.ivfAdcTopK(Tables.load(s, dir, "embeddings"),
-      col("vec_id"), col("embedding"), nCells = 0, m = PqM, subDim = PqSub,
-      kCodes = AdcK, topK = 3, isQuery = v => v % 50 === 0)
+    Similarity.ivfAdcTopKFromAdc(adcIndexFor(s, dir), topK = 3,
+      isQuery = v => v % 50 === 0)
       .orderBy("query_id", "rank")
 
   /** The shared v16/v16b oracle CTE chain: coarse auto-cell build →
-    * residuals → stride-sampled 8-bit PQ training → full-corpus encode
-    * → probe ladder → ADC scores, ending at `ranked` (per-query ADC
-    * ranking). v16 cuts it at rank ≤ 3; v16b takes the rank ≤
-    * [[AdcShortlist]] shortlist into an exact float cosine re-rank.
+    * residuals → energy-ranked subspace PERMUTATION from the stride
+    * sample (round 20, VERDICT r19 #2: contiguous blocks parked all
+    * the decaying-spectrum residual energy in subspace 0 and measured
+    * recall@3 at the 0.024 random floor; rank rk by Σr²ᵢ desc feeds
+    * subspace rk % M at position rk // M — the OPQ direction, Ge et
+    * al. CVPR 2013, made deterministic and SQL-replayable) →
+    * stride-sampled 8-bit PQ training with TWO Lloyd rounds (one more
+    * assign/update CTE pair; round 19's single round was undertrained
+    * for k* = 256; a third measured flat) → full-corpus encode → probe ladder → ADC scores,
+    * ending at `ranked` (per-query ADC ranking). v16 cuts it at
+    * rank ≤ 3; v16b takes the rank ≤ max([[AdcShortlist]], pool/frac)
+    * shortlist into an exact float cosine re-rank.
     */
   private val sqlAdcRanked: String = {
     def isq(a: String, b: String): String =
@@ -1006,10 +1047,17 @@ object QueriesVector {
        |  SELECT m2.vec_id, list_transform(generate_series(1, $Dim),
        |    i -> m2.q[i] - c1.cent[i]) AS r
        |  FROM m2 JOIN c1 USING (cell)),
-       |rsv AS (
-       |  SELECT vec_id, m, list_slice(r, m*$PqSub+1, m*$PqSub+$PqSub) AS sub
-       |  FROM rs, generate_series(0, ${PqM - 1}) AS tm(m)),
        |tmod AS (SELECT greatest(1, (SELECT count(*) FROM embeddings) // ${Similarity.AdcTrainTarget}) AS tm),
+       |ren AS (
+       |  SELECT i, sum(r[i] * r[i]) AS e
+       |  FROM rs, generate_series(1, $Dim) AS t(i)
+       |  WHERE vec_id % (SELECT tm FROM tmod) = 0 GROUP BY i),
+       |rperm AS (
+       |  SELECT i AS dim, row_number() OVER (ORDER BY e DESC, i) - 1 AS rk FROM ren),
+       |rsv AS (
+       |  SELECT rs.vec_id, rperm.rk % $PqM AS m,
+       |         list(rs.r[rperm.dim] ORDER BY rperm.rk // $PqM) AS sub
+       |  FROM rs, rperm GROUP BY rs.vec_id, rperm.rk % $PqM),
        |rst AS (SELECT * FROM rsv WHERE vec_id % (SELECT tm FROM tmod) = 0),
        |rinit AS (
        |  SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS cell
@@ -1027,11 +1075,21 @@ object QueriesVector {
        |  SELECT m, cell, i, sum(sub[i]) AS s, count(*) AS n
        |  FROM rm1, generate_series(1, $PqSub) AS t(i) GROUP BY m, cell, i),
        |rc1 AS (SELECT m, cell, list((s // n)::BIGINT ORDER BY i) AS cent FROM rupd GROUP BY m, cell),
+       |ra1b AS (
+       |  SELECT s1.vec_id, s1.m, s1.sub, rc1.cell,
+       |         row_number() OVER (PARTITION BY s1.vec_id, s1.m
+       |                            ORDER BY ${isq("s1.sub", "rc1.cent")}, rc1.cell) AS rk
+       |  FROM rst s1 JOIN rc1 ON s1.m = rc1.m),
+       |rm1b AS (SELECT vec_id, m, sub, cell FROM ra1b WHERE rk = 1),
+       |rupd2 AS (
+       |  SELECT m, cell, i, sum(sub[i]) AS s, count(*) AS n
+       |  FROM rm1b, generate_series(1, $PqSub) AS t(i) GROUP BY m, cell, i),
+       |rc2 AS (SELECT m, cell, list((s // n)::BIGINT ORDER BY i) AS cent FROM rupd2 GROUP BY m, cell),
        |ra2 AS (
-       |  SELECT s2.vec_id, s2.m, rc1.cell,
+       |  SELECT s2.vec_id, s2.m, rc2.cell,
        |         row_number() OVER (PARTITION BY s2.vec_id, s2.m
-       |                            ORDER BY ${isq("s2.sub", "rc1.cent")}, rc1.cell) AS rk
-       |  FROM rsv s2 JOIN rc1 ON s2.m = rc1.m),
+       |                            ORDER BY ${isq("s2.sub", "rc2.cent")}, rc2.cell) AS rk
+       |  FROM rsv s2 JOIN rc2 ON s2.m = rc2.m),
        |rcode AS (SELECT vec_id, m, cell AS code FROM ra2 WHERE rk = 1),
        |probe AS (SELECT vec_id, cell FROM a2
        |          WHERE rk <= ${Similarity.IvfAutoProbe} AND vec_id % 50 = 0),
@@ -1039,16 +1097,16 @@ object QueriesVector {
        |  SELECT p.vec_id, p.cell, ${sqlIdot("qv.q", "c1.cent")} AS qc
        |  FROM probe p JOIN qv ON qv.vec_id = p.vec_id JOIN c1 ON c1.cell = p.cell),
        |qsv AS (
-       |  SELECT p.vec_id, p.cell, tm.m,
-       |         list_slice(qv.q, tm.m*$PqSub+1, tm.m*$PqSub+$PqSub) AS sub
-       |  FROM probe p JOIN qv ON qv.vec_id = p.vec_id,
-       |       generate_series(0, ${PqM - 1}) AS tm(m)),
+       |  SELECT p.vec_id, p.cell, rperm.rk % $PqM AS m,
+       |         list(qv.q[rperm.dim] ORDER BY rperm.rk // $PqM) AS sub
+       |  FROM probe p JOIN qv ON qv.vec_id = p.vec_id, rperm
+       |  GROUP BY p.vec_id, p.cell, rperm.rk % $PqM),
        |dsub AS (
-       |  SELECT q.vec_id AS qid, q.cell, c.vec_id AS cid, ${idot("q.sub", "rc1.cent")} AS d
+       |  SELECT q.vec_id AS qid, q.cell, c.vec_id AS cid, ${idot("q.sub", "rc2.cent")} AS d
        |  FROM qsv q
        |  JOIN m2 c ON c.cell = q.cell AND c.vec_id <> q.vec_id
        |  JOIN rcode ON rcode.vec_id = c.vec_id AND rcode.m = q.m
-       |  JOIN rc1 ON rc1.m = q.m AND rc1.cell = rcode.code),
+       |  JOIN rc2 ON rc2.m = q.m AND rc2.cell = rcode.code),
        |dist AS (SELECT d.qid, d.cid, cast(qcd.qc + sum(d.d) AS BIGINT) AS adc_score
        |         FROM dsub d JOIN qcd ON qcd.vec_id = d.qid AND qcd.cell = d.cell
        |         GROUP BY d.qid, d.cid, qcd.qc),
@@ -1080,10 +1138,9 @@ object QueriesVector {
   // count window over the same qid partition derives the cut, then
   // v11c's cosine re-rank.
   val v16bIvfAdcRerank: Q = (s, dir) =>
-    Similarity.ivfAdcRerankTopK(Tables.load(s, dir, "embeddings"),
-      col("vec_id"), col("embedding"), nCells = 0, m = PqM, subDim = PqSub,
-      kCodes = AdcK, shortlist = AdcShortlist, topK = 3,
-      isQuery = v => v % 50 === 0)
+    Similarity.ivfAdcRerankTopKFromAdc(adcIndexFor(s, dir),
+      Tables.load(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+      shortlist = AdcShortlist, topK = 3, isQuery = v => v % 50 === 0)
       .orderBy("query_id", "rank")
 
   val v16bIvfAdcRerankSql: String =

@@ -317,3 +317,276 @@ case class SqDistExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqDistExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Shared bit layout of the PACKED product-quantization code word: the
+  * M per-subspace codes of one vector live in ONE int64, code `mi` in
+  * bits [mi·bits, (mi+1)·bits) with bits = ceil(log2 kCodes) — at the
+  * catalog's serving config (M=8, k*=256) that is literally the TPAMI
+  * 2011 "8 bytes per vector" laid out as a single BIGINT column: no
+  * per-row array allocation, no array shuffle, and the 100 TB code
+  * table is one fixed-width column. Extraction is UNSIGNED
+  * (`>>> & mask`): at 8×8 bits the top code occupies the sign bit and
+  * the long is a bit container, not a number. The packed word never
+  * crosses an engine boundary — every consumer is one of the
+  * expressions below, and the SQL oracle replays the UNPACKED
+  * (vid, m, code) relation instead — so the layout is free to chase
+  * cache behavior.
+  */
+private[graft] object PqPack {
+  def bitsFor(kCodes: Int): Int = {
+    require(kCodes > 1, s"kCodes=$kCodes must be > 1")
+    32 - java.lang.Integer.numberOfLeadingZeros(kCodes - 1)
+  }
+  def checkLayout(m: Int, kCodes: Int): Int = {
+    val bits = bitsFor(kCodes)
+    require(m * bits <= 64,
+      s"packed PQ layout overflow: m=$m codes of $bits bits need ${m * bits} > 64 bits")
+    bits
+  }
+}
+
+/** Packed PQ encoder: residual/code vector (array<long>, full `dim`
+  * elements) → the packed int64 code word. For each subspace `mi` the
+  * code is the argmin over the kCodes codebook centroids of the exact
+  * integer squared distance between the subspace's (PERMUTED) input
+  * slice and the centroid, ties to the SMALLEST code — bit-identical
+  * to the SQL oracle's `row_number() OVER (ORDER BY dist, cell) = 1`
+  * and to the packed-long `min()` argmin of the groupBy formulation
+  * this replaces. Replacing the explode→broadcast-join→groupBy(vid,m)
+  * →groupBy(vid) encode with one map-side expression deletes BOTH
+  * full-corpus shuffles from the PQ/ADC encode path (VERDICT r19 #1:
+  * the v16/v16b wall is per-run action and shuffle count).
+  *
+  * `perm(mi·subDim + j)` is the 0-based input dimension feeding
+  * subspace `mi` position `j` — identity for v10's contiguous blocks,
+  * the energy-balancing permutation for IVFADC (VERDICT r19 #2). The
+  * codebook is bounded fitted metadata (m·kCodes·subDim longs), baked
+  * into the generated code as a referenced array.
+  */
+case class PqEncodePacked(child: Expression, cb: IndexedSeq[Long],
+                          valid: IndexedSeq[Boolean],
+                          perm: IndexedSeq[Int],
+                          m: Int, subDim: Int, kCodes: Int)
+  extends UnaryExpression {
+
+  private val bits = PqPack.checkLayout(m, kCodes)
+  require(cb.length == m * kCodes * subDim,
+    s"codebook length ${cb.length} != m*kCodes*subDim=${m * kCodes * subDim}")
+  // `valid(mi*kCodes + c)`: whether subspace mi actually trained code c
+  // — Lloyd rounds can empty a cell per subspace, and the SQL oracle's
+  // argmin ranks only EXISTING (m, cell) codebook rows, so the kernel
+  // must skip untrained slots rather than let their zero centroids win
+  require(valid.length == m * kCodes,
+    s"valid length ${valid.length} != m*kCodes=${m * kCodes}")
+  require((0 until m).forall(mi => (0 until kCodes).exists(c => valid(mi * kCodes + c))),
+    "every subspace needs at least one trained code")
+  require(perm.length == m * subDim,
+    s"perm length ${perm.length} != m*subDim=${m * subDim}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_encode_packed"
+
+  private lazy val et: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val cbArr: Array[Long] = cb.toArray
+  @transient private lazy val validArr: Array[Boolean] = valid.toArray
+  @transient private lazy val permArr: Array[Int] = perm.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var packed = 0L
+    var mi = 0
+    while (mi < m) {
+      var best = Long.MaxValue
+      var bc = 0
+      var c = 0
+      while (c < kCodes) {
+        if (validArr(mi * kCodes + c)) {
+          var d = 0L
+          var j = 0
+          val cbOff = (mi * kCodes + c) * subDim
+          val pOff = mi * subDim
+          while (j < subDim) {
+            val x = IntVecEval.read(v, et, permArr(pOff + j)) - cbArr(cbOff + j)
+            d += x * x
+            j += 1
+          }
+          // strict <, codes scanned ascending: ties keep the SMALLEST
+          // code — the oracle's ORDER BY dist, cell
+          if (d < best) { best = d; bc = c }
+        }
+        c += 1
+      }
+      packed |= bc.toLong << (bits * mi)
+      mi += 1
+    }
+    packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cbRef = ctx.addReferenceObj("pqCb", cbArr, "long[]")
+      val validRef = ctx.addReferenceObj("pqValid", validArr, "boolean[]")
+      val permRef = ctx.addReferenceObj("pqPerm", permArr, "int[]")
+      val fn = ctx.freshName("pqEncodePacked")
+      val fun = ctx.addNewFunction(fn,
+        s"""
+           |private long $fn(org.apache.spark.sql.catalyst.util.ArrayData v) {
+           |  long packed = 0L;
+           |  for (int mi = 0; mi < $m; mi++) {
+           |    long best = Long.MAX_VALUE; int bc = 0;
+           |    for (int c = 0; c < $kCodes; c++) {
+           |      if (!$validRef[mi * $kCodes + c]) continue;
+           |      long d = 0L;
+           |      int cbOff = (mi * $kCodes + c) * $subDim;
+           |      int pOff = mi * $subDim;
+           |      for (int j = 0; j < $subDim; j++) {
+           |        long x = ${IntVecEval.readJava("v", et, s"$permRef[pOff + j]")} - $cbRef[cbOff + j];
+           |        d += x * x;
+           |      }
+           |      if (d < best) { best = d; bc = c; }
+           |    }
+           |    packed |= ((long) bc) << ($bits * mi);
+           |  }
+           |  return packed;
+           |}
+         """.stripMargin)
+      s"${ev.value} = $fun($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodePacked =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) inner-product kernel over a packed code
+  * word: Σ over subspaces of dot(query's PERMUTED subvector, the
+  * candidate code's centroid) — the reconstruction term of the IVFADC
+  * score (dot(q, cent(cell)) is added outside, it depends only on the
+  * probe row). One compiled loop of m·subDim multiply-adds per
+  * candidate, all reads from the referenced codebook array — replaces
+  * the interpreted nested `aggregate(sequence(...))` HOF over a
+  * literal that round 19 measured as the search scan's CPU.
+  */
+case class AdcScorePacked(left: Expression, right: Expression,
+                          cb: IndexedSeq[Long], perm: IndexedSeq[Int],
+                          m: Int, subDim: Int, kCodes: Int)
+  extends BinaryExpression {
+
+  private val bits = PqPack.checkLayout(m, kCodes)
+  require(cb.length == m * kCodes * subDim,
+    s"codebook length ${cb.length} != m*kCodes*subDim=${m * kCodes * subDim}")
+  require(perm.length == m * subDim,
+    s"perm length ${perm.length} != m*subDim=${m * subDim}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "adc_score_packed"
+
+  private lazy val et: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val cbArr: Array[Long] = cb.toArray
+  @transient private lazy val permArr: Array[Int] = perm.toArray
+  private val mask: Long = if (bits == 64) -1L else (1L << bits) - 1L
+
+  override protected def nullSafeEval(q: Any, codes: Any): Any = {
+    val v = q.asInstanceOf[ArrayData]
+    val packed = codes.asInstanceOf[Long]
+    var s = 0L
+    var mi = 0
+    while (mi < m) {
+      val c = ((packed >>> (bits * mi)) & mask).toInt
+      val cbOff = (mi * kCodes + c) * subDim
+      val pOff = mi * subDim
+      var j = 0
+      while (j < subDim) {
+        s += IntVecEval.read(v, et, permArr(pOff + j)) * cbArr(cbOff + j)
+        j += 1
+      }
+      mi += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, codes) => {
+      val cbRef = ctx.addReferenceObj("adcCb", cbArr, "long[]")
+      val permRef = ctx.addReferenceObj("adcPerm", permArr, "int[]")
+      val fn = ctx.freshName("adcScorePacked")
+      val fun = ctx.addNewFunction(fn,
+        s"""
+           |private long $fn(org.apache.spark.sql.catalyst.util.ArrayData v, long packed) {
+           |  long s = 0L;
+           |  for (int mi = 0; mi < $m; mi++) {
+           |    int c = (int) ((packed >>> ($bits * mi)) & ${mask}L);
+           |    int cbOff = (mi * $kCodes + c) * $subDim;
+           |    int pOff = mi * $subDim;
+           |    for (int j = 0; j < $subDim; j++) {
+           |      s += ${IntVecEval.readJava("v", et, s"$permRef[pOff + j]")} * $cbRef[cbOff + j];
+           |    }
+           |  }
+           |  return s;
+           |}
+         """.stripMargin)
+      s"${ev.value} = $fun($q, $codes);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcScorePacked =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Symmetric PQ distance over two packed code words via the
+  * precomputed m·k² code-pair table (pqTopK's `dtab` literal): Σ over
+  * subspaces of dtab[mi·k² + codeA·k + codeB]. m table reads per
+  * candidate pair in one compiled call — the v10 search scan's hot
+  * loop, previously an interpreted `aggregate(sequence(...))` HOF with
+  * two `get()`s per subspace.
+  */
+case class PqSymDistPacked(left: Expression, right: Expression,
+                           dtab: IndexedSeq[Long], m: Int, kCodes: Int)
+  extends BinaryExpression {
+
+  private val bits = PqPack.checkLayout(m, kCodes)
+  require(dtab.length == m * kCodes * kCodes,
+    s"dtab length ${dtab.length} != m*kCodes^2=${m * kCodes * kCodes}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_sym_dist_packed"
+
+  @transient private lazy val dtArr: Array[Long] = dtab.toArray
+  private val mask: Long = if (bits == 64) -1L else (1L << bits) - 1L
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val pa = a.asInstanceOf[Long]
+    val pb = b.asInstanceOf[Long]
+    var s = 0L
+    var mi = 0
+    while (mi < m) {
+      val ca = ((pa >>> (bits * mi)) & mask).toInt
+      val cb2 = ((pb >>> (bits * mi)) & mask).toInt
+      s += dtArr(mi * kCodes * kCodes + ca * kCodes + cb2)
+      mi += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dtRef = ctx.addReferenceObj("pqDtab", dtArr, "long[]")
+      val fn = ctx.freshName("pqSymDistPacked")
+      val fun = ctx.addNewFunction(fn,
+        s"""
+           |private long $fn(long pa, long pb) {
+           |  long s = 0L;
+           |  for (int mi = 0; mi < $m; mi++) {
+           |    int ca = (int) ((pa >>> ($bits * mi)) & ${mask}L);
+           |    int cb = (int) ((pb >>> ($bits * mi)) & ${mask}L);
+           |    s += $dtRef[mi * $kCodes * $kCodes + ca * $kCodes + cb];
+           |  }
+           |  return s;
+           |}
+         """.stripMargin)
+      s"${ev.value} = $fun($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqSymDistPacked =
+    copy(left = newLeft, right = newRight)
+}

@@ -73,6 +73,31 @@ object VectorFunctions {
   def intDot(a: Column, b: Column): Column =
     Shim.column(IntDotExpr(Shim.expression(a), Shim.expression(b)))
 
+  /** Packed PQ encode — one int64 code word per vector, argmin per
+    * subspace with smallest-code tie-break ([[PqEncodePacked]]).
+    */
+  def pqEncodePacked(v: Column, cb: IndexedSeq[Long], valid: IndexedSeq[Boolean],
+                     perm: IndexedSeq[Int],
+                     m: Int, subDim: Int, kCodes: Int): Column =
+    Shim.column(PqEncodePacked(Shim.expression(v), cb, valid, perm, m, subDim, kCodes))
+
+  /** ADC reconstruction dot: query array × packed code word against the
+    * fitted codebook ([[AdcScorePacked]]).
+    */
+  def adcScorePacked(q: Column, codes: Column, cb: IndexedSeq[Long],
+                     perm: IndexedSeq[Int], m: Int, subDim: Int,
+                     kCodes: Int): Column =
+    Shim.column(AdcScorePacked(Shim.expression(q), Shim.expression(codes),
+      cb, perm, m, subDim, kCodes))
+
+  /** Symmetric PQ distance over two packed code words via the
+    * precomputed code-pair table ([[PqSymDistPacked]]).
+    */
+  def pqSymDistPacked(a: Column, b: Column, dtab: IndexedSeq[Long],
+                      m: Int, kCodes: Int): Column =
+    Shim.column(PqSymDistPacked(Shim.expression(a), Shim.expression(b),
+      dtab, m, kCodes))
+
   /** Per-row int8 quantization scale: max(|v|)/127 (1.0 for the zero
     * vector). At 100 TB the embedding table IS the storage bill —
     * symmetric scalar quantization cuts it 4× while dot products stay

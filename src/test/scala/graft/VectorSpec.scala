@@ -988,4 +988,114 @@ class VectorSpec extends SparkSpec {
     }
     run(7).toSet shouldBe out.toSet // partitioning-invariant
   }
+
+  test("PqEncodePacked: matches a local argmin with validity holes and permutation") {
+    import graft.functions.{PqEncodePacked, PqPack}
+    val m = 2; val subDim = 3; val k = 4
+    val rnd = new scala.util.Random(7)
+    val cb = IndexedSeq.fill(m * k * subDim)(rnd.nextInt(21).toLong - 10)
+    // leave (m=0, c=2) and (m=1, c=0) untrained
+    val valid = IndexedSeq.tabulate(m * k)(i => i != 2 && i != k)
+    val perm = IndexedSeq(5, 0, 3, 1, 4, 2) // some shuffle of 0..5
+    val rows = Seq.fill(50)(Array.fill(6)(rnd.nextInt(41).toLong - 20))
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vid", "v")
+    val got = df.select(col("vid"),
+        VectorFunctions.pqEncodePacked(col("v"), cb, valid, perm, m, subDim, k).as("pc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bits = PqPack.bitsFor(k)
+    rows.zipWithIndex.foreach { case (v, i) =>
+      var expect = 0L
+      for (mi <- 0 until m) {
+        // local argmin over VALID codes, ties to smallest code
+        val best = (0 until k).filter(c => valid(mi * k + c)).minBy { c =>
+          val d = (0 until subDim).map { j =>
+            val x = v(perm(mi * subDim + j)) - cb((mi * k + c) * subDim + j)
+            x * x
+          }.sum
+          (d, c)
+        }
+        expect |= best.toLong << (bits * mi)
+      }
+      assert(got(i.toLong) == expect, s"row $i")
+    }
+    // every subspace must have a trained code
+    val e = intercept[IllegalArgumentException] {
+      PqEncodePacked(null, cb, IndexedSeq.fill(m * k)(false), perm, m, subDim, k)
+    }
+    e.getMessage should include("at least one trained code")
+  }
+
+  test("AdcScorePacked / PqSymDistPacked: match local reconstruction dot and table lookups") {
+    import graft.functions.PqPack
+    val m = 3; val subDim = 2; val k = 8
+    val rnd = new scala.util.Random(11)
+    val cb = IndexedSeq.fill(m * k * subDim)(rnd.nextInt(31).toLong - 15)
+    val perm = IndexedSeq(4, 1, 0, 3, 5, 2)
+    val bits = PqPack.bitsFor(k)
+    def pack(codes: Seq[Int]): Long =
+      codes.zipWithIndex.map { case (c, mi) => c.toLong << (bits * mi) }.reduce(_ | _)
+    val q = Array.fill(6)(rnd.nextInt(21).toLong - 10)
+    val codesA = Seq(3, 0, 7); val codesB = Seq(1, 5, 2)
+    val df = Seq((q, pack(codesA), pack(codesB))).toDF("q", "pa", "pb")
+    val dtab = IndexedSeq.tabulate(m * k * k)(i => (i * 13 % 97).toLong)
+    val row = df.select(
+      VectorFunctions.adcScorePacked(col("q"), col("pa"), cb, perm, m, subDim, k).as("adc"),
+      VectorFunctions.pqSymDistPacked(col("pa"), col("pb"), dtab, m, k).as("sym")).head()
+    val expectAdc = (0 until m).map { mi =>
+      (0 until subDim).map { j =>
+        q(perm(mi * subDim + j)) * cb((mi * k + codesA(mi)) * subDim + j)
+      }.sum
+    }.sum
+    val expectSym = (0 until m).map(mi =>
+      dtab(mi * k * k + codesA(mi) * k + codesB(mi))).sum
+    row.getLong(0) shouldBe expectAdc
+    row.getLong(1) shouldBe expectSym
+  }
+
+  test("adcBuild: energy permutation is a true permutation; packed tier at 8x8 bits uses the sign bit safely") {
+    val rnd = new scala.util.Random(23)
+    // decaying per-dim scale so the energy ranking is non-trivial
+    val df = (0L until 300L).map { id =>
+      (id, Array.tabulate(16)(d => (rnd.nextGaussian() * 40 / (d + 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ix = Similarity.intIvfIndex(df, col("vec_id"), col("embedding"), 4)
+    val aix = Similarity.adcBuild(ix, m = 4, subDim = 4, kCodes = 4,
+      trainTarget = Similarity.AdcTrainTarget)
+    aix.perm.sorted shouldBe (0 until 16)
+    // high-energy dims (0..3) must spread one per subspace, not stack in subspace 0
+    val leadSubspaces = (0 until 16).filter(pos => aix.perm(pos) < 4).map(_ / 4)
+    leadSubspaces.distinct.size shouldBe 4
+    aix.release(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty, "AdcIndex.release leaked entries")
+  }
+
+  test("v16/v16b memo: FromAdc plans over one AdcIndex equal the one-shot FromIndex results") {
+    val rnd = new scala.util.Random(31)
+    val df = (0L until 240L).map(id =>
+      (id, Array.fill(8)((rnd.nextGaussian() * 3).toFloat))).toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 12 === 0
+    val ix1 = Similarity.intIvfIndex(df, col("vec_id"), col("embedding"), 5)
+    val oneShot = Similarity.ivfAdcFromIndex(ix1, m = 4, subDim = 2, kCodes = 8,
+      topK = 3, isQuery = isQ, nProbe = 2,
+      trainTarget = Similarity.AdcTrainTarget).collect().map(_.toSeq).toSet
+    val oneShotR = Similarity.ivfAdcRerankFromIndex(ix1, df, col("vec_id"),
+      col("embedding"), m = 4, subDim = 2, kCodes = 8, shortlist = 8, topK = 3,
+      isQuery = isQ, nProbe = 2,
+      trainTarget = Similarity.AdcTrainTarget).collect().map(_.toSeq).toSet
+    ix1.release(blocking = true)
+    val ix2 = Similarity.intIvfIndex(df, col("vec_id"), col("embedding"), 5)
+    val aix = Similarity.adcBuild(ix2, m = 4, subDim = 2, kCodes = 8,
+      trainTarget = Similarity.AdcTrainTarget)
+    assert(aix.isLive, "freshly built AdcIndex must be live")
+    val served = Similarity.ivfAdcTopKFromAdc(aix, topK = 3, isQuery = isQ,
+      nProbe = 2).collect().map(_.toSeq).toSet
+    val servedR = Similarity.ivfAdcRerankTopKFromAdc(aix, df, col("vec_id"),
+      col("embedding"), shortlist = 8, topK = 3, isQuery = isQ,
+      nProbe = 2).collect().map(_.toSeq).toSet
+    served shouldBe oneShot
+    servedR shouldBe oneShotR
+    // clearCache is the staleness signal the memo rebuilds on
+    spark.catalog.clearCache()
+    assert(!aix.isLive, "AdcIndex must report stale after clearCache")
+  }
 }
