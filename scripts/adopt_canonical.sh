@@ -17,22 +17,33 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SRC="${1:-target/bench/bench_queries.json}"
-BOUND=1.0
 [ -f "$SRC" ] || { echo "adopt_canonical: $SRC not found (run graft.Bench first)" >&2; exit 1; }
-CEIL=$(python3 - "$SRC" <<'EOF'
+# Bounds mirror Bench.Canonical*Bound; BenchCanonicalSpec pins the
+# committed file against the same four. Round 20 (VERDICT r19 #4): the
+# busy-jiffies ambient excludes iowait, so an IO/page-cache-contended
+# run (the r19 driver inflation class) could score ambient ~ 0 — the
+# gate now also bounds machine-wide iowait cores and the PSI io/memory
+# some-stall fractions over every family window (psi_cpu is recorded
+# but unbounded: the bench's own 32 threads stall each other).
+if python3 - "$SRC" <<'EOF'
 import json, sys
 line = open(sys.argv[1]).readline()
 d = json.loads(line)
-amb = d.get("ambient", {})
-vals = list(amb.values())
-print(max(vals) if vals else -1.0)
+bounds = {"ambient": 1.0, "iowait": 0.5, "psi_io": 0.05, "psi_mem": 0.05}
+ok = True
+for key, bound in bounds.items():
+    vals = list(d.get(key, {}).values())
+    ceil = max(vals) if vals else -1.0
+    verdict = "ok" if 0 <= ceil <= bound else "FAIL"
+    print(f"adopt_canonical: {key} ceiling = {ceil} (bound {bound}) {verdict}")
+    if not (0 <= ceil <= bound):
+        ok = False
+sys.exit(0 if ok else 1)
 EOF
-)
-echo "adopt_canonical: recorded ambient-cores ceiling = $CEIL (bound $BOUND)"
-if python3 -c "import sys; sys.exit(0 if 0 <= $CEIL <= $BOUND else 1)"; then
+then
   cp "$SRC" bench_queries.json
   echo "adopt_canonical: adopted $SRC -> bench_queries.json"
 else
-  echo "adopt_canonical: REFUSED — run was not quiet (ceiling $CEIL > $BOUND)" >&2
+  echo "adopt_canonical: REFUSED — run was not quiet (see failed ceilings above)" >&2
   exit 1
 fi

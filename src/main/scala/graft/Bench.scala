@@ -60,25 +60,78 @@ object Bench {
     */
   private[graft] val CanonicalAmbientBound: Double = 1.0
 
+  /** Adoption bounds for the contention classes busy-jiffies ambient
+    * cannot see (round 20, VERDICT r19 #4 — the r19 driver run carried
+    * 1.55× median inflation from IO/page-cache pressure at ambient
+    * ≈ 0): machine-wide IOWAIT cores and the PSI some-stall fractions
+    * for io and memory over any family window. Calibration (round 20,
+    * executed): a quiet bench window on this box measures iowait
+    * ceiling 0.002 cores and psi_io/psi_mem 0.000 (the bench's own
+    * parquet reads + tmpfs checkpoints barely stall), so the bounds
+    * carry >100× headroom for self-load — while the REPLAYED r19
+    * contamination (the same bench under four parallel direct-IO dd
+    * writers) measured iowait 3.82 cores and psi_io 0.452 with the
+    * busy-jiffies ambient reading 0.067, i.e. the old gate certified
+    * the contaminated window quiet and the new columns flag it at
+    * 7.6× / 9× over bound. psi_cpu is recorded but NOT bounded — a
+    * 32-thread bench on 32 CPUs stalls itself, so its cpu-some
+    * fraction reflects self-load by design.
+    */
+  private[graft] val CanonicalIowaitBound: Double = 0.5
+  private[graft] val CanonicalPsiIoBound: Double = 0.05
+  private[graft] val CanonicalPsiMemBound: Double = 0.05
+
   /** (total busy jiffies across all CPUs from /proc/stat, this
     * process's own jiffies from /proc/self/stat incl. reaped children)
     * — the primitive the per-family ambient-cores measurement diffs.
     * (-1, -1) when unreadable (non-Linux), which disables the gate
     * with an explicit -1 in the emitted map rather than a fake 0.
     */
-  private[graft] def cpuJiffies(): (Long, Long) =
+  private[graft] def cpuJiffies(): (Long, Long) = {
+    val (b, s, _) = cpuJiffiesIo()
+    (b, s)
+  }
+
+  /** [[cpuJiffies]] plus the machine-wide IOWAIT jiffies (field 5 of
+    * /proc/stat's cpu line). Round 20 (VERDICT r19 #4): busy-jiffies
+    * ambient EXCLUDES iowait by construction, so the r19 driver run's
+    * IO/page-cache contention (d family 2.9×, streaming ingest 2.8×
+    * over the quiet canonical) scored ambient ≈ 0 and the gate
+    * certified a contaminated run quiet — iowait is recorded as its
+    * own per-family column and bounded by the adoption gate alongside
+    * ambient-cores.
+    */
+  private[graft] def cpuJiffiesIo(): (Long, Long, Long) =
     try {
       val stat = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
       val cpu = stat.linesIterator.next().split("\\s+")
       // user nice system idle iowait irq softirq steal — busy = all but idle+iowait
       val busy = Seq(1, 2, 3, 6, 7, 8).map(i => cpu(i).toLong).sum
+      val iow = cpu(5).toLong
       val self0 = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
       // comm (field 2) may contain spaces — parse after the closing paren
       val rest = self0.substring(self0.lastIndexOf(')') + 2).split(" ")
       // rest(11..14) = utime stime cutime cstime (1-based fields 14-17)
       val self = Seq(11, 12, 13, 14).map(i => rest(i).toLong).sum
-      (busy, self)
-    } catch { case _: Throwable => (-1L, -1L) }
+      (busy, self, iow)
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
+
+  /** Cumulative PSI stall time in MICROSECONDS for one resource —
+    * the `some ... total=N` counter of /proc/pressure/{cpu,io,memory}.
+    * Diffed over each family's exact window (Δtotal / Δwall), this is
+    * the precise stall fraction for that window — unlike the avg10
+    * running averages, which lag 10 s behind a window boundary. -1
+    * when PSI is unavailable (gate disabled explicitly, not faked 0).
+    */
+  private[graft] def psiTotals(): (Long, Long, Long) = {
+    def one(res: String): Long =
+      try {
+        val s = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"/proc/pressure/$res"))
+        """some .*total=(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
+    (one("cpu"), one("io"), one("memory"))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -208,17 +261,32 @@ object Bench {
     // inflates it past any honest bound (the quiet r17 canonical
     // recorded 7.11).
     val famAmb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-family IOWAIT cores and PSI some-stall fractions (cpu/io/
+    // memory), the contention classes the busy-jiffies ambient is
+    // blind to (VERDICT r19 #4) — all diffed over the family's exact
+    // window like the ambient itself
+    val famIow = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val famPsi = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     var ambT0 = System.nanoTime()
-    var ambJ0 = cpuJiffies()
+    var ambJ0 = cpuJiffiesIo()
+    var psi0 = psiTotals()
     def closeFamily(f: String): Unit = {
       famLoad(f) = (famLoad(f)._1, loadavg())
-      val (b1, s1) = cpuJiffies()
+      val (b1, s1, io1) = cpuJiffiesIo()
+      val p1 = psiTotals()
       val t1 = System.nanoTime()
       val dt = (t1 - ambT0) / 1e9
       famAmb(f) =
         if (ambJ0._1 < 0 || b1 < 0 || dt <= 0) -1.0
         else math.max(0.0, ((b1 - ambJ0._1) - (s1 - ambJ0._2)) / 100.0 / dt)
-      ambT0 = t1; ambJ0 = (b1, s1)
+      famIow(f) =
+        if (ambJ0._3 < 0 || io1 < 0 || dt <= 0) -1.0
+        else math.max(0.0, (io1 - ambJ0._3) / 100.0 / dt)
+      def frac(a: Long, b: Long): Double =
+        if (a < 0 || b < 0 || dt <= 0) -1.0
+        else math.max(0.0, (b - a) / 1e6 / dt)
+      famPsi(f) = (frac(psi0._1, p1._1), frac(psi0._2, p1._2), frac(psi0._3, p1._3))
+      ambT0 = t1; ambJ0 = (b1, s1, io1); psi0 = p1
     }
     var results = ordered.map { case (name, fn) =>
       if (family(name) != prevFamily) {
@@ -274,6 +342,15 @@ object Bench {
     val ambients = famAmb.map { case (f, v) =>
       "\"" + f + "\":" + fmt(v)
     }.mkString("{", ",", "}")
+    val iowaits = famIow.map { case (f, v) =>
+      "\"" + f + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    def psiJson(pick: ((Double, Double, Double)) => Double): String =
+      famPsi.map { case (f, v) => "\"" + f + "\":" + fmt(pick(v)) }
+        .mkString("{", ",", "}")
+    val psiCpu = psiJson(_._1)
+    val psiIo = psiJson(_._2)
+    val psiMem = psiJson(_._3)
     val total = results.map(_._2._1).filter(_ >= 0).sum
     // batch/streaming sub-totals: the st family is ~half the catalog
     // wall at sf0.1 and carries ±0.3 s/query of ingest-IO noise — split
@@ -291,7 +368,7 @@ object Bench {
     // queries map, and a second queries-free summary line goes LAST so
     // the headline total always survives any truncation.
     val fullLine =
-      s"""{"metric":"total","sf":"$sfDir","queries":$qs,"mins":$mins,"loadavg":$loads,"ambient":$ambients,"value":${fmt(total)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(stTotal)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson}"""
+      s"""{"metric":"total","sf":"$sfDir","queries":$qs,"mins":$mins,"loadavg":$loads,"ambient":$ambients,"iowait":$iowaits,"psi_cpu":$psiCpu,"psi_io":$psiIo,"psi_mem":$psiMem,"value":${fmt(total)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(stTotal)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson}"""
     // The per-query map ALSO goes to a file artifact: the captured
     // stdout line is head-truncated by the driver (round 6 kept only 70
     // of 99 medians) — <outDir>/bench_queries.json carries every median

@@ -47,6 +47,58 @@ class BenchCanonicalSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("committed canonical was measured quiet on the IO/memory axes too (iowait + PSI ceilings)") {
+    // VERDICT r19 #4: the busy-jiffies ambient EXCLUDES iowait, so the
+    // r19 driver run's IO/page-cache contention (1.55x median
+    // inflation, d family 2.9x) scored ambient ~ 0 and sailed through
+    // the old gate. The canonical line now records per-family iowait
+    // cores and PSI some-stall fractions; this spec pins the committed
+    // file against the same bounds scripts/adopt_canonical.sh enforces
+    // at adoption (psi_cpu recorded but unbounded — the bench's own 32
+    // threads stall each other by design).
+    val s = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("bench_queries.json"))
+    val iow = Bench.parseMapCeiling(s, "iowait")
+    withClue(s"recorded iowait-cores ceiling $iow vs bound " +
+      s"${Bench.CanonicalIowaitBound}: ") {
+      iow should be >= 0.0
+      iow should be <= Bench.CanonicalIowaitBound
+    }
+    val pio = Bench.parseMapCeiling(s, "psi_io")
+    withClue(s"recorded psi_io some-stall ceiling $pio vs bound " +
+      s"${Bench.CanonicalPsiIoBound}: ") {
+      pio should be >= 0.0
+      pio should be <= Bench.CanonicalPsiIoBound
+    }
+    val pmem = Bench.parseMapCeiling(s, "psi_mem")
+    withClue(s"recorded psi_mem some-stall ceiling $pmem vs bound " +
+      s"${Bench.CanonicalPsiMemBound}: ") {
+      pmem should be >= 0.0
+      pmem should be <= Bench.CanonicalPsiMemBound
+    }
+  }
+
+  test("cpuJiffiesIo / psiTotals read monotone non-negative counters on this platform") {
+    val (b0, s0, io0) = Bench.cpuJiffiesIo()
+    b0 should be > 0L
+    s0 should be >= 0L
+    io0 should be >= 0L
+    val (c0, i0, m0) = Bench.psiTotals()
+    // PSI may legitimately be absent (-1 disables the gate explicitly);
+    // on this platform it exists, so pin the real read path
+    c0 should be >= 0L
+    i0 should be >= 0L
+    m0 should be >= 0L
+    val (b1, s1, io1) = Bench.cpuJiffiesIo()
+    b1 should be >= b0
+    io1 should be >= io0
+    val (c1, i1, m1) = Bench.psiTotals()
+    c1 should be >= c0
+    i1 should be >= i0
+    m1 should be >= m0
+    s1 should be >= s0
+  }
+
   test("map-ceiling parser reads flat and array-valued sample maps") {
     val line = """{"metric":"total","queries":{"a":1.0},""" +
       """"loadavg":{"a":[0.52,1.10],"st":[2.90,0.75]},""" +
