@@ -202,7 +202,7 @@ object QueriesText {
   // while true near-dup pairs keep their non-degenerate bands. The cap
   // is a no-op at the tiny gate sf (all buckets small) and bites at
   // sf10 — the oracle replays the filter either way.
-  private val d3bMaxBucket = 64
+  private[graft] val d3bMaxBucket = 64
 
   val d3bMinhashCapped: Q = (s, dir) => {
     val sets = Dedup.shingleSets(Tables.load(s, dir, "documents"), col("doc_id"), shingleSet)
@@ -252,12 +252,13 @@ object QueriesText {
     val bands = Dedup.minHashBands(docs, col("doc_id"), shingleSet, dedupK, dedupR)
     // materialized behind an exchange, like shingleSets — the trigram
     // hash expression must not be re-inlined into both join sides
-    val tri = docs.select(col("doc_id").as("doc"), TextFunctions.charNgramHashes(col("text"), 3).as("tri"))
+    val tri = docs.select(col("doc_id").as("doc"),
+        array_sort(TextFunctions.charNgramHashes(col("text"), 3)).as("tri"))
       .repartition(col("doc")).persist()
     Dedup.lshCandidatePairs(bands)
       .join(tri.select(col("doc").as("doc_a"), col("tri").as("tri_a")), "doc_a")
       .join(tri.select(col("doc").as("doc_b"), col("tri").as("tri_b")), "doc_b")
-      .withColumn("t_num", size(array_intersect(col("tri_a"), col("tri_b"))).cast("long"))
+      .withColumn("t_num", TextFunctions.sortedIntersectCount(col("tri_a"), col("tri_b")))
       .withColumn("t_den", (size(col("tri_a")) + size(col("tri_b"))).cast("long") - col("t_num"))
       .select(
         col("doc_a"), col("doc_b"), col("t_num"), col("t_den"),
@@ -299,12 +300,13 @@ object QueriesText {
   val d5bJaccardCapped: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
     val bands = Dedup.minHashBands(docs, col("doc_id"), shingleSet, dedupK, dedupR)
-    val tri = docs.select(col("doc_id").as("doc"), TextFunctions.charNgramHashes(col("text"), 3).as("tri"))
+    val tri = docs.select(col("doc_id").as("doc"),
+        array_sort(TextFunctions.charNgramHashes(col("text"), 3)).as("tri"))
       .repartition(col("doc")).persist()
     Dedup.lshCandidatePairs(bands, maxBucket = d5bMaxBucket)
       .join(tri.select(col("doc").as("doc_a"), col("tri").as("tri_a")), "doc_a")
       .join(tri.select(col("doc").as("doc_b"), col("tri").as("tri_b")), "doc_b")
-      .withColumn("t_num", size(array_intersect(col("tri_a"), col("tri_b"))).cast("long"))
+      .withColumn("t_num", TextFunctions.sortedIntersectCount(col("tri_a"), col("tri_b")))
       .withColumn("t_den", (size(col("tri_a")) + size(col("tri_b"))).cast("long") - col("t_num"))
       .select(
         col("doc_a"), col("doc_b"), col("t_num"), col("t_den"),
@@ -533,7 +535,7 @@ object QueriesText {
     val bench = sets.where(col("doc") < 20).select(col("doc").as("bench_id"), col("hs").as("bh"))
     val corpus = sets.where(col("doc") >= 20)
     corpus.crossJoin(broadcast(bench))
-      .withColumn("overlap_n", size(array_intersect(col("hs"), col("bh"))).cast("long"))
+      .withColumn("overlap_n", TextFunctions.sortedIntersectCount(col("hs"), col("bh")))
       .groupBy(col("doc"))
       .agg(max_by(struct(col("bench_id"), col("overlap_n")),
         struct(col("overlap_n"), (-col("bench_id")).as("nb"))).as("b"))
@@ -1010,7 +1012,7 @@ object QueriesText {
       .select(col("hs").as("bh"))
     val contaminated = Dedup.shingleSets(d.where(col("doc_id") >= 20), col("doc_id"), shingleSet)
       .crossJoin(broadcast(bench))
-      .where(size(array_intersect(col("hs"), col("bh"))) >= 3)
+      .where(TextFunctions.sortedIntersectCount(col("hs"), col("bh")) >= 3)
       .select(col("doc").as("doc_id")).distinct()
     val clean = d.where(col("doc_id") >= 20)
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -1215,7 +1217,7 @@ object QueriesText {
           .join(snapB, Seq("band", "band_hash"))
           .join(newSets, Seq("doc_n"))
           .join(snapSets, Seq("doc_o"))
-          .withColumn("j_num", size(array_intersect(col("hs_n"), col("hs_o"))).cast("long"))
+          .withColumn("j_num", TextFunctions.sortedIntersectCount(col("hs_n"), col("hs_o")))
           .withColumn("j_den", (size(col("hs_n")) + size(col("hs_o"))).cast("long") - col("j_num"))
           .where(col("j_num") * 2 >= col("j_den") * 1)
           .select(col("doc_n"), col("doc_o"))

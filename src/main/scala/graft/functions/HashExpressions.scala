@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -546,5 +546,135 @@ case class CharNgramHashSet(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharNgramHashSet =
+    copy(child = newChild)
+}
+
+/** Intersection COUNT of two ASCENDING-SORTED long arrays — one
+  * compiled merge scan, zero allocation. The near-dup verify is the
+  * measured wall of the whole d family at scale (ProfileD7, SCALE.md
+  * round 15: the edge build is ~95% of d7's sf10 cost), and its hot
+  * loop was `size(array_intersect(a, b))`: Spark's generic
+  * array_intersect builds a hash set AND an output array PER PAIR just
+  * to take its length. Sorting each doc's set ONCE at materialization
+  * (array_sort in [[graft.operators.Dedup.shingleSets]] / the d5 tri
+  * build — every consumer is order-independent: minhash folds,
+  * explodes, intersection counts) converts the per-pair cost to an
+  * O(|a|+|b|) branch-predictable merge with no allocation at all.
+  *
+  * CONTRACT: both inputs sorted ascending (duplicates allowed — equal
+  * runs advance both sides one step at a time, which matches set
+  * semantics on the distinct-by-construction shingle/ngram sets).
+  * Unsorted input returns an UNDERCOUNT, not an error — this kernel is
+  * private plumbing for the set relations above, not a public API.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // own generated method, not inline — same JIT-size rationale as
+      // the vector fold kernels
+      val fn = ctx.freshName("sortedIntersectCount")
+      val fun = ctx.addNewFunction(fn,
+        s"""
+           |private long $fn(org.apache.spark.sql.catalyst.util.ArrayData a,
+           |    org.apache.spark.sql.catalyst.util.ArrayData b) {
+           |  int na = a.numElements(); int nb = b.numElements();
+           |  int i = 0; int j = 0; long c = 0L;
+           |  while (i < na && j < nb) {
+           |    long x = a.getLong(i); long y = b.getLong(j);
+           |    if (x == y) { c++; i++; j++; }
+           |    else if (x < y) { i++; } else { j++; }
+           |  }
+           |  return c;
+           |}
+         """.stripMargin)
+      s"${ev.value} = $fun($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** All k MinHash values of a shingle-hash set in ONE compiled pass —
+  * h_j(x) = ((2j+1)·x + 7919·j + 1) mod P minimized over the set, the
+  * exact fold [[graft.functions.TextFunctions.minHashSignature]]'s HOF
+  * formulation computes (and the DuckDB oracle replays). The HOF form
+  * (transform over k × aggregate over the set) is interpreted per
+  * element: k=16 signatures over a ~200-shingle doc cost ~3200 lambda
+  * invocations PER DOCUMENT — a per-doc cost that dominates the d
+  * family's band build at scale. Here: one loop over the set, k
+  * running minima in a local array, k·|hs| fused multiply-mod steps.
+  */
+case class MinHashSig(child: Expression, k: Int)
+  extends UnaryExpression {
+  import HashExpressions._
+
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(P)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = ((2L * j + 1L) * x + 7919L * j + 1L) % P
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val fn = ctx.freshName("minHashSig")
+      val fun = ctx.addNewFunction(fn,
+        s"""
+           |private org.apache.spark.sql.catalyst.util.GenericArrayData $fn(
+           |    org.apache.spark.sql.catalyst.util.ArrayData arr) {
+           |  int n = arr.numElements();
+           |  long[] mins = new long[$k];
+           |  java.util.Arrays.fill(mins, ${P}L);
+           |  for (int i = 0; i < n; i++) {
+           |    long x = arr.getLong(i);
+           |    for (int j = 0; j < $k; j++) {
+           |      long h = ((2L * j + 1L) * x + 7919L * j + 1L) % ${P}L;
+           |      if (h < mins[j]) mins[j] = h;
+           |    }
+           |  }
+           |  return new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+           |}
+         """.stripMargin)
+      s"${ev.value} = $fun($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }

@@ -89,6 +89,15 @@ object TextFunctions {
   def shingleStringCounts(toks: Column, n: Int): Column =
     ExpressionUtils.column(ShingleStringCounts(ExpressionUtils.expression(toks), n))
 
+  /** Intersection count of two ASCENDING-SORTED long arrays — the
+    * compiled allocation-free merge kernel behind every near-dup
+    * verify ([[SortedIntersectCount]]; inputs must come from a
+    * sorted set materialization such as Dedup.shingleSets).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Distinct character-n-gram hash set (char-shingle analog of the
     * reference's char-bigram vectorizer, `fit_vectorizer.py:20-21`).
     * Native one-pass expression.
@@ -102,13 +111,10 @@ object TextFunctions {
     * reproduce them.
     */
   def minHashSignature(shingleH: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      j =>
-        aggregate(
-          shingleH,
-          lit(P),
-          (acc, x) => least(acc, ((j * 2 + 1) * x + j * 7919 + 1) % P)))
+    // one compiled pass for all k minima ([[MinHashSig]]); the HOF
+    // formulation (transform over k × aggregate over the set) it
+    // replaces is interpreted per element — identical values
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingleH), k))
 
   /** SimHash over `bits` low bits of the token hashes: bit k of the
     * result is 1 iff Σ_tokens (±1 by bit k of tokenHash) > 0.

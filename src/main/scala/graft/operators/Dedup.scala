@@ -41,7 +41,13 @@ object Dedup {
     * 85s → ~2s at sf0.1). The shuffle moves only (id, ~30 longs) rows.
     */
   def shingleSets(df: DataFrame, id: Column, shingleSet: Column): DataFrame =
-    df.select(id.as("doc"), shingleSet.as("hs"))
+    // SORTED at materialization (round 20): every consumer is
+    // order-independent (minhash folds, explodes, intersection
+    // counts), and sorting once per doc converts every downstream
+    // per-pair verify from Spark's allocating array_intersect to the
+    // compiled zero-allocation merge kernel
+    // (TextFunctions.sortedIntersectCount)
+    df.select(id.as("doc"), array_sort(shingleSet).as("hs"))
       .repartition(col("doc"))
       // The set relation feeds the signature branch AND both sides of
       // the verify join: persist it (dimension-sized: id + ~30 longs per
@@ -269,7 +275,7 @@ object Dedup {
     cand
       .join(sets.select(col("doc").as("doc_n"), col("hs").as("hs_n")), "doc_n")
       .join(sets.select(col("doc").as("doc_o"), col("hs").as("hs_o")), "doc_o")
-      .withColumn("j_num", size(array_intersect(col("hs_n"), col("hs_o"))).cast("long"))
+      .withColumn("j_num", TextFunctions.sortedIntersectCount(col("hs_n"), col("hs_o")))
       .withColumn("j_den", (size(col("hs_n")) + size(col("hs_o"))).cast("long") - col("j_num"))
       .where(col("j_num") * threshDen >= col("j_den") * threshNum)
       .select(col("doc_n"), col("doc_o"), col("j_num"), col("j_den"))
@@ -287,7 +293,7 @@ object Dedup {
     cand
       .join(sets.select(col("doc").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sets.select(col("doc").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("j_num", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("j_num", TextFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("j_den", (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("j_num"))
       .where(col("j_num") * threshDen >= col("j_den") * threshNum)
       .select(

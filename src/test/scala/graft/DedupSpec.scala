@@ -261,4 +261,41 @@ class DedupSpec extends SparkSpec {
     out(3L) shouldBe ((3L, 0L, Some(0.0)))
     out(4L) shouldBe ((0L, 0L, None)) // shingle-less doc: NULL fraction, still present
   }
+
+  test("MinHashSig kernel equals the HOF fold it replaced, element for element") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val P = TextFunctions.P
+    val df = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(50) + 1)(math.abs(rnd.nextLong()) % P))).toDF("id", "hs")
+    val k = 16
+    val hof = transform(
+      sequence(lit(0), lit(k - 1)),
+      j => aggregate(col("hs"), lit(P), (acc, x) => least(acc, ((j * 2 + 1) * x + j * 7919 + 1) % P)))
+    val rows = df.select(col("id"),
+        TextFunctions.minHashSignature(col("hs"), k).as("fast"), hof.as("slow"))
+      .collect()
+    rows.foreach { r =>
+      withClue(s"id=${r.getLong(0)}: ") { r.getSeq[Long](1) shouldBe r.getSeq[Long](2) }
+    }
+  }
+
+  test("sortedIntersectCount equals size(array_intersect) on sorted distinct sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 60).map { i =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      (i.toLong, a, b)
+    }.toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+        TextFunctions.sortedIntersectCount(col("a"), col("b")).as("fast"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_intersect(col("a"), col("b")))
+          .cast("long").as("slow"))
+      .collect()
+    rows.foreach { r =>
+      withClue(s"id=${r.getLong(0)}: ") { r.getLong(1) shouldBe r.getLong(2) }
+    }
+  }
 }
