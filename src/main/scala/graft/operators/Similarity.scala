@@ -1559,10 +1559,13 @@ object Similarity {
     * division bit-for-bit. `shortlistFrac = 0` pins the fixed-R tier
     * (the recall ladder's R-knob rows).
     *
-    * Scale shape: [[ivfAdcTopK]]'s cell-keyed scan unchanged; the
-    * rerank joins the (queries × shortlist)-row output — bounded,
-    * broadcast — against the float column twice, so the only
-    * corpus-sized pass the float vectors pay is their scan.
+    * Scale shape: [[ivfAdcTopK]]'s cell-keyed scan unchanged. With the
+    * derived shortlist the rerank relation is ~pool/frac (≈ √n·balance
+    * / frac under auto cells) rows per query — corpus-DEPENDENT, so
+    * (ADVICE r19) nothing float-valued is broadcast per shortlist row:
+    * the broadcast sides are the narrow id pairs and the one-row-per-
+    * DISTINCT-query float vectors, and the only corpus-sized pass the
+    * float column pays is its scan.
     */
   def ivfAdcRerankTopK(df: DataFrame, id: Column, vec: Column, nCells: Int,
                        m: Int, subDim: Int, kCodes: Int, shortlist: Int,
