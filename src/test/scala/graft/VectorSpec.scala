@@ -1058,6 +1058,9 @@ class VectorSpec extends SparkSpec {
     val df = (0L until 300L).map { id =>
       (id, Array.tabulate(16)(d => (rnd.nextGaussian() * 40 / (d + 1)).toFloat))
     }.toDF("vec_id", "embedding")
+    // the session is shared across suites — start from an empty cache
+    // so the emptiness assertion below measures THIS test's entries
+    spark.catalog.clearCache()
     val ix = Similarity.intIvfIndex(df, col("vec_id"), col("embedding"), 4)
     val aix = Similarity.adcBuild(ix, m = 4, subDim = 4, kCodes = 4,
       trainTarget = Similarity.AdcTrainTarget)
