@@ -328,6 +328,23 @@ object Bench {
         case _ => name -> (med, mn)
       }
     }
+    // Cold ADC build wall (round 21, VERDICT r20 #2): v16/v16b serve
+    // from ONE memoized index, so their medians above are warm serving
+    // walls — iterations 2..n never pay the Lloyd trainings + corpus
+    // encode. Measure the build separately: clear the memo ONCE at the
+    // end and time a cold v16. Emitted as its own provenance column
+    // (never added into "value"/"queries" — the per-query medians keep
+    // their round-20 meaning), so the amortized cost stays visible and
+    // round-over-round v16/v16b deltas are explainable. -1 when the
+    // v-family was filtered out or the cold run failed.
+    val adcBuildCold: Double =
+      if (!ordered.exists(_._1 == "v16_ivfadc")) -1.0
+      else try {
+        QueriesVector.clearAdcMemo(spark, sfDir)
+        val t0 = System.nanoTime()
+        SparkEntry.queries("v16_ivfadc")(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     // Locale.ROOT: f"%.3f" is locale-sensitive and a comma decimal
     // separator would emit invalid JSON. Millisecond precision keeps the
     // one-line JSON short enough for the driver's bounded tail capture.
@@ -368,7 +385,7 @@ object Bench {
     // queries map, and a second queries-free summary line goes LAST so
     // the headline total always survives any truncation.
     val fullLine =
-      s"""{"metric":"total","sf":"$sfDir","queries":$qs,"mins":$mins,"loadavg":$loads,"ambient":$ambients,"iowait":$iowaits,"psi_cpu":$psiCpu,"psi_io":$psiIo,"psi_mem":$psiMem,"value":${fmt(total)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(stTotal)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson}"""
+      s"""{"metric":"total","sf":"$sfDir","queries":$qs,"mins":$mins,"loadavg":$loads,"ambient":$ambients,"iowait":$iowaits,"psi_cpu":$psiCpu,"psi_io":$psiIo,"psi_mem":$psiMem,"value":${fmt(total)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(stTotal)},"adc_build_cold":${fmt(adcBuildCold)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson}"""
     // The per-query map ALSO goes to a file artifact: the captured
     // stdout line is head-truncated by the driver (round 6 kept only 70
     // of 99 medians) — <outDir>/bench_queries.json carries every median
@@ -382,7 +399,7 @@ object Bench {
       System.err.println(s"[bench] could not write $outDir/bench_queries.json: ${e.getMessage}")
     }
     println(fullLine)
-    println(s"""{"metric":"total","value":${fmt(total)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(stTotal)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(stTotal)},"adc_build_cold":${fmt(adcBuildCold)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson,"sf":"$sfDir"}""")
     spark.stop()
     // conf-rooted checkpoints are NOT auto-deleted on stop (that only
     // happens for Spark-managed temp dirs) — without this, every bench

@@ -1080,6 +1080,25 @@ object QueriesText {
   // component most exposed to corpus growth. The emitted pair set
   // hash-matches the capped batch-join oracle — streaming = batch =
   // SQL for the dedup pack's candidate stage.
+  /** st6's band-event prep — capped minhash bands composed to one
+    * bucket key plus the three doc-keyed ingest chunks. Shared with
+    * [[graft.St6FileSinkSmoke]] (the sf100 file-sink scale harness) so
+    * its "IDENTICAL st6 pipeline" claim is enforced by this one
+    * definition, not by a hand-copy that can drift (ADVICE r20).
+    * Returns (events, chunks): persist `events` around the chunk
+    * writes (fileIngest's `cache` arg) so the prep runs once.
+    */
+  private[graft] def st6BandEvents(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val events = Dedup.bucketGuard(
+      Dedup.minHashBands(
+        Tables.load(s, dir, "documents"), col("doc_id"), shingleSet, dedupK, dedupR),
+      maxBucket = d3bMaxBucket)
+      .select((col("band").cast("long") * 2000000011L + col("band_hash")).as("bucket"),
+        col("doc").as("docId"), col("doc").as("order"))
+    (events, (0 until 3).map(i => events.where(pmod(col("docId"), lit(3)) === i)))
+  }
+
   val st6StreamingNeardup: Q = (s, dir) => {
     import s.implicits._
     import graft.streaming.StreamingNearDup
@@ -1093,13 +1112,7 @@ object QueriesText {
     // arrival-order-independent anyway, which is what the batch-d2
     // oracle hash-pins. MemoryStream twins stay in StreamingSpec for
     // the batching-independence properties.
-    val events = Dedup.bucketGuard(
-      Dedup.minHashBands(
-        Tables.load(s, dir, "documents"), col("doc_id"), shingleSet, dedupK, dedupR),
-      maxBucket = d3bMaxBucket)
-      .select((col("band").cast("long") * 2000000011L + col("band_hash")).as("bucket"),
-        col("doc").as("docId"), col("doc").as("order"))
-    val chunks = (0 until 3).map(i => events.where(pmod(col("docId"), lit(3)) === i))
+    val (events, chunks) = st6BandEvents(s, dir)
 
     QueriesStreaming.withShufflePartitions(s, 4) {
       QueriesStreaming.fileIngest(s, chunks, cache = Seq(events)) { stream =>

@@ -999,22 +999,41 @@ object QueriesVector {
     */
   private val adcMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.AdcIndex]
-  private def adcIndexFor(s: SparkSession, dir: String): Similarity.AdcIndex =
-    adcMemo.synchronized {
-      val key = (s, dir)
-      val cur = adcMemo.get(key)
+  private def adcIndexFor(s: SparkSession, dir: String): Similarity.AdcIndex = {
+    // evict entries whose session has stopped (ADVICE r20: a static
+    // strong-ref map otherwise leaks every stopped session's index and
+    // DataFrame lineage for the life of the process); releasing caches
+    // on a stopped session is a no-op at worst, so just drop the entry
+    adcMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    // per-key build lock (ConcurrentHashMap.compute holds only the
+    // key's bin, not a map-global monitor — ADVICE r20: the old
+    // map-level synchronized serialized unrelated (session, dir) keys
+    // behind one multi-second adcBuild)
+    adcMemo.compute((s, dir), (_, cur) =>
       if (cur != null && cur.isLive) cur
       else {
         if (cur != null) cur.release()
-        val aix = Similarity.adcBuild(
+        Similarity.adcBuild(
           Similarity.intIvfIndex(Tables.load(s, dir, "embeddings"),
             col("vec_id"), col("embedding"), 0),
           m = PqM, subDim = PqSub, kCodes = AdcK,
           trainTarget = Similarity.AdcTrainTarget)
-        adcMemo.put(key, aix)
-        aix
-      }
-    }
+      })
+  }
+
+  /** Drop (and release) the memoized serving index for one (session,
+    * dir) key, forcing the next v16/v16b call to pay the full build.
+    * Bench-only hook (round 21, VERDICT r20 #2 / ADVICE r20): the memo
+    * hides the one-time Lloyd-training + corpus-encode wall inside
+    * iteration 1, so the bench clears it once at the end and times a
+    * COLD v16 as the `adc_build_cold` provenance column — the
+    * amortized cost stays visible without changing any query's
+    * semantics or the per-query medians.
+    */
+  private[graft] def clearAdcMemo(s: SparkSession, dir: String): Unit = {
+    val cur = adcMemo.remove((s, dir))
+    if (cur != null) cur.release()
+  }
 
   val v16IvfAdc: Q = (s, dir) =>
     Similarity.ivfAdcTopKFromAdc(adcIndexFor(s, dir), topK = 3,

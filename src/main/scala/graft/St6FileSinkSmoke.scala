@@ -49,16 +49,10 @@ object St6FileSinkSmoke {
     import graft.streaming.StreamingNearDup
     import graft.streaming.StreamingNearDup.BandEvent
 
-    val shingleSet = functions.TextFunctions.shingleHashes(
-      functions.TextFunctions.tokens(col("text")), 3)
-    val events = operators.Dedup.bucketGuard(
-      operators.Dedup.minHashBands(
-        Tables.load(spark, dir, "documents"), col("doc_id"), shingleSet,
-        QueriesText.dedupK, QueriesText.dedupR),
-      maxBucket = QueriesText.d3bMaxBucket)
-      .select((col("band").cast("long") * 2000000011L + col("band_hash")).as("bucket"),
-        col("doc").as("docId"), col("doc").as("order"))
-    val chunks = (0 until 3).map(i => events.where(pmod(col("docId"), lit(3)) === i))
+    // the EXACT st6 prep, by sharing (ADVICE r20): one definition in
+    // QueriesText.st6BandEvents feeds both the declared query and this
+    // scale harness, so the pipelines cannot drift apart
+    val (events, chunks) = QueriesText.st6BandEvents(spark, dir)
 
     val outDir = java.nio.file.Files.createTempDirectory(
       QueriesStreaming.ingestRoot, "graft-st6-out-")
