@@ -132,20 +132,19 @@ object Dedup {
     * pair detection: transitively linked docs form one duplicate group;
     * the group's min id is its canonical representative).
     *
-    * A declarative star pre-contraction, then iterative min-label
-    * propagation WITH pointer hopping on the contracted graph. The
-    * contraction (round 21, VERDICT r20 #4): star(v) = min(v, min
-    * neighbor) from ONE min-neighbor aggregation; the loop's edge
-    * relation becomes (star(u), star(v)) minus self-loops. Dense
-    * near-dup groups (the typical shape) contract to single nodes, so
-    * the loop input shrinks by the bucket clustering factor before any
-    * iteration. In the loop, each round every node takes the min of
-    * its own label and its neighbors' labels, then shortcuts through
-    * its label's label (comp(v) ← comp(comp(v))), which halves the
-    * label-tree depth — convergence in O(log diameter) rounds, not
-    * O(diameter), so a templated corpus with a long near-dup chain
-    * converges in a handful of keyed shuffles instead of blowing the
-    * round cap. Each round is groupBy(node) + two keyed joins, nothing
+    * Iterative min-label propagation WITH pointer hopping: each round
+    * every node takes the min of its own label and its neighbors'
+    * labels, then shortcuts through its label's label
+    * (comp(v) ← comp(comp(v))), which halves the label-tree depth —
+    * convergence in O(log diameter) rounds, not O(diameter), so a
+    * templated corpus with a long near-dup chain converges in a
+    * handful of keyed shuffles instead of blowing the round cap.
+    * Round 21: the FIRST round is specialized to the identity labeling
+    * — labels₀(v) = v makes the generic round's sym ⋈ labels join a
+    * semantic no-op, so the seed collapses to one aggregation
+    * (least(src, min(dst))) plus a node-sized pointer-hop self-join;
+    * one sym-sized shuffle join cheaper at every scale, same fixpoint.
+    * Each later round is groupBy(node) + two keyed joins, nothing
     * driver-side. `localCheckpoint` per round keeps the plan O(1)
     * (persist alone grows the lineage exponentially with rounds).
     * 100 TB shape: state is one (node, label) row per doc in the pair
@@ -171,11 +170,15 @@ object Dedup {
   // full edge relation, and an extra cached materialization) exceeded
   // the shuffle savings, and the delta-loop round count it was meant
   // to cut was ALREADY minimal (3 rounds at sf100, unchanged by the
-  // pre-merge — pointer hopping does that job). The round-21 star
-  // pre-contraction below is the DECLARATIVE version of that idea --
-  // no mapPartitions boundary, no per-partition JVM map, one codegen
-  // groupBy + two keyed joins; the min-label + pointer-hop loop stands
-  // unchanged as the convergence engine on the contracted graph.
+  // pre-merge — pointer hopping does that job). Round 21 re-ran
+  // the experiment DECLARATIVELY (star-contract the edge relation via
+  // one aggregation + two keyed joins + distinct, loop on the
+  // contracted graph): same verdict -- d7 sf1 5.47 -> 7.58 s min,
+  // loop rounds unchanged at 2 -- because relabeling the full edge
+  // relation costs two sym-sized shuffles to shave rounds that pointer
+  // hopping already minimized. What DID survive is the
+  // identity-specialized first round below: strictly less work than
+  // the generic round it replaces, no new passes over sym.
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
                           maxRounds: Int = 50): DataFrame = {
     // persist the directed edges BEFORE the symmetrizing union: its two
@@ -186,33 +189,43 @@ object Dedup {
     val edges = pairs.select(a.cast("long").as("src"), b.cast("long").as("dst")).persist()
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    // STAR PRE-CONTRACTION (round 21, the declarative exponent lever the
-    // r19 partition-local union-find attempt was not): ONE min-neighbor
-    // aggregation maps every node to star(v) = min(v, min neighbor) —
-    // all declarative (groupBy + two keyed joins, stays in codegen, no
-    // mapPartitions serialization boundary) — and the label loop then
-    // runs on the CONTRACTED graph (star(u), star(v)). Near-dup groups
-    // are dense: a clique contracts to a single node with zero edges,
-    // so the loop's input shrinks by the bucket clustering factor and
-    // typically starts at (or near) its fixpoint. Correctness: star(v)
-    // is in v's component, edge contraction preserves the component
-    // partition, and the global min of each component maps to itself —
-    // so comp(v) = comp_contracted(star(v)) is exactly the old answer.
-    val star = sym.groupBy(col("src")).agg(min(col("dst")).as("md"))
-      .select(col("src").as("node"), least(col("src"), col("md")).as("star"))
+    // ROUND 1 SPECIALIZED TO THE IDENTITY LABELING (round 21). With
+    // labels₀(v) = v, the generic round's sym ⋈ labels join is a
+    // semantic no-op — the label of `dst` IS `dst` — so the first
+    // min-label step collapses to ONE aggregation over sym,
+    // least(src, min(dst)), and its pointer hop to a node-sized
+    // self-join. Same fixpoint, same per-round algebra, exactly one
+    // sym-sized shuffle join cheaper than running the generic round on
+    // identity labels — a sign-safe saving at every scale. (A full
+    // star CONTRACTION of the edge relation — relabeling sym through
+    // two keyed joins + distinct and looping on the contracted graph —
+    // was implemented and A/B-measured this round first: it LOST 39%
+    // on d7 at sf1 because the relabel passes over the full edge
+    // relation cost more than the already-minimal 2-round loop they
+    // shrank, the same lesson as the r19 mapPartitions pre-merge.)
+    // sym is symmetric, so every node appears as src and the seed
+    // covers the whole node set.
+    // checkpointed BEFORE the hop self-join — the hop reads seed twice
+    // (base + pointer side) and without the barrier both sides would
+    // recompute the sym-sized aggregation (the generic rounds
+    // checkpoint their `stepped` for the same reason)
+    val seed = sym.groupBy(col("src")).agg(min(col("dst")).as("md"))
+      .select(col("src").as("node"), least(col("src"), col("md")).as("comp1"))
       .localCheckpoint()
-    val sym2 = sym
-      .join(star.select(col("node").as("sa"), col("star").as("ca")), col("src") === col("sa"))
-      .join(star.select(col("node").as("sb"), col("star").as("cb")), col("dst") === col("sb"))
-      .where(col("ca") =!= col("cb"))
-      .select(col("ca").as("src"), col("cb").as("dst"))
-      .distinct().persist()
-    var labels = sym2.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
-    var changed = labels.count() // enter the loop iff the contracted graph is non-empty
-    var rounds = 0
+    val hop0 = seed.select(col("node").as("hn"), col("comp1").as("hc"))
+    var labels = seed.join(hop0, col("comp1") === col("hn"), "left")
+      .select(col("node"),
+        least(col("comp1"), coalesce(col("hc"), col("comp1"))).as("comp"))
+      .localCheckpoint()
+    val nNodes = labels.count()
+    // any edge (u,v), u<v forces comp(v) <= u < v, so a non-empty graph
+    // always enters the loop for (at least) its convergence-confirming
+    // round — the same round the generic-round-1 shape paid.
+    var changed = if (nNodes == 0) 0L
+      else labels.where(col("node") =!= col("comp")).count()
+    var rounds = if (nNodes == 0) 0 else 1
     while (changed > 0 && rounds < maxRounds) {
-      val nbrMin = sym2.join(labels, col("dst") === col("node"))
+      val nbrMin = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src").as("n2")).agg(min(col("comp")).as("nbr_min"))
       val stepped = labels.join(nbrMin, col("node") === col("n2"), "left")
         .select(col("node"), col("comp").as("comp0"),
@@ -237,18 +250,9 @@ object Dedup {
     }
     lastCcRounds = rounds
     require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
-    // expand back through the contraction map: every pair-graph node
-    // takes its star target's converged label; nodes whose whole
-    // component contracted away (zero surviving edges — the clique
-    // case) keep star(v) itself, which IS the component min there.
-    val out = star
-      .join(labels.select(col("node").as("ln"), col("comp").as("lc")),
-        col("star") === col("ln"), "left")
-      .select(col("node"), coalesce(col("lc"), col("star")).as("comp"))
-    sym2.unpersist()
     sym.unpersist()
     edges.unpersist()
-    out
+    labels
   }
 
   /** Duplicate-group representative selection — the "keep one" step
