@@ -33,3 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The whole test suite runs with the sorted-merge kernel's order guard
+// compiled IN (ADVICE r20): any spec feeding SortedIntersectCount an
+// unsorted array fails loudly instead of silently undercounting.
+// Production runs (run/Bench/Verify) keep the default zero-overhead
+// loop — the sortedness invariant is pinned at the array_sort
+// materialization sites and by this suite-wide guard.
+Test / javaOptions += "-Dgraft.strictSortedKernels=true"

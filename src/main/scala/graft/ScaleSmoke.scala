@@ -122,6 +122,10 @@ object ScaleSmoke {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), body + "\n")
       println(s"[smoke] wrote $out")
     }
+    // close RocksDB/HDFS state-store providers while the JVM is
+    // quiescent — keeps the rocksdbjni native close out of the fragile
+    // shutdown window (VERDICT r20 #6; see StreamingShutdown)
+    StreamingShutdown.closeStateStores()
     spark.stop()
   }
 }

@@ -76,6 +76,7 @@ object St6FileSinkSmoke {
     val rows = spark.read.parquet(outDir.toString).count()
     val store = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs-default")
     println(f"""{"st6_file_sink":{"sf":"$dir%s","store":"$store%s","wall":$wall%.3f,"rows":$rows%d,"cpus":$cpus%s}}""")
+    StreamingShutdown.closeStateStores()
     spark.stop()
     import scala.jdk.CollectionConverters._
     Seq(outDir, ckDir).foreach { d =>

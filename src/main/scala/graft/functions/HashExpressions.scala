@@ -23,6 +23,20 @@ import org.apache.spark.unsafe.types.UTF8String
 object HashExpressions {
   val P: Long = 1000000007L
 
+  /** Opt-in sortedness guard for [[SortedIntersectCount]] (ADVICE r20):
+    * the kernel silently UNDERCOUNTS on unsorted input, and the
+    * invariant (array_sort at the set materializations) lives far from
+    * the consumers. With `-Dgraft.strictSortedKernels=true` (read once
+    * at class init; local-mode = one JVM) both the interpreted eval and
+    * the generated code detect an out-of-order step on the consumed
+    * prefix and throw instead. Default OFF: the merge is the d-family's
+    * hottest per-pair loop and the extra compares are measurable there;
+    * the specs pin the guard, production pins the invariant at the
+    * array_sort site.
+    */
+  private[graft] val strictSorted: Boolean =
+    java.lang.Boolean.getBoolean("graft.strictSortedKernels")
+
   def polyHashChars(s: String, from: Int, until: Int, init: Long): Long = {
     var h = init
     var i = from
@@ -564,8 +578,11 @@ case class CharNgramHashSet(child: Expression, n: Int)
   * CONTRACT: both inputs sorted ascending (duplicates allowed — equal
   * runs advance both sides one step at a time, which matches set
   * semantics on the distinct-by-construction shingle/ngram sets).
-  * Unsorted input returns an UNDERCOUNT, not an error — this kernel is
-  * private plumbing for the set relations above, not a public API.
+  * Unsorted input returns an UNDERCOUNT, not an error, by default —
+  * this kernel is private plumbing for the set relations above, not a
+  * public API; `-Dgraft.strictSortedKernels=true` compiles in an
+  * out-of-order detector that throws instead (ADVICE r20; the specs
+  * run the guard, production keeps the zero-overhead loop).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -580,9 +597,18 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0L
+    val strict = HashExpressions.strictSorted
+    var px = Long.MinValue
+    var py = Long.MinValue
     while (i < na && j < nb) {
       val x = a.getLong(i)
       val y = b.getLong(j)
+      if (strict) {
+        if (x < px || y < py)
+          throw new IllegalArgumentException(
+            "sorted_intersect_count: input array not sorted ascending")
+        px = x; py = y
+      }
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1
@@ -593,7 +619,17 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       // own generated method, not inline — same JIT-size rationale as
-      // the vector fold kernels
+      // the vector fold kernels. The strict-sorted guard is decided at
+      // CODEGEN time (plan construction), so the default production
+      // loop carries zero extra work.
+      val guard =
+        if (!HashExpressions.strictSorted) ""
+        else
+          s"""
+             |    if (x < px || y < py) throw new IllegalArgumentException(
+             |      "sorted_intersect_count: input array not sorted ascending");
+             |    px = x; py = y;
+           """.stripMargin
       val fn = ctx.freshName("sortedIntersectCount")
       val fun = ctx.addNewFunction(fn,
         s"""
@@ -601,8 +637,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
            |    org.apache.spark.sql.catalyst.util.ArrayData b) {
            |  int na = a.numElements(); int nb = b.numElements();
            |  int i = 0; int j = 0; long c = 0L;
+           |  long px = Long.MIN_VALUE; long py = Long.MIN_VALUE;
            |  while (i < na && j < nb) {
-           |    long x = a.getLong(i); long y = b.getLong(j);
+           |    long x = a.getLong(i); long y = b.getLong(j);$guard
            |    if (x == y) { c++; i++; j++; }
            |    else if (x < y) { i++; } else { j++; }
            |  }

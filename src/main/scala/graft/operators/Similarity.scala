@@ -1601,7 +1601,8 @@ object Similarity {
                        id: Column, vec: Column, shortlist: Int,
                        topK: Int, isQuery: Column => Column,
                        nProbe: Int = IvfAutoProbe,
-                       shortlistFrac: Int = AdcShortlistFrac): DataFrame = {
+                       shortlistFrac: Int = AdcShortlistFrac,
+                       maxBroadcastRows: Long = 100000L): DataFrame = {
     // ADVICE r19: topK <= 0 used to silently return an empty frame
     // (shortlist >= topK passes at 0)
     require(topK > 0, s"topK must be positive: $topK")
@@ -1634,13 +1635,36 @@ object Similarity {
     // relations bounded by construction: the narrow (query_id,
     // neighbor_id) id pairs, and the per-QUERY float vectors (one row
     // per distinct query, the same containment contract as the probe).
+    // Round 21 (VERDICT r20 #5a): those bounds are corpus-dependent, so
+    // the broadcasts are now GATED on the same absolute-row-count
+    // contract as cosineTopK — a bounded existence check on the query
+    // side (CollectLimit stops after cap+1 rows; one cheap pruned scan,
+    // no windows) plus the arithmetic shortlist ceiling
+    // nQ × max(shortlist, ceil(n/frac)) from the index's corpus count.
+    // Past the cap every hint drops and the rerank runs as plain
+    // shuffle joins — same rows, no single-executor relation.
+    val cap = math.min(maxBroadcastRows, Int.MaxValue - 1L)
+    val nQ = v.where(isQuery(col("fid"))).limit((cap + 1).toInt).count()
+    val perQuery = math.max(shortlist.toLong,
+      if (shortlistFrac <= 0) shortlist.toLong
+      else (aix.ix.n + shortlistFrac - 1) / shortlistFrac)
+    val shortBound =
+      try math.multiplyExact(nQ, perQuery)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    val under = nQ <= cap && shortBound <= cap
+    if (!under)
+      log.warn(s"ivfAdcRerankTopKFromAdc: shortlist bound $shortBound rows " +
+        s"(nQ=$nQ x perQuery=$perQuery) exceeds broadcast cap $cap — " +
+        "rerank joins run as plain shuffle joins")
+    def maybeBroadcast(rel: DataFrame): DataFrame =
+      if (under) broadcast(rel) else rel
     val qids = short.select(col("query_id")).distinct()
-    val qv = v.join(broadcast(qids), col("fid") === col("query_id"))
+    val qv = v.join(maybeBroadcast(qids), col("fid") === col("query_id"))
       .select(col("query_id"), col("fv").as("qv"), col("fn").as("qn"))
-    val c = v.join(broadcast(short), col("fid") === col("neighbor_id"))
+    val c = v.join(maybeBroadcast(short), col("fid") === col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         col("fv").as("cv"), col("fn").as("cn"))
-    val rer = c.join(broadcast(qv), Seq("query_id"))
+    val rer = c.join(maybeBroadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosOf(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))

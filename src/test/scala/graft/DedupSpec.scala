@@ -298,4 +298,23 @@ class DedupSpec extends SparkSpec {
       withClue(s"id=${r.getLong(0)}: ") { r.getLong(1) shouldBe r.getLong(2) }
     }
   }
+
+  test("sortedIntersectCount strict guard: unsorted input throws under -Dgraft.strictSortedKernels") {
+    // ADVICE r20: the merge kernel silently undercounts on unsorted
+    // input; the whole test suite runs with the opt-in guard compiled
+    // in (build.sbt), so this spec pins that an out-of-order step on
+    // the consumed prefix fails loudly rather than returning a wrong
+    // Jaccard. (Production keeps the guard off — the invariant is
+    // pinned at the array_sort materialization sites.)
+    import spark.implicits._
+    assume(graft.functions.HashExpressions.strictSorted,
+      "suite must run with -Dgraft.strictSortedKernels=true (build.sbt)")
+    val df = Seq((1L, Seq(5L, 3L, 9L), Seq(1L, 2L, 8L))).toDF("id", "a", "b")
+    val ex = intercept[Exception] {
+      df.select(TextFunctions.sortedIntersectCount(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    chain(ex) should include("not sorted ascending")
+  }
 }

@@ -1101,4 +1101,31 @@ class VectorSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(!aix.isLive, "AdcIndex must report stale after clearCache")
   }
+
+  test("v16b rerank broadcast gate: over-cap route drops every hint, same rows") {
+    // VERDICT r20 #5a: the shortlist relation is corpus-dependent
+    // (~queries x pool/frac rows), so its broadcast is gated on an
+    // absolute row-count cap like cosineTopK's. Past the cap the rerank
+    // must produce the SAME rows through plain shuffle joins, with no
+    // broadcast exchange introduced by this operator's hints.
+    val rnd = new scala.util.Random(77)
+    val df = (0L until 240L).map(id =>
+      (id, Array.fill(8)((rnd.nextGaussian() * 3).toFloat))).toDF("vec_id", "embedding")
+    val isQ: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _ % 12 === 0
+    val ix = Similarity.intIvfIndex(df, col("vec_id"), col("embedding"), 5)
+    val aix = Similarity.adcBuild(ix, m = 4, subDim = 2, kCodes = 8,
+      trainTarget = Similarity.AdcTrainTarget)
+    val under = Similarity.ivfAdcRerankTopKFromAdc(aix, df, col("vec_id"),
+      col("embedding"), shortlist = 8, topK = 3, isQuery = isQ, nProbe = 2)
+    val over = Similarity.ivfAdcRerankTopKFromAdc(aix, df, col("vec_id"),
+      col("embedding"), shortlist = 8, topK = 3, isQuery = isQ, nProbe = 2,
+      maxBroadcastRows = 1L)
+    over.collect().map(_.toSeq).toSet shouldBe under.collect().map(_.toSeq).toSet
+    def bcasts(p: org.apache.spark.sql.DataFrame): Int =
+      "BroadcastExchange".r.findAllIn(p.queryExecution.executedPlan.toString).length
+    withClue("over-cap plan must carry strictly fewer broadcast exchanges: ") {
+      bcasts(over) should be < bcasts(under)
+    }
+    aix.release(blocking = true)
+  }
 }
