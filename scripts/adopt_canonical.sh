@@ -46,6 +46,14 @@ env_note = sys.argv[2] if len(sys.argv) > 2 else ""
 d = json.loads(line)
 bounds = {"ambient": 1.0, "iowait": 0.5, "psi_io": 0.05, "psi_mem": 0.05}
 ok = True
+# Round 21 (VERDICT r20 #2): a canonical adopted from a bench that does
+# not separate the memoized v16/v16b build from their warm serving
+# medians re-hides the build wall — require the column going forward.
+if "adc_build_cold" not in d:
+    print("adopt_canonical: source line lacks adc_build_cold — re-measure "
+          "with the round-21 Bench (the build/serve split is part of the "
+          "canonical's provenance)")
+    ok = False
 for key, bound in bounds.items():
     vals = list(d.get(key, {}).values())
     ceil = max(vals) if vals else -1.0

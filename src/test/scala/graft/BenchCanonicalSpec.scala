@@ -108,6 +108,27 @@ class BenchCanonicalSpec extends AnyFunSuite with Matchers {
     Bench.parseMapCeiling("""{"queries":{"a":1.0}}""", "ambient") shouldBe -1.0
   }
 
+  test("adc build/serve split: adoption requires adc_build_cold; committed value sane when present") {
+    // Round 21 (VERDICT r20 #2): the v16/v16b medians are warm serving
+    // walls (memoized index); the bench emits the one-time build as its
+    // own adc_build_cold column. A future canonical must carry it —
+    // adopt_canonical.sh refuses otherwise — and when the committed
+    // file already does, the value must be a plausible positive wall.
+    val script = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("scripts/adopt_canonical.sh"))
+    withClue("adopt_canonical.sh must refuse a canonical without the " +
+      "build/serve split: ") {
+      script should include("adc_build_cold")
+    }
+    val s = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("bench_queries.json"))
+    """"adc_build_cold"\s*:\s*(-?[0-9.]+)""".r.findFirstMatchIn(s).foreach { m =>
+      withClue(s"committed adc_build_cold = ${m.group(1)}: ") {
+        m.group(1).toDouble should be > 0.0
+      }
+    }
+  }
+
   test("cpuJiffies reads monotone non-negative counters on this platform") {
     val (b0, s0) = Bench.cpuJiffies()
     b0 should be > 0L
