@@ -54,6 +54,14 @@ if "adc_build_cold" not in d:
           "with the round-21 Bench (the build/serve split is part of the "
           "canonical's provenance)")
     ok = False
+elif not d["adc_build_cold"] > 0:
+    # ADVICE r21: Bench emits -1.0 when the cold-build run failed or
+    # the v family was filtered — measurement UNAVAILABLE, not a value;
+    # a canonical must carry a real build wall (mirrors the -1 ceiling
+    # refusals above).
+    print(f"adopt_canonical: adc_build_cold = {d['adc_build_cold']} — the "
+          "cold-build measurement failed or was filtered; re-measure")
+    ok = False
 for key, bound in bounds.items():
     vals = list(d.get(key, {}).values())
     ceil = max(vals) if vals else -1.0

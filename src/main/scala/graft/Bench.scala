@@ -399,7 +399,25 @@ object Bench {
       System.err.println(s"[bench] could not write $outDir/bench_queries.json: ${e.getMessage}")
     }
     println(fullLine)
-    println(s"""{"metric":"total","value":${fmt(total)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(stTotal)},"adc_build_cold":${fmt(adcBuildCold)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson,"sf":"$sfDir"}""")
+    // Per-FAMILY medians on the LAST line (round 22, VERDICT r21 #2):
+    // the driver's output capture is tail-bounded and the first line's
+    // full 156-entry queries map gets head-truncated, which left the
+    // driver's per-query regression comparison empty for two rounds
+    // (PERF n_common = 0). The repo controls what survives truncation —
+    // the final line — so it carries a SHORT queries map (18 family
+    // keys ≈ 250 bytes, family = name's leading letters, median of the
+    // family's per-query medians). Family keys are digit-free, so they
+    // can never collide with real query names (which all carry digits);
+    // the full per-query map still rides line 1 and the file artifact.
+    // Nothing timed changes — this is measurement plumbing only.
+    val famMed = results.groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1)
+      .map { case (f, rs) =>
+        val ok = rs.map(_._2._1).filter(_ >= 0)
+        f -> (if (ok.isEmpty) -1.0 else medianOf(ok))
+      }
+    val famJson = famMed.map { case (f, v) => "\"" + f + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","queries":$famJson,"value":${fmt(total)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(stTotal)},"adc_build_cold":${fmt(adcBuildCold)},"unit":"sec","iters":$iters,"errors":$errJson,"partial":$partJson,"retried":$retryJson,"sf":"$sfDir"}""")
     spark.stop()
     // conf-rooted checkpoints are NOT auto-deleted on stop (that only
     // happens for Spark-managed temp dirs) — without this, every bench

@@ -132,6 +132,11 @@ object QueriesStreaming {
         // tree remains the batch boundary — one-chunk-one-batch and
         // arrival order are byte-identical to the per-chunk writes.
         val tag = "__graft_chunk"
+        // a pre-existing column of the tag's name would be silently
+        // REPLACED by withColumn and then stripped from the file
+        // contents by partitionBy — fail loudly instead (ADVICE r21)
+        require(!chunks.head.columns.contains(tag),
+          s"fileIngest: chunk schema already has a '$tag' column")
         val tagged = chunks.zipWithIndex
           .map { case (c, i) => c.coalesce(StP).withColumn(tag, lit(i)) }
           .reduce(_.unionByName(_))
@@ -202,6 +207,10 @@ object QueriesStreaming {
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
         val tag = "__graft_chunk"
+        // same collision guard as fileIngest (ADVICE r21)
+        require(!aChunks.head.columns.contains(tag) &&
+            !bChunks.head.columns.contains(tag),
+          s"fileIngest2: chunk schema already has a '$tag' column")
         def staged(chunks: Seq[org.apache.spark.sql.DataFrame],
                    stag: java.nio.file.Path): Future[Unit] = Future {
           chunks.zipWithIndex

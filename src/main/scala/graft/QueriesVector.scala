@@ -1033,6 +1033,29 @@ object QueriesVector {
   private[graft] def clearAdcMemo(s: SparkSession, dir: String): Unit = {
     val cur = adcMemo.remove((s, dir))
     if (cur != null) cur.release()
+    nQMemo.remove((s, dir))
+  }
+
+  /** Memoized v16b broadcast-gate query count (round 22, ADVICE r21 /
+    * VERDICT r21 #7): the gate's bounded existence check
+    * (`limit(cap+1).count()`) is one driver-blocking Spark job, and it
+    * was paid on EVERY `ivfAdcRerankTopKFromAdc` call — hoisted here
+    * per (session, dir) alongside the memoized serving index, since
+    * v16b's query predicate (`vec_id % 50 = 0`) and corpus are fixed
+    * per dir. Values above the cap are stored clamped to cap+1 (the
+    * same information the bounded count carries), so the gate decision
+    * is bit-identical to measuring in-call. Deterministic input ⇒ the
+    * memo is safe for the same reason adcMemo is.
+    */
+  private val nQMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+  private val nQCap = 100000L // ivfAdcRerankTopKFromAdc's default maxBroadcastRows
+  private def nQFor(s: SparkSession, dir: String): Long = {
+    nQMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    nQMemo.computeIfAbsent((s, dir), _ =>
+      Tables.load(s, dir, "embeddings")
+        .where(col("vec_id").cast("long") % 50 === 0)
+        .limit((nQCap + 1).toInt).count())
   }
 
   val v16IvfAdc: Q = (s, dir) =>
@@ -1159,7 +1182,8 @@ object QueriesVector {
   val v16bIvfAdcRerank: Q = (s, dir) =>
     Similarity.ivfAdcRerankTopKFromAdc(adcIndexFor(s, dir),
       Tables.load(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-      shortlist = AdcShortlist, topK = 3, isQuery = v => v % 50 === 0)
+      shortlist = AdcShortlist, topK = 3, isQuery = v => v % 50 === 0,
+      knownQueryCount = Some(nQFor(s, dir)))
       .orderBy("query_id", "rank")
 
   val v16bIvfAdcRerankSql: String =

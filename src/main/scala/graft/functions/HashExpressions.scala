@@ -590,6 +590,18 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
 
+  // Element width is decided at PLAN time from each child's array
+  // element type (round 22, §2.3 narrower types: the d-family set
+  // relations store their mod-p hashes as array<int> — every value is
+  // < 2³¹ — halving the verify-join shuffle bytes; this kernel reads
+  // either width, per side, and keeps comparing in long).
+  private def isIntSide(e: Expression): Boolean = e.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+  private lazy val leftInt = isIntSide(left)
+  private lazy val rightInt = isIntSide(right)
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -601,8 +613,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var px = Long.MinValue
     var py = Long.MinValue
     while (i < na && j < nb) {
-      val x = a.getLong(i)
-      val y = b.getLong(j)
+      val x = if (leftInt) a.getInt(i).toLong else a.getLong(i)
+      val y = if (rightInt) b.getInt(j).toLong else b.getLong(j)
       if (strict) {
         if (x < px || y < py)
           throw new IllegalArgumentException(
@@ -630,6 +642,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
              |      "sorted_intersect_count: input array not sorted ascending");
              |    px = x; py = y;
            """.stripMargin
+      // per-side accessor, baked at codegen time from the child types
+      val getA = if (leftInt) "getInt" else "getLong"
+      val getB = if (rightInt) "getInt" else "getLong"
       val fn = ctx.freshName("sortedIntersectCount")
       val fun = ctx.addNewFunction(fn,
         s"""
@@ -639,7 +654,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
            |  int i = 0; int j = 0; long c = 0L;
            |  long px = Long.MIN_VALUE; long py = Long.MIN_VALUE;
            |  while (i < na && j < nb) {
-           |    long x = a.getLong(i); long y = b.getLong(j);$guard
+           |    long x = (long) a.$getA(i); long y = (long) b.$getB(j);$guard
            |    if (x == y) { c++; i++; j++; }
            |    else if (x < y) { i++; } else { j++; }
            |  }
@@ -671,13 +686,21 @@ case class MinHashSig(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  // accept array<int> as well as array<long> (round 22, §2.3 narrower
+  // types — the set relations store mod-p hashes < 2³¹ as ints); the
+  // fold itself stays in long, so the signature is bit-identical
+  private lazy val elemInt = child.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill(k)(P)
     var i = 0
     while (i < n) {
-      val x = arr.getLong(i)
+      val x = if (elemInt) arr.getInt(i).toLong else arr.getLong(i)
       var j = 0
       while (j < k) {
         val h = ((2L * j + 1L) * x + 7919L * j + 1L) % P
@@ -691,6 +714,7 @@ case class MinHashSig(child: Expression, k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val get = if (elemInt) "getInt" else "getLong"
       val fn = ctx.freshName("minHashSig")
       val fun = ctx.addNewFunction(fn,
         s"""
@@ -700,7 +724,7 @@ case class MinHashSig(child: Expression, k: Int)
            |  long[] mins = new long[$k];
            |  java.util.Arrays.fill(mins, ${P}L);
            |  for (int i = 0; i < n; i++) {
-           |    long x = arr.getLong(i);
+           |    long x = (long) arr.$get(i);
            |    for (int j = 0; j < $k; j++) {
            |      long h = ((2L * j + 1L) * x + 7919L * j + 1L) % ${P}L;
            |      if (h < mins[j]) mins[j] = h;

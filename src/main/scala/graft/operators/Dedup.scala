@@ -46,8 +46,17 @@ object Dedup {
     // counts), and sorting once per doc converts every downstream
     // per-pair verify from Spark's allocating array_intersect to the
     // compiled zero-allocation merge kernel
-    // (TextFunctions.sortedIntersectCount)
-    df.select(id.as("doc"), array_sort(shingleSet).as("hs"))
+    // (TextFunctions.sortedIntersectCount).
+    // Stored as array<int> (round 22, guide §2.3 narrower types):
+    // every shingle hash is mod-P with P = 1e9+7 < 2³¹, so the int
+    // cast is provably lossless and order-preserving — it halves the
+    // bytes this relation carries through its own exchange, the
+    // persisted set cache, and BOTH verify-join shuffles (the measured
+    // d-family wall at scale). Consumers read either width: the
+    // minhash fold and the merge kernel widen back to long per
+    // element, and t7's explode coerces in its pmod arithmetic —
+    // every emitted value is bit-identical to the long form.
+    df.select(id.as("doc"), array_sort(shingleSet).cast("array<int>").as("hs"))
       .repartition(col("doc"))
       // The set relation feeds the signature branch AND both sides of
       // the verify join: persist it (dimension-sized: id + ~30 longs per
@@ -223,6 +232,14 @@ object Dedup {
     // round — the same round the generic-round-1 shape paid.
     var changed = if (nNodes == 0) 0L
       else labels.where(col("node") =!= col("comp")).count()
+    // The seed counts as round 1 against the maxRounds budget (ADVICE
+    // r21): it is provably EQUAL to the generic round it replaced
+    // (identity labels make sym ⋈ labels a no-op), so the total
+    // label-propagation power within the budget is unchanged from the
+    // pre-r21 shape — maxRounds propagation rounds either way. Note
+    // for cross-round log readers: `lastCcRounds` includes the seed,
+    // so r20-and-earlier `cc_rounds` values are directly comparable
+    // (their round 1 was the generic form of the same step).
     var rounds = if (nNodes == 0) 0 else 1
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = sym.join(labels, col("dst") === col("node"))
@@ -249,9 +266,13 @@ object Dedup {
       rounds += 1
     }
     lastCcRounds = rounds
-    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
+    // release BEFORE the convergence check (ADVICE r21): labels is
+    // localCheckpoint-materialized, so the persisted inputs are dead
+    // either way — unpersisting first keeps the non-convergence
+    // failure path from leaking both cached relations for the session
     sym.unpersist()
     edges.unpersist()
+    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
     labels
   }
 
@@ -270,10 +291,28 @@ object Dedup {
     * would lose the group-limit pushdown to the companion count and
     * shuffle every member row). The exchange carries one partial row
     * per (task, component), not the corpus.
+    *
+    * Round 22 (guide §3.1, pick the join strategy deliberately): the
+    * docs ⋈ labels join BROADCASTS the label relation when a bounded
+    * existence check proves it small — labels is node-sized (bounded
+    * by the pair graph, typically ≪ corpus), docs is the corpus, and
+    * the default SortMergeJoin shuffled the corpus to meet it. Same
+    * absolute-row-count gate pattern as the v16b rerank broadcasts:
+    * labels comes out of [[connectedComponents]] localCheckpoint-
+    * materialized, so `limit(cap+1).count()` is one cheap bounded
+    * scan, not a recompute. Past the cap the SortMergeJoin fallback
+    * stays — scale-safe by default, never a driver-sized broadcast of
+    * an unbounded relation.
     */
+  private[graft] val KeepBestMaxBroadcastRows = 2000000L
+
   def keepBestPerComponent(docs: DataFrame, idCol: String, scoreCol: String,
-                           labels: DataFrame): DataFrame = {
-    val assigned = docs.join(labels, docs(idCol) === labels("node"), "left")
+                           labels: DataFrame,
+                           maxBroadcastRows: Long = KeepBestMaxBroadcastRows): DataFrame = {
+    val cap = math.min(maxBroadcastRows, Int.MaxValue - 1L)
+    val under = cap > 0 && labels.limit((cap + 1).toInt).count() <= cap
+    val labelSide = if (under) broadcast(labels) else labels
+    val assigned = docs.join(labelSide, docs(idCol) === labels("node"), "left")
       .select(col(idCol), col(scoreCol),
         coalesce(col("comp"), col(idCol)).as("component"))
     // lexicographic max of (score, -id) = highest score, then lowest id

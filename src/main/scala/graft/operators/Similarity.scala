@@ -1602,7 +1602,8 @@ object Similarity {
                        topK: Int, isQuery: Column => Column,
                        nProbe: Int = IvfAutoProbe,
                        shortlistFrac: Int = AdcShortlistFrac,
-                       maxBroadcastRows: Long = 100000L): DataFrame = {
+                       maxBroadcastRows: Long = 100000L,
+                       knownQueryCount: Option[Long] = None): DataFrame = {
     // ADVICE r19: topK <= 0 used to silently return an empty frame
     // (shortlist >= topK passes at 0)
     require(topK > 0, s"topK must be positive: $topK")
@@ -1644,7 +1645,14 @@ object Similarity {
     // Past the cap every hint drops and the rerank runs as plain
     // shuffle joins — same rows, no single-executor relation.
     val cap = math.min(maxBroadcastRows, Int.MaxValue - 1L)
-    val nQ = v.where(isQuery(col("fid"))).limit((cap + 1).toInt).count()
+    // Round 22 (ADVICE r21 / VERDICT r21 #7): the bounded existence
+    // count is one driver-blocking job per call — callers that serve
+    // many requests over one memoized index pass the count they
+    // already know (clamped to the same cap so the gate semantics are
+    // identical to measuring it here).
+    val nQ = knownQueryCount
+      .map(n => math.min(n, cap + 1))
+      .getOrElse(v.where(isQuery(col("fid"))).limit((cap + 1).toInt).count())
     val perQuery = math.max(shortlist.toLong,
       if (shortlistFrac <= 0) shortlist.toLong
       else (aix.ix.n + shortlistFrac - 1) / shortlistFrac)

@@ -299,6 +299,84 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("shingleSets stores array<int>: lossless, sorted, kernels match the long form") {
+    // Round 22 (§2.3 narrower types): the set relations carry mod-P
+    // hashes (P = 1e9+7 < 2³¹) as array<int> to halve the verify-join
+    // shuffle bytes. Pins: (a) the materialized element type IS int,
+    // (b) the values are the long shingle set's values (lossless
+    // cast), (c) MinHashSig and SortedIntersectCount read the int form
+    // to bit-identical results vs the long form.
+    import org.apache.spark.sql.types._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words about catalyst plans here"))
+      .toDF("doc_id", "text")
+    val shingleSet = TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3)
+    val sets = Dedup.shingleSets(docs, col("doc_id"), shingleSet)
+    sets.schema("hs").dataType shouldBe ArrayType(IntegerType, containsNull = false)
+    val longSets = docs.select(col("doc_id").as("doc"),
+      array_sort(shingleSet).as("hs_long"))
+    val both = sets.join(longSets, "doc")
+    // lossless: int values == long values, element for element
+    both.select(col("doc"), col("hs").cast("array<bigint>").as("w"), col("hs_long"))
+      .collect().foreach { r =>
+        withClue(s"doc=${r.getLong(0)}: ") {
+          r.getSeq[Long](1) shouldBe r.getSeq[Long](2)
+        }
+      }
+    // kernels: identical signature and intersection counts on either width
+    val k = QueriesText.dedupK
+    both.select(col("doc"),
+        TextFunctions.minHashSignature(col("hs"), k).as("si"),
+        TextFunctions.minHashSignature(col("hs_long"), k).as("sl"))
+      .collect().foreach { r =>
+        withClue(s"doc=${r.getLong(0)}: ") {
+          r.getSeq[Long](1) shouldBe r.getSeq[Long](2)
+        }
+      }
+    val a = both.select(col("doc"), col("hs"), col("hs_long"))
+    val prs = a.as("x").crossJoin(a.as("y"))
+      .select(
+        TextFunctions.sortedIntersectCount(col("x.hs"), col("y.hs")).as("ii"),
+        TextFunctions.sortedIntersectCount(col("x.hs_long"), col("y.hs_long")).as("ll"),
+        TextFunctions.sortedIntersectCount(col("x.hs"), col("y.hs_long")).as("mixed"))
+      .collect()
+    prs.foreach { r =>
+      r.getLong(0) shouldBe r.getLong(1)
+      r.getLong(2) shouldBe r.getLong(1)
+    }
+  }
+
+  test("keepBestPerComponent: count-gated broadcast — under-cap plans a broadcast join, over-cap keeps rows identical") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (9L, 2L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs, col("doc_a"), col("doc_b"))
+    // silence the SIZE-based auto-broadcast so the plan shape isolates
+    // the count gate's own decision (tiny test relations would
+    // otherwise be auto-broadcast on both routes)
+    val abKey = "spark.sql.autoBroadcastJoinThreshold"
+    val abPrev = spark.conf.get(abKey)
+    spark.conf.set(abKey, "-1")
+    try {
+      val under = Dedup.keepBestPerComponent(docs, "doc_id", "score", labels)
+      val over = Dedup.keepBestPerComponent(docs, "doc_id", "score", labels,
+        maxBroadcastRows = 1L)
+      def bcasts(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.toString
+          .linesIterator.count(_.contains("BroadcastExchange"))
+      bcasts(under) should be >= 1
+      bcasts(over) shouldBe 0
+      val u = under.orderBy("component").collect().map(_.toSeq)
+      val o = over.orderBy("component").collect().map(_.toSeq)
+      u shouldBe o
+      // semantic pin: component 1 keeps doc 2 (score 30, min id
+      // tie-break), singletons keep themselves
+      u.map(s => (s(0), s(1))) shouldBe Array((1L, 2L), (4L, 4L), (9L, 9L))
+    } finally spark.conf.set(abKey, abPrev)
+  }
+
   test("sortedIntersectCount strict guard: unsorted input throws under -Dgraft.strictSortedKernels") {
     // ADVICE r20: the merge kernel silently undercounts on unsorted
     // input; the whole test suite runs with the opt-in guard compiled
